@@ -1,0 +1,54 @@
+"""Typed source catalog.
+
+Replaces the reference's ``cp.cfg`` + ad-hoc readers (SURVEY §2.1,
+``/root/reference/etl.py:11-17``) with a declarative table registry: one
+place knows where each table lives and how to read it, and registers temp
+views so both the DataFrame and SQL surfaces see the same names.
+
+All testdata tables are parquet; at 100 TB this is exactly the layout you
+want (columnar scan, predicate pushdown, partition pruning all free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (SURVEY §2.1
+    ``src_temp_view``, cf. ``etl.py:152-157``). Idempotent."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
