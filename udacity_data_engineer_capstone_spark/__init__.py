@@ -32,6 +32,7 @@ def load_all() -> None:
     # Imports are side-effecting (decorators register queries).
     from udacity_data_engineer_capstone_spark.queries import (  # noqa: F401
         flagship,
+        pipeline,
         reference_ops,
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
