@@ -1,0 +1,28 @@
+"""ANN quality tests: LSH recall vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from udacity_data_engineer_capstone_spark.operators.similarity import (
+    sim_ann_lsh,
+    sim_topk_bruteforce,
+)
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = _pairs(sim_topk_bruteforce(spark, sf_dir))
+    approx = _pairs(sim_ann_lsh(spark, sf_dir))
+    assert exact, "brute force returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # 8 tables × 6 hyperplanes on random 64-d data: recall is imperfect by
+    # design but must be substantial
+    assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
+
+
+def test_ann_deterministic(spark, sf_dir):
+    a = _pairs(sim_ann_lsh(spark, sf_dir))
+    b = _pairs(sim_ann_lsh(spark, sf_dir))
+    assert a == b

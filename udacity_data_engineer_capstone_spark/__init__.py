@@ -42,6 +42,6 @@ def load_all() -> None:
         similarity,
         text,
     )
-    from udacity_data_engineer_capstone_spark.sources import (  # noqa: F401
-        roundtrips,
+    from udacity_data_engineer_capstone_spark.streaming import (  # noqa: F401
+        events as streaming_events,
     )

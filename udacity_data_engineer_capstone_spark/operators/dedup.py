@@ -1,0 +1,494 @@
+"""Deduplication operators (north-star extension; BASELINE.json).
+
+The testdata ``documents`` table has no duplicate texts, so every dedup
+query runs over a *derived corpus*: the documents plus deterministically
+planted exact copies (doc_id + 1_000_000) and near-copies with a token
+appended (doc_id + 2_000_000). The same derivation is a CTE in each
+DuckDB oracle, so results verify end-to-end.
+
+Scale design (100 TB posture, per operator docstrings):
+- exact dedup groups on md5(text) — the shuffle carries a 32-byte hash +
+  ids, never the documents themselves;
+- MinHash-LSH turns the O(n²) near-dup problem into an equi-join on band
+  keys (shuffle ∝ n·bands), with exact Jaccard verification only on
+  bucket-collision candidates;
+- the n-gram inverted index caps document frequency per gram before the
+  self-join, which is what keeps hot n-grams from producing quadratic
+  join blowup on web-scale corpora;
+- embedding near-dup is exact pairwise over buckets here (testdata is
+  tiny); the LSH-bucketed scale path lives in operators/similarity.py.
+
+All hash functions are md5 (present and bit-identical in Spark and
+DuckDB), so the oracles replay the exact same minhashes and bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# derived corpus with planted duplicates
+# ---------------------------------------------------------------------------
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra' AS text
+  FROM documents WHERE doc_id % 50 = 7
+)
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact dups ∪ planted near-dups (see CORPUS_CTE,
+    the SQL twin that oracles use)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 50 == 7)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+        )
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH {CORPUS_CTE}
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one group per distinct text, keeping
+    the smallest doc_id (deterministic, unlike ``dropDuplicates``). The
+    shuffle key is md5(text) — constant width regardless of document
+    size, so this holds at 100 TB."""
+    return (
+        corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+N_HASHES = 12
+N_BANDS = 6  # rows-per-band r = 2 → threshold s ≈ (1/b)^(1/r) ≈ 0.41
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+_SHINGLES_SPARK = (
+    "CASE WHEN size(toks) >= {k} THEN array_distinct(transform("
+    "sequence(0, size(toks) - {k}), i -> concat_ws(' ', slice(toks, i + 1, {k}))))"
+    " ELSE array(concat_ws(' ', toks)) END"
+).format(k=SHINGLE_K)
+
+# DuckDB twin (1-based list indexing; list_slice end-inclusive; range is
+# end-exclusive, so the last shingle start index n-k+1 needs stop n-k+2)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(toks) >= {k} THEN list_distinct(list_transform("
+    "range(1, len(toks) - {km2}), i -> array_to_string(toks[i:i+{km1}], ' ')))"
+    " ELSE [array_to_string(toks, ' ')] END"
+).format(k=SHINGLE_K, km1=SHINGLE_K - 1, km2=SHINGLE_K - 2)
+
+
+def _minhash_exprs_spark() -> list[str]:
+    return [
+        f"array_min(transform(shingles, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(N_HASHES)
+    ]
+
+
+def _minhash_exprs_duck() -> str:
+    return ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+
+
+def _band_exprs_spark() -> list[str]:
+    r = N_HASHES // N_BANDS
+    return [
+        "md5(concat(" + ", ".join(f"mh{b * r + j}" for j in range(r)) + f")) AS band{b}"
+        for b in range(N_BANDS)
+    ]
+
+
+def _band_exprs_duck() -> str:
+    r = N_HASHES // N_BANDS
+    return ",\n         ".join(
+        "md5(" + " || ".join(f"mh{b * r + j}" for j in range(r)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH {CORPUS_CTE},
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM corpus)
+),
+bands AS (
+  SELECT doc_id,
+         {_minhash_exprs_duck()}
+  FROM (SELECT doc_id, shingles FROM sh)
+),
+bands2 AS (
+  SELECT doc_id, {_band_exprs_duck()}
+  FROM bands
+),
+stacked AS (
+  { " UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands2"
+      for b in range(N_BANDS)
+  ) }
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM stacked a JOIN stacked b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS common
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a_id
+  JOIN grams gb ON gb.doc_id = c.b_id AND gb.shingle = ga.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT v.a_id, v.b_id,
+       CAST(v.common AS DOUBLE) / (sa.n + sb.n - v.common) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.a_id
+JOIN sizes sb ON sb.doc_id = v.b_id
+WHERE CAST(v.common AS DOUBLE) / (sa.n + sb.n - v.common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash + LSH banding, verified with exact
+    Jaccard over shingle sets.
+
+    Pipeline: 3-word shingles → 12 md5-keyed minhashes (computed per-doc
+    with array expressions — no explode, no shuffle) → 6 bands of 2 →
+    equi-join on (band_id, band_key) for candidates → exact Jaccard on
+    candidates only. At scale the only shuffles are the band-key join
+    (n·6 rows of 2 hashes) and the candidate verification join — never
+    the O(n²) pair space."""
+    c = corpus(spark, sf_dir).withColumn(
+        "toks", F.split(F.lower("text"), r"\s+")
+    )
+    sh = c.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    mh = sh.selectExpr("doc_id", "shingles", *_minhash_exprs_spark())
+    bands = mh.selectExpr("doc_id", *_band_exprs_spark())
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+    grams = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    ga = grams.alias("ga")
+    gb = grams.alias("gb")
+    verified = (
+        cand.join(ga, F.col("ga.doc_id") == F.col("a_id"))
+        .join(
+            gb,
+            (F.col("gb.doc_id") == F.col("b_id"))
+            & (F.col("gb.shingle") == F.col("ga.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("common")
+    )
+    return (
+        verified.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _vote_spark(b: int) -> str:
+    return (
+        f"aggregate(toks_d, 0, (acc, x) -> acc + CASE WHEN "
+        f"substring(md5(x), {b + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END) AS v{b}"
+    )
+
+
+def _vote_duck(b: int) -> str:
+    return (
+        f"list_sum(list_transform(toks_d, x -> CASE WHEN "
+        f"substring(md5(x), {b + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END)) AS v{b}"
+    )
+
+
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH {CORPUS_CTE},
+t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks_d
+  FROM corpus
+),
+v AS (
+  SELECT doc_id, {", ".join(_vote_duck(b) for b in range(_SIMHASH_BITS))}
+  FROM t
+)
+SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash
+FROM v
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document: each bit is the sign of a
+    vote summed over distinct tokens (bit b votes +1 when hex digit b of
+    the token's md5 is high). Identical texts ⇒ identical fingerprints;
+    near-identical texts ⇒ small Hamming distance. Computed per-row with
+    array expressions — embarrassingly parallel, no shuffle at all."""
+    c = corpus(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks_d"),
+    )
+    v = c.selectExpr("doc_id", *[_vote_spark(b) for b in range(_SIMHASH_BITS)])
+    return v.selectExpr("doc_id", f"CAST({_FP_EXPR} AS BIGINT) AS simhash")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted index with df cap)
+# ---------------------------------------------------------------------------
+
+_DF_CAP = 150
+_NGRAM_THRESHOLD = 0.6
+
+_NGRAM_ORACLE = f"""
+WITH {CORPUS_CTE},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM toks
+),
+rare AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {_DF_CAP}
+),
+g AS (
+  SELECT grams.doc_id, grams.gram FROM grams JOIN rare USING (gram)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id,
+       CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a_id
+JOIN sizes sb ON sb.doc_id = p.b_id
+WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard over an inverted index.
+
+    The document-frequency cap (drop grams appearing in too many docs)
+    is the scale lever: without it, one stop-bigram appearing in every
+    document makes the self-join quadratic. With it, join fan-out per
+    gram is bounded by the cap squared, independent of corpus size."""
+    toks = corpus(spark, sf_dir).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN array_distinct(transform("
+                "sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])))"
+                " ELSE array(concat_ws(' ', toks)) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    )
+    g = grams.join(rare.select("gram"), "gram")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("common")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _NGRAM_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.99
+
+_EMB_CORPUS_CTE = """
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+                     list_transform(embedding[2:64], x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings WHERE vec_id % 40 = 0
+)
+"""
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+_NORM = "sqrt(list_sum(list_transform({s}.v, x -> x * x)))"
+
+_EMB_ORACLE = f"""
+WITH {_EMB_CORPUS_CTE}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_DOT} / ({_NORM.format(s='a')} * {_NORM.format(s='b')}) AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {_DOT} / ({_NORM.format(s='a')} * {_NORM.format(s='b')}) >= {_COS_THRESHOLD}
+"""
+
+
+def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double arrays) ∪ planted near-identical vectors
+    (first coordinate nudged by 0.05). SQL twin: _EMB_CORPUS_CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.05), "
+            "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+        ).alias("v"),
+    )
+    return base.unionAll(planted)
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine above threshold over the planted
+    corpus.
+
+    Exact pairwise here (testdata is small); at 100 TB the pair space is
+    pruned first — either by the LSH bucketing in
+    operators/similarity.py or by coarse k-means cells (IVF) — and this
+    exact kernel runs only within buckets. Math is done in double after
+    an explicit float→double widening so Spark and DuckDB agree
+    bit-for-bit on the linear fold."""
+    emb = embedding_corpus(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    norm_a = F.sqrt(F.expr("aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    norm_b = F.sqrt(F.expr("aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    cos = dot / (norm_a * norm_b)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_THRESHOLD)
+    )

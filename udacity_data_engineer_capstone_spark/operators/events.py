@@ -1,0 +1,147 @@
+"""Event-time windowed aggregations over the ``events`` table (batch
+form; the streaming twins live in :mod:`..streaming.events`).
+
+The reference has zero window/streaming constructs (SURVEY §2.8); these
+are north-star extensions. All three window shapes are expressed with
+Spark's native event-time window functions — ``F.window`` (tumbling &
+sliding) and ``F.session_window`` — which at scale become a single hash
+aggregate keyed by (window, keys): partial aggregation happens map-side,
+so the shuffle carries one row per (window, key) per partition, not one
+row per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("evt_window_tumbling", oracle=_TUMBLING_ORACLE, tags=("events", "window"))
+def evt_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# sliding windows: length 60 min, slide 15 min ⇒ every event belongs to the
+# 4 windows starting at its 15-min-aligned timestamp minus 0/15/30/45 min.
+_SLIDING_ORACLE = """
+WITH aligned AS (
+  SELECT date_trunc('hour', ts)
+           + (minute(ts) // 15) * INTERVAL 15 MINUTE AS a15,
+         event_type, value
+  FROM events
+)
+SELECT a15 - k.k * INTERVAL 15 MINUTE AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM aligned
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+@query("evt_window_sliding", oracle=_SLIDING_ORACLE, tags=("events", "window"))
+def evt_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event counted in 4
+    overlapping windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# session windows, 30-minute inactivity gap. Spark semantics: a session's
+# end is last_event + gap, and an event at exactly previous_ts + gap does
+# NOT merge (windows are end-exclusive) → new session when diff >= gap.
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+@query("evt_window_session", oracle=_SESSION_ORACLE, tags=("events", "window"))
+def evt_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (``F.session_window``; oracle is the classic gaps-and-islands SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("fn_json_extract", oracle=_JSON_ORACLE, tags=("events", "scalar", "json"))
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the ``props`` column + aggregate —
+    the semi-structured-column path (scalar JSON functions are absent
+    from the reference, SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

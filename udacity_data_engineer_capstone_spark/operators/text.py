@@ -1,0 +1,207 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension; BASELINE.json).
+
+Everything here is pure column expressions — tokenization, language ID,
+quality scoring, and fingerprinting all stay inside whole-stage codegen
+with zero Python workers, so per-document cost is constant and the whole
+family scales linearly with document count (embarrassingly parallel: no
+shuffle except the final small aggregates, none here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single non-alnum marks
+# (the shape GPT-style byte-pair pre-tokenizers use).
+BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# marker vocabularies for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "is", "to"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "es", "y"),
+    "zh": ("的", "是", "了", "在", "不"),
+}
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+@query("text_tokens", oracle=_TOKENS_ORACLE, tags=("text",))
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+         AS avg_token_len,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks)
+         AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       (CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks))
+         - (CAST(n_punct AS DOUBLE) / n_chars)
+         + 0.1 * (least(len(toks), 100) / 100.0) AS quality_score
+FROM t
+"""
+
+
+@query("text_quality", oracle=_QUALITY_ORACLE, tags=("text",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, punctuation
+    ratio (the C4/Gopher-style cheap filters)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
+            "n_punct"
+        ),
+    )
+    n_tokens = F.size("toks")
+    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({_STOP_IN})))")
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.concat_ws("", F.col("toks"))).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            stop_ratio
+            - punct_ratio
+            + 0.1 * (F.least(n_tokens, F.lit(100)) / F.lit(100.0))
+        ).alias("quality_score"),
+    )
+
+
+def _marker_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+_LANGID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         {_marker_hits_sql('en')} AS h_en,
+         {_marker_hits_sql('de')} AS h_de,
+         {_marker_hits_sql('fr')} AS h_fr,
+         {_marker_hits_sql('es')} AS h_es,
+         {_marker_hits_sql('zh')} AS h_zh
+  FROM t
+)
+SELECT doc_id,
+       CASE
+         WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 AND h_zh = 0
+           THEN 'und'
+         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh
+           THEN 'en'
+         WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+         WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+         WHEN h_es >= h_zh THEN 'es'
+         ELSE 'zh'
+       END AS lang_pred
+FROM h
+"""
+
+
+@query("text_langid", oracle=_LANGID_ORACLE, tags=("text",))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (dictionary heuristic; deterministic
+    priority order en>de>fr>es>zh on ties, 'und' when no hits)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    hits = {}
+    for lang, words in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = F.expr(f"size(filter(toks, x -> x IN ({in_list})))")
+    h = docs.select(
+        "doc_id", *[hits[lang].alias(f"h_{lang}") for lang in LANG_MARKERS]
+    )
+    c = {lang: F.col(f"h_{lang}") for lang in LANG_MARKERS}
+    pred = (
+        F.when(
+            (c["en"] == 0) & (c["de"] == 0) & (c["fr"] == 0)
+            & (c["es"] == 0) & (c["zh"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (c["en"] >= c["de"]) & (c["en"] >= c["fr"])
+            & (c["en"] >= c["es"]) & (c["en"] >= c["zh"]),
+            F.lit("en"),
+        )
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]) & (c["de"] >= c["zh"]), "de")
+        .when((c["fr"] >= c["es"]) & (c["fr"] >= c["zh"]), "fr")
+        .when(c["es"] >= c["zh"], "es")
+        .otherwise("zh")
+    )
+    return h.select("doc_id", pred.alias("lang_pred"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(
+             list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (catches shuffled/reordered copies that exact hashing
+    misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+                ),
+            )
+        ).alias("fingerprint"),
+    )

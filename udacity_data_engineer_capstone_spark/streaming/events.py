@@ -1,0 +1,153 @@
+"""Structured Streaming twins of the batch event-time operators.
+
+The reference has no streaming at all (SURVEY §2.8); this module gives
+the engine the ``readStream → window/watermark → writeStream`` surface:
+
+- :func:`stream_events` — file-source stream over the events parquet;
+- :func:`tumbling_counts` — watermarked 1-hour tumbling aggregation;
+- :func:`run_to_memory` — drain with ``availableNow`` into a memory sink
+  (what a production job would do with a real sink + checkpoint);
+- :func:`running_user_totals` — custom stateful op via
+  ``applyInPandasWithState`` (running per-user count/sum).
+
+On a cluster the same code runs continuously against kafka/file sources;
+watermarks bound state so the 100 TB-equivalent stream never grows
+state unboundedly — late events beyond the watermark are dropped.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table into a temp directory the file-source
+    stream can watch (normalizing the NANOS timestamp on the way)."""
+    out = tempfile.mkdtemp(prefix="engine_stream_src_")
+    shutil.rmtree(out)
+    load_table(spark, sf_dir, "events").write.parquet(out)
+    return out
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling window aggregation — the watermark bounds
+    state: windows older than max(event time) - 2h are finalized and
+    evicted; later-than-watermark events are dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a streaming DataFrame with trigger(availableNow) into a
+    memory sink; returns the sink table as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)
+
+
+_TUMBLING_STREAM_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=_TUMBLING_STREAM_ORACLE,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming run: file-source stream →
+    watermarked tumbling aggregation → availableNow drain to a memory
+    sink. Once drained, the result must equal the batch aggregation —
+    which is exactly what the DuckDB oracle checks."""
+    src = stage_events_dir(spark, sf_dir)
+    agg = tumbling_counts(stream_events(spark, src))
+    return run_to_memory(agg, output_mode="complete")
+
+
+_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count and value
+    sum via ``applyInPandasWithState`` — the escape hatch for stateful
+    logic the built-in windows can't express. State is one row per user
+    (bounded by user cardinality, not stream length)."""
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="n_events long, sum_value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
