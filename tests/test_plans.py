@@ -1,0 +1,104 @@
+"""Physical-plan audits: the Catalyst behaviors the 100 TB posture
+depends on (SURVEY §4), pinned as assertions so regressions surface.
+
+Run with the engine-tuned session (AQE on) — the same knobs a cluster
+submit would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import udacity_data_engineer_capstone_spark as engine
+from udacity_data_engineer_capstone_spark.plans.audit import (
+    assert_in_plan,
+    assert_not_in_plan,
+    plan_text,
+)
+
+engine.load_all()
+Q = engine.QUERIES
+
+
+def test_scan_pushdown_projection_and_filter(spark, sf_dir):
+    """src_sas7bdat: the filter and the 3-column projection must reach the
+    parquet reader — a scan reading all 11 lineitem columns would be
+    wrong (SURVEY: 'a scan that reads all columns for a 2-column
+    projection is wrong')."""
+    df = Q["src_sas7bdat"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "PushedFilters: [" in text and "l_shipdate" in text.split("PushedFilters")[1][:200]
+    read_schema = text.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_outer_join_eliminated(spark, sf_dir):
+    """flt_post_join's null-rejecting WHERE must turn LEFT into INNER
+    (EliminateOuterJoin) — no outer join in the physical plan."""
+    df = Q["flt_post_join"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "LeftOuter" not in text, text
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """flagship: nation/region (and at this SF, customer) must be
+    broadcast — only lineitem⋈orders may shuffle."""
+    df = Q["flagship_regional_revenue"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    # the big-big join shuffles (sort-merge or shuffled-hash, AQE's pick)
+    assert ("SortMergeJoin" in text) or ("ShuffledHashJoin" in text) or (
+        text.count("BroadcastHashJoin") >= 4
+    )
+
+
+def test_no_python_eval_on_fact_path(spark, sf_dir):
+    """udf_sas_date is the *native* decode — a BatchEvalPython /
+    ArrowEvalPython node would mean a Python worker round-trip on the
+    100 TB fact path (the reference's mistake, etl.py:141)."""
+    df = Q["udf_sas_date"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_whole_stage_codegen_on_agg(spark, sf_dir):
+    """After execution (AQE final plan), the aggregate pipeline must sit
+    inside whole-stage codegen (simple mode marks fused stages with *)."""
+    df = Q["agg_groupby_sum"].fn(spark, sf_dir)
+    text = plan_text(df, mode="simple", execute=True)
+    assert "isFinalPlan=true" in text
+    assert "*(1)" in text, text
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """agg_groupby_sum must be partial+final HashAggregate — the map-side
+    combine is what keeps the shuffle tiny at scale."""
+    df = Q["agg_groupby_sum"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2, text
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
+    """dedup_exact's exchange must be keyed on the md5 hash, not the
+    document text (constant-width shuffle rows)."""
+    import re
+
+    df = Q["dedup_exact"].fn(spark, sf_dir)
+    text = plan_text(df)
+    # grouping on md5(text) shows up as a _groupingexpression; the
+    # Exchange input must be [hash, partial_min, partial_count] — the
+    # document text itself must never cross the shuffle
+    blocks = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", text)
+    assert blocks, text
+    for cols in blocks:
+        assert "text#" not in cols, f"document text crosses the shuffle: {cols}"
+
+
+def test_events_filter_pushdown_survives_ts_rewrite(spark, sf_dir):
+    """The nanos→micros ts rewrite must not block pushdown of filters on
+    *other* columns into the events scan."""
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    df = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    text = plan_text(df)
+    assert "PushedFilters: [" in text
+    assert "event_type" in text.split("PushedFilters")[1][:200]
