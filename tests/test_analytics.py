@@ -1,0 +1,48 @@
+"""Targeted tests for the analytics surface beyond oracle parity."""
+
+from __future__ import annotations
+
+import udacity_data_engineer_capstone_spark as engine
+
+engine.load_all()
+Q = engine.QUERIES
+
+
+def test_approx_distinct_error_bounded(spark, sf_dir):
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in Q["agg_distinct_count"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r.n_parts_approx
+        for r in Q["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err < 0.1, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_asof_prior_click_strictly_before(spark, sf_dir):
+    rows = Q["join_asof_event"].fn(spark, sf_dir).collect()
+    assert rows
+    with_click = [r for r in rows if r.last_click_ts is not None]
+    assert with_click, "no purchase had a prior click"
+    for r in with_click:
+        assert r.last_click_ts < r.purchase_ts
+
+
+def test_global_topk_is_sorted(spark, sf_dir):
+    rows = Q["ord_global_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    rows = Q["agg_rollup"].fn(spark, sf_dir).collect()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n_items == sum(
+        r.n_items for r in rows if r.l_returnflag is not None and r.l_linestatus is not None
+    )

@@ -31,6 +31,7 @@ def load_all() -> None:
     """Import every operator module so its registry entries exist."""
     # Imports are side-effecting (decorators register queries).
     from udacity_data_engineer_capstone_spark.queries import (  # noqa: F401
+        analytics,
         flagship,
         pipeline,
         reference_ops,

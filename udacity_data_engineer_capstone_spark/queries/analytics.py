@@ -1,0 +1,465 @@
+"""Analytics surface beyond the reference (SURVEY §2.8 lists these
+categories as absent there): window functions, sorts/limits/top-k, set
+operations, pivot/rollup/cube, distinct counting, semi/anti joins, as-of
+and range joins, and scalar math/array/map functions.
+
+A complete engine needs these for real workloads; each is registered
+with a DuckDB oracle. Orderings inside window frames always extend to a
+*total* order (tie-break on unique keys) so Spark and DuckDB agree
+row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         SUM(o.o_totalprice) AS revenue
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT nationkey, custkey, revenue, rnk
+FROM (SELECT *, rank() OVER (PARTITION BY nationkey
+                             ORDER BY revenue DESC, custkey) AS rnk
+      FROM rev)
+WHERE rnk <= 3
+"""
+
+
+@query("win_rank_topk", oracle=_RANK_ORACLE, tags=("window",))
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue per nation — ranking window after an
+    aggregate. The rank filter is pushed below the final sort by Spark's
+    window-group-limit optimization, so only ~3 rows per partition
+    survive the shuffle at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(
+        F.col("revenue").desc(), F.col("custkey")
+    )
+    return rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
+
+
+_RUNNING_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS running_qty,
+       lag(l_quantity) OVER (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         AS prev_qty
+FROM lineitem
+"""
+
+
+@query("win_running_frame", oracle=_RUNNING_ORACLE, tags=("window",))
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame + lag — analytic windows
+    over a total order (ties broken by unique keys so both engines agree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_qty"),
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("ord_global_topk", oracle=_TOPK_ORACLE, tags=("sort",))
+def ord_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: sort + limit compiles to TakeOrderedAndProject —
+    each partition keeps k rows, the driver merges k·partitions rows;
+    no full sort ever happens, at any scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT 'building_or_machinery' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+UNION ALL
+SELECT 'with_orders_intersect' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'no_orders_except' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders
+)
+"""
+
+
+@query("set_union_intersect_except", oracle=_SETOPS_ORACLE, tags=("setop",))
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct), INTERSECT, EXCEPT in one result, tagged by op.
+    INTERSECT/EXCEPT plan as left-semi/left-anti hash joins."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    machinery = customer.filter("c_mktsegment = 'MACHINERY'").select("c_custkey")
+    order_cust = orders.select(F.col("o_custkey").alias("c_custkey"))
+
+    u = building.union(machinery).distinct().select(
+        F.lit("building_or_machinery").alias("op"), "c_custkey"
+    )
+    i = building.intersect(order_cust).select(
+        F.lit("with_orders_intersect").alias("op"), "c_custkey"
+    )
+    e = customer.select("c_custkey").exceptAll(order_cust).distinct().select(
+        F.lit("no_orders_except").alias("op"), "c_custkey"
+    )
+    return u.unionAll(i).unionAll(e)
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup / cube
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE, tags=("agg",))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on line status (explicit value list ⇒ single-pass plan, no
+    distinct-values pre-query)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total in one pass —
+    Expand + single shuffle, not one job per level)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus, SUM(l_extendedprice) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets in one pass)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct counting
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_distinct_count", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Expand-based plan: one shuffle
+    for both distinct columns)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct is too expensive (fixed-size sketch per group, mergeable
+    map-side; no oracle: HLL implementations differ across engines;
+    tests/test_analytics.py bounds the relative error vs exact)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT 'has_recent_order' AS op, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01')
+UNION ALL
+SELECT 'no_order_ever' AS op, c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_semi_anti", oracle=_SEMI_ANTI_ORACLE, tags=("join",))
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi and left-anti hash joins — the
+    probe side never duplicates rows, so output ≤ input regardless of
+    match multiplicity."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    semi = customer.join(
+        recent, customer.c_custkey == recent.o_custkey, "left_semi"
+    ).select(F.lit("has_recent_order").alias("op"), "c_custkey")
+    anti = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.lit("no_order_ever").alias("op"), "c_custkey")
+    return semi.unionAll(anti)
+
+
+# ---------------------------------------------------------------------------
+# as-of join & range join
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_click_ts
+FROM tagged
+WHERE event_type = 'purchase'
+"""
+
+
+@query("join_asof_event", oracle=_ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent *strictly prior*
+    click by the same user. Expressed as a running-max window over the
+    interleaved event stream — one shuffle on user_id, no range
+    self-join, which is the scalable as-of formulation (the naive
+    t1 ≤ t2 join is quadratic per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+_RANGE_ORACLE = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+"""
+
+
+@query("join_range_event", oracle=_RANGE_ORACLE, tags=("join", "range"))
+def join_range_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: pairs of same-user events within 5 minutes.
+    The equi-key (user_id) hash-partitions the join; the range predicate
+    filters within each user's bucket, so cost is Σ per-user-pairs, not
+    n². (For keyless range joins, bucketize time into join keys first.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function sampler (math / string / date / array / map)
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 4) AS sqrt_price,
+       abs(p_size - 25) AS size_dev,
+       upper(substring(p_name, 1, 4)) AS name4,
+       length(p_name) AS name_len,
+       greatest(p_size, 10) AS size_floor10,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
+FROM part
+"""
+
+
+@query("fn_scalar_sampler", oracle=_SCALAR_ORACLE, tags=("scalar",))
+def fn_scalar_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/string scalar sampler — all codegen'd JVM expressions."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.upper(F.substring("p_name", 1, 4)).alias("name4"),
+        F.length("p_name").alias("name_len"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
+    )
+
+
+_DATEFN_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+         AS days_since_95,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+@query("fn_date_sampler", oracle=_DATEFN_ORACLE, tags=("scalar", "date"))
+def fn_date_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar sampler (DuckDB dayofweek is 0-based Sunday,
+    Spark's is 1-based Sunday — the oracle adds 1)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+         AS max_coord,
+       round(list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+         AS sq_norm,
+       list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.4),
+                     true) AS has_large
+FROM embeddings
+"""
+
+
+@query("fn_array_sampler", oracle=_ARRAY_ORACLE, tags=("scalar", "array"))
+def fn_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function sampler over the embedding column (size, max,
+    element-wise transform + fold, existence predicate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))"), 6
+        ).alias("max_coord"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+                "CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.4)").alias("has_large"),
+    )
