@@ -41,6 +41,7 @@ def load_all() -> None:
         events,
         multimodal,
         similarity,
+        skew,
         text,
     )
     from udacity_data_engineer_capstone_spark.streaming import (  # noqa: F401

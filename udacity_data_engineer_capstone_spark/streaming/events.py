@@ -122,6 +122,43 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
+_SLIDING_STREAM_ORACLE = """
+WITH aligned AS (
+  SELECT date_trunc('hour', ts)
+           + (minute(ts) // 15) * INTERVAL 15 MINUTE AS a15,
+         event_type, value
+  FROM events
+)
+SELECT a15 - k.k * INTERVAL 15 MINUTE AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM aligned
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=_SLIDING_STREAM_ORACLE,
+    tags=("streaming", "window"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h length, 15 min slide) with a
+    watermark, drained via availableNow — equals the batch result."""
+    src = stage_events_dir(spark, sf_dir)
+    agg = (
+        stream_events(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
 _OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 
 
