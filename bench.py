@@ -51,8 +51,11 @@ def main() -> None:
 
     fns = engine.get_queries()
 
-    # warmup: JVM + codegen + parquet footer caches
-    fns["flagship_regional_revenue"](spark, sf_dir).collect()
+    # warmup: run every headline query once at the smallest SF so JIT,
+    # codegen, and analysis caches are hot — the measured runs below then
+    # time data processing at the target SF, as a long-lived session would
+    for name in HEADLINE:
+        fns[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -115,27 +115,25 @@ _SHINGLES_DUCK = (
 ).format(k=SHINGLE_K, km1=SHINGLE_K - 1, km2=SHINGLE_K - 2)
 
 
-# One md5 per shingle, then the i-th hash of the family is an 8-hex-char
-# window of that digest (starts 1,3,5,…,23). ~12× cheaper than hashing
-# every shingle 12 times, and identical in both engines.
-def _minhash_exprs_spark() -> list[str]:
-    return [
-        f"array_min(transform(hs, h -> substring(h, {2 * i + 1}, 8))) AS mh{i}"
-        for i in range(N_HASHES)
-    ]
-
-
-def _minhash_exprs_duck() -> str:
-    return ",\n         ".join(
-        f"list_min(list_transform(hs, h -> substring(h, {2 * i + 1}, 8))) AS mh{i}"
-        for i in range(N_HASHES)
-    )
+# Bottom-k sketch: one md5 per shingle, one sort, keep the k smallest
+# digests as the signature. A single array_sort replaces k independent
+# array_min passes — much smaller expression tree (fast to analyze and
+# codegen) and one pass over the hashes per row. Bands are consecutive
+# signature pairs; a document with < 2 shingle hashes in a band slot gets
+# a NULL band key (NULL-propagating concat/md5 in both engines), which an
+# equi-join silently skips.
+_SIG_SPARK = (
+    f"slice(array_sort(transform(shingles, s -> md5(s))), 1, {N_HASHES})"
+)
+_SIG_DUCK = f"list_sort(list_transform(shingles, s -> md5(s)))[1:{N_HASHES}]"
 
 
 def _band_exprs_spark() -> list[str]:
     r = N_HASHES // N_BANDS
     return [
-        "md5(concat(" + ", ".join(f"mh{b * r + j}" for j in range(r)) + f")) AS band{b}"
+        "md5(concat("
+        + ", ".join(f"get(sig, {b * r + j})" for j in range(r))  # 0-based, NULL-safe
+        + f")) AS band{b}"
         for b in range(N_BANDS)
     ]
 
@@ -143,7 +141,9 @@ def _band_exprs_spark() -> list[str]:
 def _band_exprs_duck() -> str:
     r = N_HASHES // N_BANDS
     return ",\n         ".join(
-        "md5(" + " || ".join(f"mh{b * r + j}" for j in range(r)) + f") AS band{b}"
+        "md5("
+        + " || ".join(f"sig[{b * r + j + 1}]" for j in range(r))  # 1-based, NULL OOB
+        + f") AS band{b}"
         for b in range(N_BANDS)
     )
 
@@ -155,14 +155,12 @@ sh AS (
   FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
         FROM corpus)
 ),
-bands AS (
-  SELECT doc_id,
-         {_minhash_exprs_duck()}
-  FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh)
+sigs AS (
+  SELECT doc_id, {_SIG_DUCK} AS sig FROM sh
 ),
 bands2 AS (
   SELECT doc_id, {_band_exprs_duck()}
-  FROM bands
+  FROM sigs
 ),
 stacked AS (
   { " UNION ALL ".join(
@@ -192,24 +190,29 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash + LSH banding, verified with exact
-    Jaccard over shingle sets.
+    """Near-dup pairs via a bottom-k MinHash sketch + LSH banding,
+    verified with exact Jaccard over shingle sets.
 
-    Pipeline: 3-word shingles → 12 md5-keyed minhashes (computed per-doc
-    with array expressions — no explode, no shuffle) → 6 bands of 2 →
-    equi-join on (band_id, band_key) for candidates → exact Jaccard on
-    candidates only. At scale the only shuffles are the band-key join
-    (n·6 rows of 2 hashes) and the candidate verification join — never
-    the O(n²) pair space."""
+    Pipeline: 3-word shingles → bottom-12 sorted md5 signature (one hash
+    + one sort per doc, all array expressions — no explode, no shuffle)
+    → 6 bands of 2 consecutive signature slots → equi-join on
+    (band_id, band_key) for candidates → exact Jaccard via in-place
+    array_intersect on candidates only. At scale the only shuffles are
+    the band-key join (n·6 narrow rows) and the candidate verification
+    join — never the O(n²) pair space."""
     c = corpus(spark, sf_dir).withColumn(
         "toks", F.split(F.lower("text"), r"\s+")
     )
-    sh = c.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
-    hashed = sh.select(
-        "doc_id", F.expr("transform(shingles, s -> md5(s))").alias("hs")
+    # the shingle table feeds three consumers (banding + both sides of
+    # the verification join); localCheckpoint materializes it once
+    # instead of re-tokenizing the corpus three times. Unlike persist(),
+    # checkpoint blocks are released by GC when the plan is dropped — no
+    # cache-manager residue in a long-lived (driver-owned) session.
+    sh = c.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).localCheckpoint(
+        eager=False
     )
-    mh = hashed.selectExpr("doc_id", *_minhash_exprs_spark())
-    bands = mh.selectExpr("doc_id", *_band_exprs_spark())
+    sigs = sh.select("doc_id", F.expr(_SIG_SPARK).alias("sig"))
+    bands = sigs.selectExpr("doc_id", *_band_exprs_spark())
     stacked = bands.select(
         "doc_id",
         F.explode(
