@@ -37,6 +37,7 @@ def load_all() -> None:
         reference_ops,
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         events,
         multimodal,
