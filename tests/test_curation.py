@@ -19,7 +19,10 @@ def test_curation_removes_planted_duplicates(spark, sf_dir):
 
     # planted near-copies (doc_id + 2_000_000) should be mostly removed by
     # the LSH pass (bottom-k banding isn't 100% recall by design)
-    near_total = 500 // 50  # doc_id % 50 == 7 over 500 docs at sf0.001
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    near_total = sum(1 for d in range(n_docs) if d % 50 == 7)
     near_kept = len({d for d in kept if d >= 2_000_000})
     assert near_kept <= near_total // 2, f"{near_kept} of {near_total} near-dups survived"
 

@@ -26,6 +26,7 @@ from udacity_data_engineer_capstone_spark.operators.dedup import (
     CORPUS_CTE,
     _MINHASH_ORACLE,
     corpus,
+    dedup_exact,
     dedup_minhash_lsh,
 )
 from udacity_data_engineer_capstone_spark.registry import query
@@ -61,12 +62,9 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = docs.filter(F.col("n_tokens") >= MIN_TOKENS)
 
-    keepers = (
-        corpus(spark, sf_dir)
-        .groupBy(F.md5("text"))
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select("keep_id")
-    )
+    # reuse the registered exact-dedup operator so the keep policy has a
+    # single definition (any change there propagates here)
+    keepers = dedup_exact(spark, sf_dir).select("keep_id")
     near_dup_losers = dedup_minhash_lsh(spark, sf_dir).select("b_id")
 
     return (
