@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         events,
         multimodal,
+        python_udfs,
         similarity,
         skew,
         text,
