@@ -33,6 +33,7 @@ def load_all() -> None:
     from udacity_data_engineer_capstone_spark.queries import (  # noqa: F401
         analytics,
         flagship,
+        formats,
         pipeline,
         reference_ops,
     )

@@ -1,0 +1,96 @@
+"""Additional source/sink formats beyond the reference's CSV+parquet:
+JSON-lines source with explicit schema, CSV sink round-trip, and summary
+statistics. Registered with oracles like everything else.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+
+@query(
+    "src_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source",),
+)
+def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with an explicit schema (no inference pass —
+    at 100 TB a schema-inference pre-scan doubles the read)."""
+    d = tempfile.mkdtemp(prefix="engine_src_json_")
+    load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(d)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    )
+    return spark.read.schema(schema).json(d).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+_SNK_CSV_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("snk_csv", oracle=_SNK_CSV_ORACLE, tags=("sink",))
+def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink round-trip of an aggregate (header + explicit read-back
+    schema so types survive the text format)."""
+    d = tempfile.mkdtemp(prefix="engine_snk_csv_")
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+    )
+    agg.coalesce(1).write.mode("overwrite").csv(d, header=True)
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType(), True),
+            T.StructField("l_linestatus", T.StringType(), True),
+            T.StructField("n_items", T.LongType(), True),
+            T.StructField("sum_qty", T.DoubleType(), True),
+        ]
+    )
+    return spark.read.csv(d, header=True, schema=schema)
+
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       AVG(l_extendedprice) AS avg_price,
+       stddev_samp(l_extendedprice) AS sd_price,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_summary_stats", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary statistics incl. an exact interpolated median
+    (``percentile`` — for 100 TB use ``approx_percentile``, whose sketch
+    is mergeable map-side; exact percentile shuffles the group's values)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.stddev_samp("l_extendedprice").alias("sd_price"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        )
+    )
