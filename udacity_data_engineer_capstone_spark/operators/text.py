@@ -188,6 +188,47 @@ FROM documents
 """
 
 
+# rolling k-gram fingerprint: hash every k-char window, keep windows
+# whose hash falls in a 1/16 sample (first hex digit '0' — the MOSS-style
+# mod-p selection), fingerprint = md5 of the sorted sampled set. Robust
+# to small edits: only windows overlapping the edit change.
+_ROLL_K = 8
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(list_filter(
+             list_transform(range(1, greatest(length(text) - {_ROLL_K} + 2, 2)),
+                            i -> md5(substring(text, i, {_ROLL_K}))),
+             h -> substring(h, 1, 1) = '0'))), ' ')) AS rolling_fp,
+       len(list_distinct(list_filter(
+             list_transform(range(1, greatest(length(text) - {_ROLL_K} + 2, 2)),
+                            i -> md5(substring(text, i, {_ROLL_K}))),
+             h -> substring(h, 1, 1) = '0'))) AS n_sampled
+FROM documents
+"""
+
+
+@query("text_rolling_fingerprint", oracle=_ROLLING_ORACLE, tags=("text",))
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: hash all k-char windows, keep a
+    deterministic 1/16 sample (first hex digit 0), fingerprint the sorted
+    sample. Unlike the whole-set fingerprint below, small edits perturb
+    only the windows they overlap — the basis of winnowing/MOSS-style
+    near-copy detection. Per-row array expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = (
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length(text) - {_ROLL_K} + 1, 1)), "
+        f"i -> md5(substring(text, i, {_ROLL_K}))), "
+        f"h -> substring(h, 1, 1) = '0'))"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.expr(sampled)))).alias("rolling_fp"),
+        F.size(F.expr(sampled)).alias("n_sampled"),
+    )
+
+
 @query("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text",))
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
