@@ -196,10 +196,10 @@ _ROLL_K = 8
 
 _ROLLING_ORACLE = f"""
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(list_filter(
+       md5(coalesce(array_to_string(list_sort(list_distinct(list_filter(
              list_transform(range(1, greatest(length(text) - {_ROLL_K} + 2, 2)),
                             i -> md5(substring(text, i, {_ROLL_K}))),
-             h -> substring(h, 1, 1) = '0'))), ' ')) AS rolling_fp,
+             h -> substring(h, 1, 1) = '0'))), ' '), '')) AS rolling_fp,
        len(list_distinct(list_filter(
              list_transform(range(1, greatest(length(text) - {_ROLL_K} + 2, 2)),
                             i -> md5(substring(text, i, {_ROLL_K}))),
