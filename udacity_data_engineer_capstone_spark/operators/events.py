@@ -135,6 +135,32 @@ GROUP BY event_type
 """
 
 
+_MAP_ORACLE = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       len(json_keys(props)) AS n_keys
+FROM events
+"""
+
+
+@query("fn_map_sampler", oracle=_MAP_ORACLE, tags=("events", "scalar", "map"))
+def fn_map_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse JSON props into map<string,int>, then key
+    listing, element access (NULL-safe ``try_element_at`` — plain ``[]``
+    throws on a missing key under ANSI mode), and cardinality. Oracle
+    uses DuckDB's JSON functions over the same payload."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+        F.try_element_at("m", F.lit("k")).alias("k_val"),
+        F.size("m").alias("n_keys"),
+    )
+
+
 @query("fn_json_extract", oracle=_JSON_ORACLE, tags=("events", "scalar", "json"))
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the ``props`` column + aggregate —

@@ -178,6 +178,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("doc_id", pred.alias("lang_pred"))
 
 
+_EXPLODE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+FROM t, unnest(range(1, least(len(toks), 5) + 1)) AS u(i)
+"""
+
+
+@query("fn_explode_pos", oracle=_EXPLODE_ORACLE, tags=("text", "lateral"))
+def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view): first 5 tokens of each document
+    as (doc_id, pos, token) rows — the array→rows pivot every tokenized
+    pipeline needs. Slicing *before* exploding keeps the row blow-up
+    bounded (5·n, not tokens·n)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.lower("text"), r"\s+"), 1, 5).alias("toks")
+    )
+    return docs.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+
+
 _FINGERPRINT_ORACLE = """
 SELECT doc_id,
        md5(array_to_string(
