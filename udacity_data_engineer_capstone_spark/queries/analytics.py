@@ -264,6 +264,59 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARGMAX_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice) AS smallest_order,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_argminmax", oracle=_ARGMAX_ORACLE, tags=("agg",))
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates (``max_by``/``min_by``) — the
+    which-row-was-extreme question answered in one pass, no self-join
+    back onto the aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_collect_set", oracle=_COLLECT_ORACLE, tags=("agg",))
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set collection per group (``collect_set``), rendered sorted so the
+    result is order-deterministic across engines. At scale collect_set is
+    memory-bounded by group cardinality — only safe for low-cardinality
+    value domains like these 25 nation keys."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias(
+                "nations_csv"
+            ),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # semi / anti joins
 # ---------------------------------------------------------------------------
