@@ -26,3 +26,20 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_query_runs(spark, sf_dir, name):
     df = engine.QUERIES[name].fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+# Scale-sensitive queries also run at sf0.01 (the driver's gate scale):
+# ties, empty samples, and sketch edge cases only appear with more rows.
+MED_SCALE = [
+    n
+    for n in ORACLED
+    if n.startswith(("dedup_", "sim_", "text_", "evt_", "curate_"))
+    or n in ("udaf_grouped_zscore", "agg_groupby_sum", "agg_summary_stats")
+]
+
+
+@pytest.mark.parametrize("name", MED_SCALE)
+def test_query_matches_oracle_med(spark, name):
+    from tests.conftest import SF_DIR_MED
+
+    compare(spark, name, SF_DIR_MED)

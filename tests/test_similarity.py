@@ -18,7 +18,7 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     approx = _pairs(sim_ann_lsh(spark, sf_dir))
     assert exact, "brute force returned nothing"
     recall = len(exact & approx) / len(exact)
-    # 8 tables × 6 hyperplanes on random 64-d data: recall is imperfect by
+    # 16 tables × 4 hyperplanes on random 64-d data: recall is imperfect by
     # design but must be substantial
     assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
 

@@ -22,7 +22,7 @@ _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -34,7 +34,7 @@ def evt_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -56,7 +56,7 @@ WITH aligned AS (
 SELECT a15 - k.k * INTERVAL 15 MINUTE AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
 FROM aligned
 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
 GROUP BY 1, 2
@@ -70,7 +70,7 @@ def evt_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -85,7 +85,7 @@ def evt_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT merge (windows are end-exclusive) → new session when diff >= gap.
 _SESSION_ORACLE = """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -94,7 +94,7 @@ WITH ordered AS (
 ),
 islands AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )
@@ -102,7 +102,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
 FROM islands
 GROUP BY user_id, session_id
 """
@@ -115,7 +115,7 @@ def evt_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),

@@ -25,8 +25,8 @@ from udacity_data_engineer_capstone_spark.registry import query
 
 _ZSCORE_ORACLE = """
 SELECT event_id, event_type,
-       (value - avg(value) OVER (PARTITION BY event_type))
-         / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+       ROUND((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
 FROM events
 """
 
@@ -42,7 +42,15 @@ def udaf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        pdf = pdf.assign(z=(v - v.mean()) / v.std(ddof=1))
+        sd = v.std(ddof=1)
+        # SQL NULL semantics: stddev_samp of a 1-row group is NULL (pandas
+        # gives NaN), and a constant group would divide by zero
+        if pd.isna(sd) or sd == 0:
+            pdf = pdf.assign(z=pd.Series([None] * len(pdf), dtype="float64"))
+        else:
+            # fixed 4-dp output: pandas and SQL window folds differ in the
+            # last ulps, so raw doubles would never hash-match cross-engine
+            pdf = pdf.assign(z=((v - v.mean()) / sd).round(4))
         return pdf[["event_id", "event_type", "z"]]
 
     return ev.groupBy("event_type").applyInPandas(

@@ -24,7 +24,7 @@ from udacity_data_engineer_capstone_spark.registry import query
 _RANK_ORACLE = """
 WITH rev AS (
   SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
-         SUM(o.o_totalprice) AS revenue
+         SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS revenue
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
@@ -50,7 +50,7 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.col("c_custkey").alias("custkey"),
         )
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("revenue"))
     )
     w = Window.partitionBy("nationkey").orderBy(
         F.col("revenue").desc(), F.col("custkey")
@@ -155,7 +155,9 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = building.intersect(order_cust).select(
         F.lit("with_orders_intersect").alias("op"), "c_custkey"
     )
-    e = customer.select("c_custkey").exceptAll(order_cust).distinct().select(
+    # subtract = distinct EXCEPT (exceptAll().distinct() would diverge
+    # when the left side has a row more times than the right)
+    e = customer.select("c_custkey").subtract(order_cust).select(
         F.lit("no_orders_except").alias("op"), "c_custkey"
     )
     return u.unionAll(i).unionAll(e)
@@ -206,7 +208,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CUBE_ORACLE = """
-SELECT l_returnflag, l_linestatus, SUM(l_extendedprice) AS sum_price
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -218,7 +221,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_extendedprice").alias("sum_price"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("sum_price"))
     )
 
 

@@ -27,7 +27,8 @@ _ORACLE = """
 SELECT
   r.r_name AS region,
   n.n_name AS nation,
-  SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -59,9 +60,18 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            # exact decimal arithmetic per row (price and discount are
+            # cents/percent-valued, so their casts are stable; the
+            # decimal product and sum are fold-order-independent, unlike
+            # double sums — and unlike casting the *double* product,
+            # whose boundary rounding differs between engines)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")
+                )
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -70,9 +70,10 @@ _STATS_ORACLE = """
 SELECT l_returnflag,
        MIN(l_extendedprice) AS min_price,
        MAX(l_extendedprice) AS max_price,
-       AVG(l_extendedprice) AS avg_price,
-       stddev_samp(l_extendedprice) AS sd_price,
-       quantile_cont(l_extendedprice, 0.5) AS median_price
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -82,15 +83,27 @@ GROUP BY l_returnflag
 def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary statistics incl. an exact interpolated median
     (``percentile`` — for 100 TB use ``approx_percentile``, whose sketch
-    is mergeable map-side; exact percentile shuffles the group's values)."""
+    is mergeable map-side; exact percentile shuffles the group's values).
+
+    Cross-engine float determinism: the mean is computed as an exact
+    DECIMAL cents sum cast to double, divided by the count (bit-exact in
+    any fold order); stddev/median are rounded to 2 decimals on both
+    sides — raw double folds differ between engines in the last ulps."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.stddev_samp("l_extendedprice").alias("sd_price"),
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
+                "median_price"
+            ),
         )
     )

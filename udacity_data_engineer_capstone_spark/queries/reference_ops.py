@@ -579,8 +579,10 @@ def join_inner_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS sum_qty_implicit,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_net_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+         AS sum_net_price,
        SUM(l_linenumber) AS sum_lines,
        COUNT(*) AS n_items
 FROM lineitem
@@ -594,14 +596,26 @@ def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's implicit string→double SUM coercion is exercised
     (etl.py:202-213; male/female_population are read as strings). Runs as
     partial+final HashAggregate — map-side combine keeps the shuffle tiny
-    at any scale."""
+    at any scale.
+
+    Price sums cast to DECIMAL(38,2) per row *before* aggregating: cents
+    arithmetic is exact, so the result is bit-identical regardless of
+    fold order — double sums into few groups diverge between engines in
+    the last ulps. (The quantity sum stays double: integer-valued, so it
+    is exact in any order and keeps the string-coercion semantics.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("string")).alias("sum_qty_implicit"),
-        F.sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "sum_net_price"
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias(
+            "sum_base_price"
         ),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(3,2)")
+            )
+        ).alias("sum_net_price"),
         F.sum("l_linenumber").alias("sum_lines"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -626,7 +640,9 @@ def act_count_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SELECT = """
 SELECT r.r_name AS region,
-       SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+         AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

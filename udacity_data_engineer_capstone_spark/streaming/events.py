@@ -66,7 +66,7 @@ def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -101,7 +101,7 @@ _TUMBLING_STREAM_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
