@@ -30,6 +30,14 @@ HEADLINE = [
     "dedup_minhash_lsh",          # shingle → minhash → band join → verify
     "sim_topk_bruteforce",        # exact cosine top-k
     "text_quality",               # array-expression text scoring
+    # round-2 additions: the expensive extension operators, so each
+    # round shows deltas on them too (VERDICT r1 next-steps #7)
+    "dedup_ngram_jaccard",        # inverted index + df cap self-join
+    "dedup_embedding_cosine",     # LSH-bucketed near-dup + exact kernel
+    "sim_ann_lsh",                # hyperplane-bucketed ANN
+    "sim_ann_ivf",                # k-means cells + nprobe ANN
+    "curate_training_corpus",     # quality gate + dedup semi/anti joins
+    "stream_tumbling_counts",     # full streaming drain (availableNow)
 ]
 
 

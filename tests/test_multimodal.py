@@ -1,11 +1,12 @@
-"""Tests for the multimodal binary-column plumbing + stubbed decode."""
+"""Tests for the multimodal binary-column plumbing + byte-histogram decode."""
 
 from __future__ import annotations
 
 import pytest
 
 from udacity_data_engineer_capstone_spark.operators.multimodal import (
-    decode_stub,
+    N_FEATURE_BINS,
+    decode_features,
     extract_features,
     media_table,
 )
@@ -27,14 +28,18 @@ def test_extract_features_batch_shape(spark, sf_dir):
     rows = feats.limit(5).collect()
     assert rows
     for r in rows:
-        assert len(r.feature) == 4
-        assert r.feature[0] == float(r.n_bytes)  # feature[0] is byte length
-        assert 0.0 <= r.feature[1] <= 255.0  # mean byte
+        assert len(r.feature) == N_FEATURE_BINS
+        # histogram counts sum to the byte length
+        assert sum(r.feature) == float(r.n_bytes)
 
 
-def test_decode_stub_contract():
-    assert decode_stub(b"") == [0.0, 0.0, 0.0, 0.0]
-    f = decode_stub(b"abc")
-    assert f[0] == 3.0 and f[2] == float(ord("a")) and f[3] == float(ord("c"))
+def test_decode_features_contract():
+    assert decode_features(b"") == [0.0] * N_FEATURE_BINS
+    # 'abc' = 0x61 0x62 0x63 → all three high nibbles are 6
+    f = decode_features(b"abc")
+    assert f[6] == 3.0 and sum(f) == 3.0
+    # 0x0F low nibble is irrelevant; 0xF0 lands in bin 15
+    assert decode_features(b"\x0f\xf0")[0] == 1.0
+    assert decode_features(b"\x0f\xf0")[15] == 1.0
     with pytest.raises(NotImplementedError):
-        decode_stub(None)  # the seam where a real decoder plugs in
+        decode_features(None)  # the seam where a real decoder plugs in

@@ -102,3 +102,31 @@ def test_events_filter_pushdown_survives_ts_rewrite(spark, sf_dir):
     text = plan_text(df)
     assert "PushedFilters: [" in text
     assert "event_type" in text.split("PushedFilters")[1][:200]
+
+
+def test_topk_window_partial_group_limit(spark, sf_dir):
+    """sim_topk_bruteforce must pre-reduce map-side: a Partial
+    WindowGroupLimit below the exchange keeps all-but-k rows per query
+    out of the shuffle (without it, every scored row funnels into one
+    partition per query)."""
+    import re
+
+    df = Q["sim_topk_bruteforce"].fn(spark, sf_dir)
+    text = plan_text(df)
+    details = re.findall(
+        r"\(\d+\) WindowGroupLimit\nInput[^\n]*\nArguments: ([^\n]*)", text
+    )
+    assert details, text
+    assert any("Partial" in d for d in details), details
+
+
+def test_embedding_dedup_has_no_cartesian_join(spark, sf_dir):
+    """dedup_embedding_cosine generates candidates via the LSH bucket
+    equi-join — an O(n²) cartesian/nested-loop join over vectors must
+    never appear in the plan."""
+    df = Q["dedup_embedding_cosine"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct")
+    text = plan_text(df)
+    # BroadcastNestedLoopJoin over the vector table would be the same
+    # quadratic mistake in broadcast clothing
+    assert "BroadcastNestedLoopJoin" not in text, text

@@ -460,15 +460,41 @@ def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_embedding_cosine", oracle=_EMB_ORACLE, tags=("dedup", "embedding"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine above threshold over the planted
-    corpus.
+    corpus, with candidates from random-hyperplane LSH buckets — never
+    the O(n²) pair space.
 
-    Exact pairwise here (testdata is small); at 100 TB the pair space is
-    pruned first — either by the LSH bucketing in
-    operators/similarity.py or by coarse k-means cells (IVF) — and this
-    exact kernel runs only within buckets. Math is done in double after
-    an explicit float→double widening so Spark and DuckDB agree
-    bit-for-bit on the linear fold."""
-    emb = embedding_corpus(spark, sf_dir)
+    Candidate generation reuses the seeded hyperplane tables from
+    operators/similarity.py: each vector gets one sign-bit bucket per
+    hash table, and candidate pairs are vectors sharing a bucket in ANY
+    table. The exact cosine kernel then runs on candidates only. The
+    equi-join on (table, bucket) shuffles n·N_TABLES narrow rows, so the
+    plan has no cartesian/nested-loop join (pinned in tests/test_plans).
+
+    The all-pairs SQL stays as the oracle: at cos ≥ 0.99 (angle ≈ 8°) a
+    pair collides in one 4-plane table with p ≈ 0.83, so 16 OR-ed tables
+    miss with p ≈ 1.7e-13 — the bucketed result equals the exact answer.
+    Math is done in double after an explicit float→double widening so
+    Spark and DuckDB agree bit-for-bit on the linear fold."""
+    from udacity_data_engineer_capstone_spark.operators.similarity import (
+        with_lsh_buckets,
+    )
+
+    emb = embedding_corpus(spark, sf_dir).localCheckpoint(eager=False)
+
+    bucketed = with_lsh_buckets(emb).select("vec_id", "t", "bucket")
+
+    cand = (
+        bucketed.alias("ba")
+        .join(
+            bucketed.alias("bb"),
+            (F.col("ba.t") == F.col("bb.t"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(F.col("ba.vec_id").alias("a_id"), F.col("bb.vec_id").alias("b_id"))
+        .distinct()
+    )
+
     a = emb.alias("a")
     b = emb.alias("b")
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -476,11 +502,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_b = F.sqrt(F.expr("aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
     cos = dot / (norm_a * norm_b)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cos.alias("cos_sim"),
-        )
+        cand.join(a, F.col("a.vec_id") == F.col("a_id"))
+        .join(b, F.col("b.vec_id") == F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _COS_THRESHOLD)
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,22 +69,27 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> list[float]:
-    """Deterministic fake 'decode' standing in for an image/audio decoder.
+N_FEATURE_BINS = 16
 
-    A real deployment would replace this with e.g. PIL / torchaudio frame
-    extraction (kept out of this container). NotImplemented path included
-    so callers see exactly where the real decoder plugs in.
+
+def decode_features(payload: bytes) -> list[float]:
+    """Real (pure-Python) decode: a 16-bin histogram over the bytes'
+    high nibbles — a genuine, deterministic content feature computed
+    end-to-end (and exactly re-computable in SQL, so the feature vector
+    itself is oracle-verified, not just plumbing metadata).
+
+    An image/audio deployment swaps this body for PIL / torchaudio
+    decoding (those libraries are not in this container); the
+    ``mapInPandas`` shape around it is unchanged.
     """
     if payload is None:
         raise NotImplementedError(
-            "real media decode not available in this environment"
+            "real media decode not available for NULL payloads"
         )
-    # 4 cheap deterministic byte-level features: length, mean byte, min, max
-    n = len(payload)
-    if n == 0:
-        return [0.0, 0.0, 0.0, 0.0]
-    return [float(n), sum(payload) / n, float(min(payload)), float(max(payload))]
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=N_FEATURE_BINS
+    )
+    return [float(c) for c in counts]
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -103,7 +109,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "checksum": [
                         hashlib.md5(bytes(b)).hexdigest() for b in pdf["media"]
                     ],
-                    "feature": [decode_stub(bytes(b)) for b in pdf["media"]],
+                    "feature": [decode_features(bytes(b)) for b in pdf["media"]],
                 }
             )
             yield out
@@ -134,19 +140,31 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the oracle recomputes the high-nibble histogram from the hex encoding:
+# chars at odd positions of hex(bytes) are the high nibbles; count of
+# digit d = len(hi) - len(replace(hi, d, '')).
 _FEAT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, text,
+         regexp_replace(hex(encode(text)), '(.)(.)', '\\1', 'g') AS hi
+  FROM documents
+)
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum
-FROM documents
+       md5(text) AS checksum,
+       list_transform(range(0, 16), b ->
+         CAST(length(hi)
+              - length(replace(hi, substring('0123456789ABCDEF',
+                                             CAST(b AS INT) + 1, 1), ''))
+              AS DOUBLE)) AS feature
+FROM h
 """
 
 
 @query("mm_decode_features", oracle=_FEAT_ORACLE, tags=("multimodal", "udf"))
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode + feature extraction (stubbed decoder). The
-    oracle checks the Python-side byte length and checksum agree with
-    DuckDB's view of the same payload; the fake feature vector itself is
-    covered by tests/test_multimodal.py."""
-    feats = extract_features(media_table(spark, sf_dir))
-    return feats.select("doc_id", "n_bytes", "checksum")
+    """mapInPandas decode + feature extraction. The oracle verifies the
+    whole feature row — byte length, md5 checksum, AND the 16-bin
+    high-nibble histogram — against DuckDB's independent computation
+    over the same payload bytes."""
+    return extract_features(media_table(spark, sf_dir))

@@ -20,8 +20,10 @@ linear left-fold, so Spark and the DuckDB oracle agree bit-for-bit.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from udacity_data_engineer_capstone_spark.catalog import load_table
 from udacity_data_engineer_capstone_spark.registry import query
@@ -59,7 +61,13 @@ def _as_double(df: DataFrame) -> DataFrame:
 @query("sim_topk_bruteforce", oracle=_TOPK_ORACLE, tags=("similarity",))
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast queries × all vectors → ranking
-    window per query. Deterministic tie-break on neighbor_id."""
+    window per query. Deterministic tie-break on neighbor_id.
+
+    The per-query window does NOT funnel all n·q scored rows into one
+    partition per query: Spark's window-group-limit optimization plans a
+    *Partial* WindowGroupLimit below the exchange, so each map task
+    pre-reduces to ≤ k rows per query and only k·partitions rows cross
+    the shuffle (pinned in tests/test_plans.py)."""
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
     data = emb.alias("e")
@@ -105,16 +113,40 @@ def _plane_matrix(dim: int = 64) -> np.ndarray:
     return rng.standard_normal((N_TABLES, N_PLANES, dim))
 
 
-def _bucket_col(table_idx: int, planes: np.ndarray, vcol: str) -> F.Column:
-    """Bucket id for one hash table: sign-bit string over its planes.
-    The dot products are literal-weighted sums — pure codegen'd
-    arithmetic, no UDF."""
-    bits = []
-    for p in range(N_PLANES):
-        w = planes[table_idx, p]
-        terms = " + ".join(f"{vcol}[{d}] * {float(w[d])!r}" for d in range(len(w)))
-        bits.append(f"(CASE WHEN {terms} >= 0 THEN '1' ELSE '0' END)")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+def _bucket_udf() -> F.Column:
+    """All-tables bucket assignment as ONE vectorized pandas UDF: an
+    Arrow batch of vectors → numpy matmul against the (dim, T·P) plane
+    matrix → per-table sign-bit strings.
+
+    Why not pure column expressions: 16 tables × 4 planes × 64 dims of
+    literal-weighted sums blows janino's 64 KB method limit, so Spark
+    silently falls back to interpreted eval — ~4k Expression.eval calls
+    per row. The batched matmul is the sanctioned Arrow shape (SCALE.md)
+    and is a narrow map: fully distributed, no shuffle, no driver."""
+    planes = _plane_matrix()
+    mat = planes.reshape(N_TABLES * N_PLANES, -1).T  # (dim, T*P)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        V = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (V @ mat) >= 0  # (batch, T*P)
+        out = []
+        for row in signs:
+            bits = row.reshape(N_TABLES, N_PLANES)
+            out.append(
+                ["".join("1" if b else "0" for b in t) for t in bits]
+            )
+        return pd.Series(out)
+
+    return buckets
+
+
+def with_lsh_buckets(df: DataFrame) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, t, bucket), one row per hash table."""
+    b = _bucket_udf()
+    return df.select(
+        "vec_id", "v", F.posexplode(b(F.col("v"))).alias("t", "bucket")
+    )
 
 
 @query("sim_ann_ivf", tags=("similarity", "ivf"))
@@ -136,10 +168,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py.
     """
     n_cells, nprobe, iters = 16, 4, 5
+    max_fit_rows = 100_000
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
 
-    # --- driver-side seeded mini k-means (sampled in a real deployment)
-    sample = np.array([row.v for row in emb.collect()])
+    # --- driver-side seeded mini k-means over a BOUNDED sample: never
+    # collect the full table (a driver OOM at scale). count() is served
+    # from parquet metadata; sample() prunes at the scan, and the limit
+    # hard-caps what reaches the driver regardless of table size.
+    n_rows = emb.count()
+    fraction = min(1.0, (2.0 * max_fit_rows) / max(n_rows, 1))
+    fit_df = emb.sample(fraction=fraction, seed=_LSH_SEED)
+    sample = np.array([row.v for row in fit_df.limit(max_fit_rows).collect()])
     rng = np.random.default_rng(_LSH_SEED)
     centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -207,25 +246,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is approximate by design — recall vs brute force is asserted in
     tests/test_similarity.py.
 
-    Scale: bucketing is a narrow map; the candidate join is an equi-join
-    on (table, bucket) — shuffle ∝ n·N_TABLES, never n². Bucket skew
-    (dense regions) is handled by AQE skew-join splitting."""
-    planes = _plane_matrix()
+    Scale: bucketing is a narrow map (one Arrow-batched matmul); the
+    candidate join is an equi-join on (table, bucket) — shuffle ∝
+    n·N_TABLES, never n². Bucket skew (dense regions) is handled by AQE
+    skew-join splitting."""
     emb = _as_double(load_table(spark, sf_dir, "embeddings"))
 
-    def with_buckets(df: DataFrame) -> DataFrame:
-        pairs = [
-            F.struct(
-                F.lit(t).alias("t"), _bucket_col(t, planes, "v").alias("bucket")
-            )
-            for t in range(N_TABLES)
-        ]
-        return df.select(
-            F.col("vec_id"), F.col("v"), F.explode(F.array(*pairs)).alias("tb")
-        ).select("vec_id", "v", "tb.t", "tb.bucket")
-
-    queries_b = with_buckets(emb.filter(F.col("vec_id") < N_QUERIES)).alias("q")
-    data_b = with_buckets(emb).alias("e")
+    queries_b = with_lsh_buckets(emb.filter(F.col("vec_id") < N_QUERIES)).alias("q")
+    data_b = with_lsh_buckets(emb).alias("e")
 
     cand = (
         data_b.join(

@@ -14,6 +14,7 @@ stable for the driver's rows-only checks.
 from __future__ import annotations
 
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -178,8 +179,32 @@ def write_immigration_parquet(path: str, n_rows: int = 5000) -> pd.DataFrame:
     return df
 
 
+def write_dim_parquets(base_dir: str) -> dict[str, str]:
+    """Ground-truth (code, value) pairs per lookup dim, as parquet.
+
+    These are the *same tuples* the SAS labels file is rendered from —
+    NOT the output of the engine's label parser. A DuckDB oracle reading
+    them therefore independently verifies the parser: if
+    ``read_label_block`` mis-parses a block, the pipeline's star joins
+    diverge from the oracle's."""
+    dims = {
+        "dim_countries": _countries(),
+        "dim_ports": _ports(np.random.default_rng(SEED)),
+        "dim_modes": MODES,
+        "dim_states": STATES,
+        "dim_visas": VISAS,
+    }
+    paths = {}
+    for name, pairs in dims.items():
+        p = os.path.join(base_dir, f"{name}.parquet")
+        pd.DataFrame(pairs, columns=["code", "value"]).to_parquet(p, index=False)
+        paths[name] = p
+    return paths
+
+
 def generate(base_dir: str) -> dict[str, str]:
-    """Write all three fixtures under ``base_dir``; returns paths."""
+    """Write all fixtures (pipeline inputs + oracle dim parquets) under
+    ``base_dir``; returns paths."""
     os.makedirs(base_dir, exist_ok=True)
     paths = {
         "labels": os.path.join(base_dir, "labels.SAS"),
@@ -190,4 +215,16 @@ def generate(base_dir: str) -> dict[str, str]:
     write_labels_file(paths["labels"])
     write_demographics_csv(paths["demographics"])
     write_immigration_parquet(paths["immigration"])
+    paths.update(write_dim_parquets(base_dir))
     return paths
+
+
+STABLE_DIR = os.path.join(tempfile.gettempdir(), "engine_i94_fixtures_v1")
+
+
+def generate_stable() -> dict[str, str]:
+    """Fixtures at a process-independent stable path, so oracle SQL
+    strings (created at registration time) can embed absolute paths that
+    are valid whenever the driver later runs them. Generation is seeded
+    and idempotent — every call rewrites identical bytes."""
+    return generate(STABLE_DIR)
