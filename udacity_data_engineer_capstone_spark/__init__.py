@@ -32,6 +32,7 @@ def load_all() -> None:
     # Imports are side-effecting (decorators register queries).
     from udacity_data_engineer_capstone_spark.queries import (  # noqa: F401
         analytics,
+        analytics_ext,
         flagship,
         formats,
         pipeline,

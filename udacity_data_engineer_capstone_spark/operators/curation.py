@@ -19,7 +19,7 @@ pair sets that cross the shuffle are id-width, never text-width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.operators.dedup import (
@@ -29,6 +29,7 @@ from udacity_data_engineer_capstone_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
 )
+from udacity_data_engineer_capstone_spark.catalog import load_table
 from udacity_data_engineer_capstone_spark.registry import query
 
 MIN_TOKENS = 20
@@ -75,4 +76,102 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .select("doc_id", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-source keep-rates out of 100 (quality-weighted mixing, the knob a
+# pretraining data recipe turns); sources not listed keep 50%
+SAMPLE_RATES = {"src0": 80, "src1": 40, "src2": 10}
+_DEFAULT_RATE = 50
+
+# Knuth multiplicative hash — pure 64-bit integer arithmetic, so Spark
+# and DuckDB compute the identical pseudo-random stratum for every row
+# (no engine RNG involved; doc_id*2654435761 stays well under 2^63)
+_HASH_MOD = "({key} * 2654435761) % 100"
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE source {whens} ELSE {_DEFAULT_RATE} END"
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, source,
+       CAST({_rate_case_sql()} AS DOUBLE) / 100 AS keep_rate,
+       100.0 / ({_rate_case_sql()}) AS weight
+FROM documents
+WHERE {_HASH_MOD.format(key="doc_id")} < {_rate_case_sql()}
+"""
+
+
+@query("curate_stratified_sample", oracle=_STRATIFIED_ORACLE, tags=("pipeline",))
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling with inverse-rate
+    weights: keep a row when hash(doc_id) mod 100 falls under its
+    source's rate. Hash-gated sampling (vs ``df.sample``) is reproducible
+    across runs, partitionings, and engines — the property a training
+    recipe needs for auditability. Pure filter: no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.expr(_rate_case_sql())
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return docs.filter(bucket < rate).select(
+        "doc_id",
+        "source",
+        (rate.cast("double") / 100).alias("keep_rate"),
+        (F.lit(100.0) / rate).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+_PACK_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+         / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+FROM q
+"""
+
+
+@query("curate_pack_sequences", oracle=_PACK_ORACLE, tags=("pipeline",))
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: assign documents (in deterministic
+    doc_id order, per source) to fixed token-budget training sequences
+    by cumulative token count — the contiguous-packing strategy
+    pretraining loaders use. One window shuffle on the source key; the
+    running sum is integer-valued, hence fold-order exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("seq_id"),
     )

@@ -481,7 +481,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = embedding_corpus(spark, sf_dir).localCheckpoint(eager=False)
 
-    bucketed = with_lsh_buckets(emb).select("vec_id", "t", "bucket")
+    # 10 planes/table (vs 4 for the ANN search tables): at threshold
+    # 0.99 the collision probability per plane is ≥ 0.955, so deeper
+    # tables are still collision-certain for qualifying pairs —
+    # worst-case miss (1 - 0.955^10)^16 ≈ 1e-7, and ~1e-27 for the
+    # planted near-identical pairs — while 2^10 buckets/table keep
+    # bucket occupancy (and the candidate pair count) near-linear even
+    # on uniform random vectors, where 4-plane buckets would degrade to
+    # almost all-pairs.
+    bucketed = with_lsh_buckets(emb, n_planes=10).select("vec_id", "t", "bucket")
 
     cand = (
         bucketed.alias("ba")

@@ -106,14 +106,16 @@ N_PLANES = 4
 _LSH_SEED = 7
 
 
-def _plane_matrix(dim: int = 64) -> np.ndarray:
+def _plane_matrix(
+    dim: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> np.ndarray:
     """Deterministic random hyperplanes, seeded — same planes every call,
     so ANN results are reproducible run-to-run."""
     rng = np.random.default_rng(_LSH_SEED)
-    return rng.standard_normal((N_TABLES, N_PLANES, dim))
+    return rng.standard_normal((n_tables, n_planes, dim))
 
 
-def _bucket_udf() -> F.Column:
+def _bucket_udf(n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> F.Column:
     """All-tables bucket assignment as ONE vectorized pandas UDF: an
     Arrow batch of vectors → numpy matmul against the (dim, T·P) plane
     matrix → per-table sign-bit strings.
@@ -123,8 +125,8 @@ def _bucket_udf() -> F.Column:
     silently falls back to interpreted eval — ~4k Expression.eval calls
     per row. The batched matmul is the sanctioned Arrow shape (SCALE.md)
     and is a narrow map: fully distributed, no shuffle, no driver."""
-    planes = _plane_matrix()
-    mat = planes.reshape(N_TABLES * N_PLANES, -1).T  # (dim, T*P)
+    planes = _plane_matrix(n_tables=n_tables, n_planes=n_planes)
+    mat = planes.reshape(n_tables * n_planes, -1).T  # (dim, T*P)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def buckets(vs: pd.Series) -> pd.Series:
@@ -132,7 +134,7 @@ def _bucket_udf() -> F.Column:
         signs = (V @ mat) >= 0  # (batch, T*P)
         out = []
         for row in signs:
-            bits = row.reshape(N_TABLES, N_PLANES)
+            bits = row.reshape(n_tables, n_planes)
             out.append(
                 ["".join("1" if b else "0" for b in t) for t in bits]
             )
@@ -141,9 +143,11 @@ def _bucket_udf() -> F.Column:
     return buckets
 
 
-def with_lsh_buckets(df: DataFrame) -> DataFrame:
+def with_lsh_buckets(
+    df: DataFrame, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> DataFrame:
     """(vec_id, v) → (vec_id, v, t, bucket), one row per hash table."""
-    b = _bucket_udf()
+    b = _bucket_udf(n_tables=n_tables, n_planes=n_planes)
     return df.select(
         "vec_id", "v", F.posexplode(b(F.col("v"))).alias("t", "bucket")
     )
@@ -197,11 +201,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign_cells(df: DataFrame, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent_df)).withColumn("d2", dist2)
+        if keep == 1:
+            # nearest cell via partial+final min(struct) aggregate —
+            # map-side combine, no per-vector window shuffle of the
+            # n_cells-times-expanded table
+            return (
+                scored.groupBy("vec_id")
+                .agg(
+                    F.min(F.struct("d2", "cell", "v")).alias("best")
+                )
+                .select("vec_id", F.col("best.v").alias("v"), "best.cell")
+            )
         w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
         return (
-            df.crossJoin(F.broadcast(cent_df))
-            .withColumn("d2", dist2)
-            .withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= keep)
             .select("vec_id", "v", "cell")
         )

@@ -268,3 +268,144 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level chunk dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 10
+
+# 0-based chunk c covers tokens [c*10, c*10+10) — Spark slice() is
+# 1-based, DuckDB list slicing is 1-based end-inclusive
+_CHUNKS_SPARK = (
+    "transform(sequence(0, CAST(floor((size(toks) - 1) / {n}) AS INT)), "
+    "c -> concat_ws(' ', slice(toks, c * {n} + 1, {n})))"
+).format(n=CHUNK_TOKENS)
+
+_CHUNKS_DUCK = (
+    "list_transform(range(0, CAST(floor((len(toks) - 1) / {n}) AS INT) + 1), "
+    "c -> array_to_string(toks[c * {n} + 1 : c * {n} + {n}], ' '))"
+).format(n=CHUNK_TOKENS)
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, unnest({_CHUNKS_DUCK}) AS chunk,
+         generate_subscripts({_CHUNKS_DUCK}, 1) - 1 AS pos
+  FROM toks
+)
+SELECT md5(chunk) AS chunk_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id * 100000 + pos) // 100000 AS keep_doc,
+       MIN(doc_id * 100000 + pos) % 100000 AS keep_pos
+FROM chunks
+GROUP BY md5(chunk)
+"""
+
+
+@query("text_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, tags=("text", "dedup"))
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal: split every document into
+    10-token chunks and keep the first occurrence (min (doc_id, pos))
+    of each distinct chunk — the repeated-passage dedup LLM pipelines
+    run before training.
+
+    Scale: the group-by key is md5(chunk) (32 bytes crossing the
+    shuffle, never the chunk text); the argmin is encoded as
+    min(doc_id*C + pos) so it rides partial aggregation map-side."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    chunks = toks.select(
+        "doc_id", F.posexplode(F.expr(_CHUNKS_SPARK)).alias("pos", "chunk")
+    )
+    key = F.col("doc_id") * 100000 + F.col("pos")
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(key).alias("k"),
+        )
+        .select(
+            "chunk_hash",
+            "n_copies",
+            (F.col("k") / 100000).cast("long").alias("keep_doc"),
+            (F.col("k") % 100000).alias("keep_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+# derived corpus with planted PII (the testdata itself is clean)
+_PII_CTE = """
+pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now'
+              WHEN doc_id % 20 = 1
+                THEN text || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                     || '-0199 today'
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+_PII_ORACLE = f"""
+WITH {_PII_CTE}
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       (regexp_matches(text, '{_EMAIL_RE}')
+        OR regexp_matches(text, '{_PHONE_RE}')) AS had_pii
+FROM pii
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE, tags=("text", "privacy"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, US-style phone numbers) over a corpus with
+    deterministically planted PII — a standard pre-training cleanup
+    pass. Pure regexp column expressions (patterns restricted to syntax
+    shared by Java regex and RE2); embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 20 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                (100 + F.col("doc_id") % 900).cast("string"),
+                F.lit("-0199 today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    had = F.col("text").rlike(_EMAIL_RE) | F.col("text").rlike(_PHONE_RE)
+    return planted.select(
+        "doc_id", scrubbed.alias("clean_text"), had.alias("had_pii")
+    )

@@ -1,0 +1,257 @@
+"""Second analytics wave: grouping sets, distribution windows, full-outer
+joins, datetime/string scalar breadth, bivariate statistics, and range
+frames (SURVEY §2.8 categories the reference lacks entirely).
+
+Cross-engine determinism rules used throughout (see MEMORY/SCALE.md):
+integer-valued sums are exact in any fold order; correlation/stddev are
+rounded on both sides; window orderings extend to total orders unless
+the frame is tie-insensitive (RANGE frames include peers, so their
+aggregates are deterministic even with duplicate sort keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# grouping sets
+# ---------------------------------------------------------------------------
+
+# same SQL text runs in both engines: Spark's grouping_id() equals
+# DuckDB's GROUPING(a, b) bit mask (first grouping column = MSB)
+_GROUPING_SETS_BODY = """
+SELECT l_returnflag, l_linestatus,
+       {gid} AS gid,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=_GROUPING_SETS_BODY.format(gid="GROUPING(l_returnflag, l_linestatus)"),
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a grouping_id disambiguator (NULL as
+    data vs NULL as subtotal). Plans as one Expand + a single shuffle —
+    not one job per set."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUPING_SETS_BODY.format(gid="grouping_id()"))
+
+
+# ---------------------------------------------------------------------------
+# distribution windows: ntile / percent_rank / cume_dist / lead
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
+       lead(c_custkey) OVER w AS next_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("win_ntile_dist", oracle=_NTILE_ORACLE, tags=("window",))
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per nation. The ORDER BY extends to
+    a total order (custkey tiebreak) so ntile/lead are deterministic;
+    percent_rank/cume_dist are exact rational values — identical doubles
+    in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("c_custkey").over(w).alias("next_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full outer join
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH ocnt AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_mktsegment AS segment,
+       o.n_orders,
+       (c.c_custkey IS NULL) AS customer_missing,
+       (o.o_custkey IS NULL) AS orders_missing
+FROM customer c
+FULL OUTER JOIN ocnt o ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_ORACLE, tags=("join",))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with coalesced key + per-side missing indicators
+    (the reconciliation-report shape). Full outer cannot broadcast —
+    both sides shuffle on the key, which is the correct plan at any
+    scale."""
+    customer = load_table(spark, sf_dir, "customer").alias("c")
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .alias("o")
+    )
+    return customer.join(
+        ocnt, F.col("o.o_custkey") == F.col("c.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce("c.c_custkey", "o.o_custkey").alias("custkey"),
+        F.col("c.c_mktsegment").alias("segment"),
+        "o.n_orders",
+        F.col("c.c_custkey").isNull().alias("customer_missing"),
+        F.col("o.o_custkey").isNull().alias("orders_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# datetime scalar breadth
+# ---------------------------------------------------------------------------
+
+_DATETIME_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(year(l_shipdate) AS INT) AS y,
+       CAST(quarter(l_shipdate) AS INT) AS q,
+       CAST(month(l_shipdate) AS INT) AS m,
+       CAST(dayofmonth(l_shipdate) AS INT) AS dom,
+       CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow,
+       CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+       CAST(l_shipdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       last_day(l_shipdate) AS month_end,
+       CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS INT) AS days_since,
+       strftime(l_shipdate, '%Y-%m') AS ym
+FROM lineitem
+"""
+
+
+@query("fn_datetime", oracle=_DATETIME_ORACLE, tags=("scalar", "datetime"))
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: extraction, truncation, month arithmetic
+    (end-of-month clamping matches DuckDB's interval add), day diffs,
+    and formatting. DuckDB's dayofweek is 0-based Sunday vs Spark's
+    1-based — the oracle adds 1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bivariate statistics
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+       ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_corr_stddev", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def agg_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample stddev per group, rounded on both
+    sides (double folds differ between engines in the last ulps; corr is
+    O(1)-magnitude so 6 decimals is safe, stddev ~1e5 gets 2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# string distance
+# ---------------------------------------------------------------------------
+
+_LEV_ORACLE = """
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       CAST(length(a.p_name) AS INT) AS a_len
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+"""
+
+
+@query("fn_levenshtein", oracle=_LEV_ORACLE, tags=("scalar", "string"))
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive part names — the fuzzy-matching
+    scalar (identical dynamic-programming semantics in both engines).
+    At scale this shape is a self-equi-join on adjacent keys, not a
+    cross join."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.alias("a")
+    b = part.alias("b")
+    return a.join(b, F.col("b.p_partkey") == F.col("a.p_partkey") + 1).select(
+        F.col("a.p_partkey").alias("a_key"),
+        F.col("b.p_partkey").alias("b_key"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        F.length(F.col("a.p_name")).alias("a_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       COUNT(*) OVER w AS n_in_band,
+       SUM(o_custkey) OVER w AS custkey_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win_range_frame", oracle=_RANGE_ORACLE, tags=("window",))
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frame (all orders within $1000 below the current
+    price). RANGE frames include peer rows, so the aggregates are
+    deterministic even though o_totalprice alone is not a total order;
+    the summed column is integer-valued, hence fold-order exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    # SQL frame spec: PySpark's rangeBetween() accepts only integer
+    # offsets, but the SQL dialect takes any numeric literal
+    frame = (
+        "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return orders.selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        f"COUNT(*) {frame} AS n_in_band",
+        f"SUM(o_custkey) {frame} AS custkey_sum",
+    )
