@@ -37,9 +37,12 @@ def load_all() -> None:
         formats,
         pipeline,
         reference_ops,
+        sql_surface,
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
+        clustering,
         curation,
+        embeddings,
         dedup,
         events,
         multimodal,

@@ -1,0 +1,129 @@
+"""Duplicate-cluster assignment: connected components over near-dup pairs.
+
+Pair detection (``dedup_minhash_lsh``) emits *edges*; a corpus-curation
+pipeline needs *clusters* — every document labeled with a canonical
+representative so one keeper per cluster survives. That is connected
+components, an inherently iterative algorithm: Spark runs min-label
+propagation (a bounded driver loop over DataFrame joins, the standard
+Pregel-style shape), while the DuckDB oracle computes the same fixpoint
+declaratively with a recursive CTE — so even the iterative operator is
+hash-verified end-to-end.
+
+Scale posture (100 TB):
+- Each iteration is one equi-join (edges ⋈ labels on a long key) + one
+  partial+final min aggregate + one left join — all hash-width shuffles,
+  no document payloads.
+- ``localCheckpoint`` per iteration truncates lineage, so the plan stays
+  O(1) per round instead of growing exponentially.
+- Convergence is detected with a single scalar aggregate (sum of labels,
+  strictly decreasing until fixpoint) — one tiny driver round-trip per
+  iteration, never a data collect.
+- Iterations needed = component diameter. Near-dup clusters in web
+  corpora are shallow (copies of copies, diameter ≲ 10); the loop caps
+  at ``MAX_ITERS`` and stops early at the fixpoint. For adversarially
+  deep graphs the alternating large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+  rounds to O(log n); the per-round dataflow below is its building block.
+
+Reference parity: the reference (``/root/reference/etl.py``) has no
+clustering stage — this is part of the north-star training-data surface
+(SURVEY §6), layered on the same corpus as the other dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.operators.dedup import (
+    _MINHASH_ORACLE,
+    CORPUS_CTE,
+    corpus,
+    dedup_minhash_lsh,
+)
+from udacity_data_engineer_capstone_spark.registry import query
+
+MAX_ITERS = 15
+
+# The oracle's recursive CTE computes, for every vertex, the set of
+# reachable vertices; the cluster id is then the least reachable doc_id
+# (matching Spark's min-label fixpoint exactly). The pair query is the
+# full minhash oracle nested as a CTE — both engines derive edges from
+# the *same* verified pair semantics.
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_MINHASH_ORACLE}
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+reach(src, dst) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.src, e.d
+  FROM reach r JOIN edges e ON r.dst = e.s
+  WHERE e.d <> r.src
+),
+{CORPUS_CTE}
+SELECT c.doc_id,
+       LEAST(c.doc_id, COALESCE(MIN(r.dst), c.doc_id)) AS cluster_id
+FROM corpus c
+LEFT JOIN reach r ON r.src = c.doc_id
+GROUP BY c.doc_id
+"""
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("dedup", "iterative"))
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every corpus document to a duplicate cluster: connected
+    components over the MinHash-LSH near-dup pairs, cluster id = least
+    doc_id in the component (deterministic canonical representative).
+
+    Min-label propagation: ``label(v) ← min(label(v), min over neighbors
+    u of label(u))`` iterated to fixpoint. Each round is pure DataFrame
+    joins/aggregates (distributed); the driver only sees one scalar per
+    round for the convergence check."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+
+    labels = (
+        corpus(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+
+    prev_sum: int | None = None
+    for _ in range(MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage; eager so the loop's
+            # convergence aggregate doesn't recompute prior rounds
+        )
+        # labels are monotonically non-increasing, so the sum is a
+        # strictly-decreasing convergence witness: equal sum ⇒ fixpoint.
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

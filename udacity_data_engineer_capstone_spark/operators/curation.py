@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from udacity_data_engineer_capstone_spark.operators.dedup import (
     CORPUS_CTE,
     _MINHASH_ORACLE,
+    _SHINGLES_DUCK,
+    _SHINGLES_SPARK,
     corpus,
     dedup_exact,
     dedup_minhash_lsh,
@@ -174,4 +176,90 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         F.floor(cum_before / PACK_BUDGET).cast("long").alias("seq_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Docs whose id ≡ 3 (mod 97) play the role of the held-out eval set; every
+# other doc is a training candidate scored by what fraction of its 3-gram
+# shingles appear anywhere in the eval set.
+BENCH_MOD = 97
+BENCH_REMAINDER = 3
+CONTAM_THRESHOLD = 0.2
+
+_CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS gram
+  FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_REMAINDER}
+),
+cand AS (
+  SELECT doc_id, shingles FROM sh
+  WHERE doc_id % {BENCH_MOD} <> {BENCH_REMAINDER}
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, unnest(shingles) AS gram FROM cand) e
+  WHERE gram IN (SELECT gram FROM bench)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.shingles) AS BIGINT) AS n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.shingles)
+         AS contamination,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(c.shingles)
+         >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM cand c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+
+@query("curate_contamination", oracle=_CONTAM_ORACLE, tags=("pipeline", "text"))
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: score every training candidate by the
+    fraction of its 3-gram shingles that collide with the held-out eval
+    set's shingle vocabulary, and flag docs over the threshold.
+
+    Scale posture: the eval-gram vocabulary is tiny relative to the
+    corpus (benchmarks are thousands of docs, corpora are billions), so
+    it is broadcast — the candidate side streams map-side with zero
+    shuffle of document payloads; only (doc_id, count) pairs cross the
+    wire for the per-doc hit aggregate. The contamination ratio is a
+    single exact int/int division, so it is bit-identical across
+    engines (no float-fold ambiguity)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REMAINDER
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    cand = sh.filter(~is_bench)
+    hits = (
+        cand.select("doc_id", F.explode("shingles").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    contamination = n_hits.cast("double") / F.size("shingles")
+    return (
+        cand.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("shingles").cast("long").alias("n_shingles"),
+            n_hits.alias("n_hits"),
+            contamination.alias("contamination"),
+            (contamination >= CONTAM_THRESHOLD).alias("is_contaminated"),
+        )
     )

@@ -1,0 +1,82 @@
+"""Embedding-column preprocessing: L2 normalization + int8 quantization.
+
+A training-data pipeline that carries an ``array<float>`` embedding column
+needs two staple transforms before ANN indexing or storage:
+
+- **L2 normalize** so cosine similarity degrades to a dot product (what
+  the ANN operators in :mod:`.similarity` assume), and
+- **scalar int8 quantization** (x → round(x/‖v‖·127)) which cuts the
+  column to a quarter of its float32 footprint — at 100 TB the dominant
+  storage/shuffle cost of an embedding table.
+
+Everything is per-row array expressions — embarrassingly parallel, zero
+shuffle, full whole-stage codegen. Cross-engine exactness: the squared-norm
+is folded strictly left-to-right in BOTH engines (Spark ``aggregate`` ≙
+DuckDB ``list_reduce`` over the same element order), every element is
+widened float32→float64 (exact), and rounding is expressed as
+``floor(x + 0.5)`` — a single IEEE-deterministic formula, unlike the
+engines' differing ``round()`` tie policies. The norm is reported as
+``floor(norm·1e6)`` so no decimal re-rounding is involved anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+_QUANT_SCALE = 127.0
+
+_NORMQ_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, b) -> a + b) AS sumsq,
+         embedding
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, embedding,
+         CASE WHEN sumsq > 0 THEN sqrt(sumsq) END AS norm
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(floor(norm * 1000000) AS BIGINT) AS norm_e6,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) / norm * {_QUANT_SCALE} + 0.5)
+                   AS INT)) AS q
+FROM n
+"""
+
+
+@query("emb_normalize_quantize", oracle=_NORMQ_ORACLE, tags=("embedding",))
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 range
+    (round(x/‖v‖·127) per dimension, NULL for zero vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return (
+        emb.withColumn("sumsq", sumsq)
+        .withColumn(
+            "norm", F.when(F.col("sumsq") > 0, F.sqrt("sumsq"))
+        )
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.floor(F.col("norm") * 1000000).cast("long").alias("norm_e6"),
+            F.expr(
+                "transform(embedding,"
+                f" x -> CAST(floor(CAST(x AS DOUBLE) / norm * {_QUANT_SCALE}"
+                " + 0.5) AS INT))"
+            ).alias("q"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Third SQL-surface wave: correlated subqueries, scalar subqueries,
+exact percentiles, array higher-order functions, and FILTERed aggregates.
+
+These are capabilities a user migrating any SQL workload onto the engine
+expects; none exist in the reference (its only SQL is a flat SELECT,
+``/root/reference/etl.py:152-157``). Spark-first expression: the subquery
+forms go through ``spark.sql`` over the registered views (Catalyst rewrites
+correlated EXISTS/IN into semi/anti joins and correlated scalar subqueries
+into aggregated left joins — the same physical plans the DataFrame API
+would produce, with pushdown and broadcast intact).
+
+Cross-engine determinism: all float outputs here are either exact
+(min/max/single-division) or integer-quantized before summing, so DuckDB
+hash parity is bit-exact — see SCALE.md "float parity" notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+# identical text runs in both engines
+_EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 150000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@query("sub_exists_corr", oracle=_EXISTS_SQL, tags=("subquery",))
+def sub_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS ∧ NOT EXISTS. Catalyst rewrites these to a left
+    semi + left anti join on ``o_custkey`` (`RewritePredicateSubquery`),
+    so the plan is two hash joins with the filters pushed below — no
+    per-row subquery execution, which is what makes the form safe at
+    100 TB."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# scalar subqueries (correlated + uncorrelated)
+# ---------------------------------------------------------------------------
+
+# MAX/COUNT only — exact in any fold order, so the doubles hash
+# identically in both engines (an AVG here would not).
+_SCALAR_SQL = """
+SELECT c.c_custkey,
+       (SELECT MAX(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order_price,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       (SELECT MAX(o_totalprice) FROM orders) AS global_max_price
+FROM customer c
+"""
+
+
+@query("sub_scalar", oracle=_SCALAR_SQL, tags=("subquery",))
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated and uncorrelated scalar subqueries. The correlated
+    pair becomes one aggregate-then-left-join on ``o_custkey``; the
+    uncorrelated max becomes a one-row broadcast — Catalyst's
+    decorrelation, not row-at-a-time evaluation."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+# ---------------------------------------------------------------------------
+
+# l_quantity is integer-valued; continuous interpolation at dyadic
+# fractions (.25/.5/.75) is exact double arithmetic in both engines.
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q2,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS med_disc,
+       median(l_quantity) AS med,
+       MIN(l_quantity) AS lo,
+       MAX(l_quantity) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=_PERCENTILE_SQL, tags=("agg", "stats"))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per group: ``percentile_cont``/``percentile_disc``
+    WITHIN GROUP plus ``median``. Exact percentiles sort within each
+    group (one shuffle on the group key); for billion-row groups the
+    scale path is ``approx_percentile`` (t-digest sketch, map-side
+    mergeable) — kept exact here because the oracle is exact."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_PERCENTILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# array higher-order functions
+# ---------------------------------------------------------------------------
+
+_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(floor(list_reduce(
+              list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+              (a, b) -> greatest(a, b)) * 1000000) AS BIGINT) AS absmax_e6,
+       list_sum(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS sum_milli,
+       list_sum(list_transform(range(1, len(embedding) + 1),
+         i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+                         * 1000000) AS BIGINT))) AS revdot_e6,
+       len(list_filter(embedding, x -> abs(x) > 0.25)) > 0 AS has_large_dim
+FROM embeddings
+"""
+
+
+@query("fn_array_hof", oracle=_HOF_ORACLE, tags=("scalar", "array"))
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column:
+    ``filter``/``size``, max-reduce via ``aggregate``, integer-quantized
+    elementwise sums, ``zip_with`` against the reversed vector, and
+    ``exists``. All per-row codegen'd expressions — zero shuffle; sums
+    are quantized to integers *before* folding so the result is
+    fold-order exact across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.expr(
+            "CAST(floor(aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) * 1000000)"
+            " AS BIGINT)"
+        ).alias("absmax_e6"),
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sum_milli"),
+        F.expr(
+            "aggregate(zip_with(embedding, reverse(embedding),"
+            " (x, y) -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+            " * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("revdot_e6"),
+        F.expr("exists(embedding, x -> abs(x) > 0.25)").alias("has_large_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTERed / conditional aggregates
+# ---------------------------------------------------------------------------
+
+_FILTER_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       SUM(CAST(l_quantity AS BIGINT))
+         FILTER (WHERE l_tax > 0.04) AS qty_high_tax,
+       COUNT(DISTINCT l_suppkey)
+         FILTER (WHERE l_linestatus = 'O') AS n_open_suppliers,
+       bool_or(l_quantity > 49) AS any_bulk,
+       bool_and(l_quantity > 0) AS all_positive
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_AGG_SQL, tags=("agg",))
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER clause on aggregates plus bool_or/bool_and — the
+    conditional-aggregate surface (one pass, one shuffle, partial
+    aggregation intact; vs the naive multi-query/self-join phrasing).
+    The filtered SUM is cast to BIGINT first: integer sums are
+    fold-order exact."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_FILTER_AGG_SQL)
