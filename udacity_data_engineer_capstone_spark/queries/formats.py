@@ -107,3 +107,65 @@ def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("snk_orc_roundtrip", oracle=_ORC_ORACLE, tags=("sink", "source"))
+def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip: write the orders table to ORC
+    (snappy, Spark's second columnar format — schema, stats, and
+    predicate pushdown all preserved), read it back, and aggregate.
+    DuckDB cannot read ORC, so the oracle runs the same aggregate on the
+    parquet original — equality proves the round-trip is lossless."""
+    d = tempfile.mkdtemp(prefix="engine_snk_orc_")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(d)
+    return (
+        spark.read.orc(d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines sink
+# ---------------------------------------------------------------------------
+
+_SNK_JSON_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation
+"""
+
+
+@query("snk_json", oracle=_SNK_JSON_ORACLE, tags=("sink",))
+def snk_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip (the export format of the reference's
+    label-dim stage, cf. ``/root/reference/etl.py:120-141``, done as a
+    distributed sink instead of a driver-side file write). Read back
+    with an explicit schema so integer types survive the text format."""
+    d = tempfile.mkdtemp(prefix="engine_snk_json_")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").json(d)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    )
+    return spark.read.json(d, schema=schema)

@@ -188,3 +188,146 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SESSION_STREAM_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "stream_session_counts",
+    oracle=_SESSION_STREAM_ORACLE,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30 min inactivity gap) — the hardest
+    streaming window shape, because sessions *merge* as events arrive
+    out of order across micro-batches. Drained with availableNow in
+    complete mode, the final state must equal the batch gaps-and-islands
+    result, which is exactly what the oracle asserts."""
+    src = stage_events_dir(spark, sf_dir)
+    agg = (
+        stream_events(spark, src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+# Integer-cents accumulation: floor(value·100 + 0.5) is the same IEEE
+# operation in numpy, Spark, and DuckDB, and summing BIGINTs is
+# fold-order exact — so even a *stateful Python* operator hash-matches
+# the SQL oracle bit-for-bit.
+_USER_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "stream_user_totals",
+    oracle=_USER_TOTALS_ORACLE,
+    tags=("streaming", "stateful"),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, end to end: running per-user
+    count + value total via ``applyInPandasWithState`` (state = one row
+    per user, bounded by user cardinality), drained with availableNow in
+    update mode. The memory sink then holds one row per (user, update);
+    the final state per user is the row with the largest n_events —
+    recovered with ``max_by``, and hash-checked against the batch
+    aggregate."""
+    import numpy as np
+
+    src = stage_events_dir(spark, sf_dir)
+    stream = stream_events(spark, src)
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_cents long",
+        stateStructType="n_events long, sum_cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_to_memory(updates, output_mode="update")
+    # n_events strictly increases per update, so max_by picks the final
+    # state row for each user (no ties possible)
+    return tbl.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events
+"""
+
+
+@query(
+    "stream_dedup",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the staged source contains every
+    event once plus a planted duplicate batch (event_id % 3 == 0 rows
+    written again), and ``dropDuplicates`` on the key must emit each
+    event exactly once even though the copies arrive in *different
+    micro-batches* — state carries the seen-key set across batches.
+    Unbounded state here (exact semantics, matching the oracle);
+    production would bound it with ``dropDuplicatesWithinWatermark``
+    when duplicates are known to arrive close together."""
+    src = stage_events_dir(spark, sf_dir)
+    # plant cross-batch duplicates: one-third of the events again
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+
+    deduped = (
+        stream_events(spark, src)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
