@@ -130,3 +130,23 @@ def test_embedding_dedup_has_no_cartesian_join(spark, sf_dir):
     # BroadcastNestedLoopJoin over the vector table would be the same
     # quadratic mistake in broadcast clothing
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """src_partition_pruned: the status filter must become a partition
+    filter on the scan (directory pruning at plan time), not a post-scan
+    row filter."""
+    df = Q["src_partition_pruned"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "PartitionFilters" in text
+    seg = text.split("PartitionFilters")[1][:250]
+    assert "o_orderstatus" in seg, seg
+
+
+def test_group_cap_has_partial_window_limit(spark, sf_dir):
+    """curate_group_cap: Spark must plan a partial WindowGroupLimit below
+    the window exchange so each map task forwards ≤ CAP rows per stratum
+    (the rank-filter pushdown the 100 TB posture relies on)."""
+    df = Q["curate_group_cap"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "WindowGroupLimit" in text, text

@@ -263,3 +263,38 @@ def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (contamination >= CONTAM_THRESHOLD).alias("is_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group document caps
+# ---------------------------------------------------------------------------
+
+GROUP_CAP = 40
+
+_CAP_ORACLE = f"""
+SELECT doc_id, source, lang, rn
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {GROUP_CAP}
+"""
+
+
+@query("curate_group_cap", oracle=_CAP_ORACLE, tags=("pipeline",))
+def curate_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) document cap — the anti-domination rule a
+    corpus recipe applies so no single crawl domain or language floods
+    the mix. Deterministic: rank by doc_id within each stratum, keep the
+    first ``GROUP_CAP``. One window shuffle on the composite key; at
+    100 TB Spark plans a partial WindowGroupLimit below the exchange
+    (rank-filter pushdown), so each map task forwards at most CAP rows
+    per stratum rather than its whole partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= GROUP_CAP)
+    )

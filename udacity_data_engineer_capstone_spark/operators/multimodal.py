@@ -168,3 +168,67 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-nibble histogram — against DuckDB's independent computation
     over the same payload bytes."""
     return extract_features(media_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# frame sampling
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 64
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+# payloads are ASCII here, so byte offsets == character offsets and the
+# oracle can recompute each frame's md5 with substr over the text
+_FRAME_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0,
+           CAST(floor((octet_length(encode(text)) - {FRAME_BYTES})
+                      / {FRAME_STRIDE}) AS INT) + 1)) AS frame_idx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {FRAME_BYTES}
+)
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INT),
+                  {FRAME_BYTES})) AS frame_md5
+FROM f
+"""
+
+
+@query("mm_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal", "udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over a binary media column: every
+    ``FRAME_STRIDE`` bytes, take a ``FRAME_BYTES`` window (a video
+    pipeline samples every k-th frame the same way; an audio one takes
+    fixed windows). One input row fans out to a variable number of frame
+    rows inside the Arrow batch — the ``mapInPandas`` shape that a real
+    decoder (av / torchaudio) drops into unchanged. The per-frame md5 is
+    verified by the oracle, so the slicing itself is proven correct."""
+    import hashlib
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                n = (len(b) - FRAME_BYTES) // FRAME_STRIDE
+                if len(b) < FRAME_BYTES:
+                    continue
+                for i in range(n + 1):
+                    chunk = b[i * FRAME_STRIDE : i * FRAME_STRIDE + FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": sums}
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(frames, FRAME_SCHEMA)

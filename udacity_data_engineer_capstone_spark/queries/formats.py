@@ -169,3 +169,40 @@ def snk_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.json(d, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# partitioned source with partition pruning
+# ---------------------------------------------------------------------------
+
+_PART_PRUNE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("src_partition_pruned", oracle=_PART_PRUNE_ORACLE, tags=("source",))
+def src_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned source with partition pruning: write orders
+    partitioned by ``o_orderstatus``, read back filtered to one status —
+    the scan must touch only that partition's directory (pruning happens
+    at planning, before any file IO). At 100 TB this is the difference
+    between scanning one status and scanning the lake; the plan
+    assertion lives in tests/test_plans.py."""
+    d = tempfile.mkdtemp(prefix="engine_src_part_")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(d)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
