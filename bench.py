@@ -38,6 +38,9 @@ HEADLINE = [
     "sim_ann_ivf",                # k-means cells + nprobe ANN
     "curate_training_corpus",     # quality gate + dedup semi/anti joins
     "stream_tumbling_counts",     # full streaming drain (availableNow)
+    # round-2 wave: clustering + end-to-end corpus pipeline
+    "dedup_cluster_cc",           # iterative connected components
+    "pipe_corpus_curation",       # quality→cap→decontaminate→pack
 ]
 
 

@@ -20,7 +20,8 @@ hashes match without float tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.pipelines import i94
 from udacity_data_engineer_capstone_spark.registry import query
@@ -140,3 +141,123 @@ def pipe_i94_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_i94_port_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference dataflow → port_demographics dim."""
     return _run_pipeline(spark)["port_demographics"]
+
+
+# ---------------------------------------------------------------------------
+# training-corpus curation pipeline (north-star main())
+# ---------------------------------------------------------------------------
+
+# the stages reuse the registered operators' exact constants so the
+# pipeline and its unit operators can never drift apart
+from udacity_data_engineer_capstone_spark.operators.curation import (  # noqa: E402
+    BENCH_MOD,
+    BENCH_REMAINDER,
+    CONTAM_THRESHOLD,
+    GROUP_CAP,
+    MIN_TOKENS,
+    PACK_BUDGET,
+    curate_contamination,
+)
+
+_CORPUS_PIPE_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source, lang,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= {MIN_TOKENS}
+    AND doc_id % {BENCH_MOD} <> {BENCH_REMAINDER}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT q.*, row_number() OVER (PARTITION BY source, lang
+                                   ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn <= {GROUP_CAP}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents)
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS gram
+  FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_REMAINDER}
+),
+contaminated AS (
+  SELECT e.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh
+        WHERE doc_id % {BENCH_MOD} <> {BENCH_REMAINDER}) e
+  JOIN sh s ON s.doc_id = e.doc_id
+  WHERE gram IN (SELECT gram FROM bench)
+  GROUP BY e.doc_id, len(s.shingles)
+  HAVING CAST(COUNT(*) AS DOUBLE) / len(s.shingles) >= {CONTAM_THRESHOLD}
+),
+kept AS (
+  SELECT doc_id, source, lang, n_tokens FROM capped
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, source, lang, n_tokens,
+       CAST(floor(
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+         / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+FROM kept
+"""
+
+
+@query(
+    "pipe_corpus_curation",
+    oracle=_CORPUS_PIPE_ORACLE,
+    tags=("pipeline", "dedup", "text"),
+)
+def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data ``main()``: quality gate → benchmark-doc
+    exclusion → per-(source, lang) cap → n-gram decontamination →
+    token-budget sequence packing, one lazy dataflow.
+
+    Composition is by DataFrame reuse of the registered unit operators
+    (same constants, same semantics), so the pipeline is exactly the sum
+    of its independently-verified parts. Shuffle inventory at scale: one
+    window on the cap key, one broadcast-join for contamination, one
+    window on the pack key — documents themselves shuffle only for the
+    two windows, both on composite keys with WindowGroupLimit / running
+    sums that partial-aggregate map-side."""
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REMAINDER
+    q = (
+        docs.withColumn("n_tokens", F.size(F.split(F.lower("text"), r"\s+")))
+        .filter((F.col("n_tokens") >= MIN_TOKENS) & ~is_bench)
+        .select("doc_id", "source", "lang", "n_tokens")
+    )
+    w_cap = Window.partitionBy("source", "lang").orderBy("doc_id")
+    capped = (
+        q.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= GROUP_CAP)
+        .drop("rn")
+    )
+    contaminated = (
+        curate_contamination(spark, sf_dir)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    kept = capped.join(contaminated, "doc_id", "left_anti")
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+    return kept.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("seq_id"),
+    )
