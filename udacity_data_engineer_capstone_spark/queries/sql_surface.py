@@ -189,3 +189,78 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-order exact."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_FILTER_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+_LISTAGG_SPARK = """
+SELECT n_regionkey,
+       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("agg_listagg", oracle=_LISTAGG_ORACLE, tags=("agg", "string"))
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg`` WITHIN GROUP ≙ DuckDB
+    ``string_agg``): deterministic because the order-by is a total order
+    within each group. At scale listagg cannot partial-aggregate (the
+    ordered concat needs the full group) — keep it off billion-row
+    groups, or pre-truncate with a group cap first."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_LISTAGG_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS navigation windows
+# ---------------------------------------------------------------------------
+
+# a value that is genuinely NULL for some rows: non-error events carry it
+_IGNORE_NULLS_ORACLE = """
+SELECT event_id, user_id, ts,
+       first_value(nv IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ok,
+       last_value(nv IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_ok_so_far
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS nv
+      FROM events)
+"""
+
+_IGNORE_NULLS_SPARK = """
+SELECT event_id, user_id, ts,
+       first_value(nv) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_ok,
+       last_value(nv) IGNORE NULLS
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_ok_so_far
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS nv
+      FROM events)
+"""
+
+
+@query("win_ignore_nulls", oracle=_IGNORE_NULLS_ORACLE, tags=("window",))
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation: first/last non-null observation per user
+    timeline (the gap-fill / last-observation-carried-forward primitive
+    for sensor and clickstream data). Total order (ts, event_id) makes
+    it deterministic; values pass through untouched, so doubles hash
+    exactly."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_IGNORE_NULLS_SPARK)
