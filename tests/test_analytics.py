@@ -46,3 +46,21 @@ def test_rollup_has_grand_total(spark, sf_dir):
     assert grand[0].n_items == sum(
         r.n_items for r in rows if r.l_returnflag is not None and r.l_linestatus is not None
     )
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) must land within 1% of the
+    exact within-group quartiles (rows-only driver check, so the bound
+    is pinned here)."""
+    approx = {
+        r.l_returnflag: r.approx_quartiles
+        for r in Q["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.q1, r.q2, r.q3)
+        for r in Q["agg_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (q1, q2, q3) in exact.items():
+        for a, e in zip(approx[flag], (q1, q2, q3)):
+            assert abs(a - e) <= max(0.01 * abs(e), 1.0), (flag, a, e)

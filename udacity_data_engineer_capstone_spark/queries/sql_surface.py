@@ -16,6 +16,7 @@ hash parity is bit-exact — see SCALE.md "float parity" notes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -264,3 +265,140 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_IGNORE_NULLS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+# ---------------------------------------------------------------------------
+
+# a deterministic URL per document, so parse_url's output is verifiable
+# against the ground-truth components the URL was built from
+_URL_EXPR_SPARK = (
+    "concat('https://', source, '.example.com/docs/', CAST(doc_id AS STRING),"
+    " '?lang=', lang, '&v=2')"
+)
+
+_URL_ORACLE = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       'lang=' || lang || '&v=2' AS query,
+       lang AS lang_param
+FROM documents
+"""
+
+
+@query("fn_url_parse", oracle=_URL_ORACLE, tags=("scalar", "string"))
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` extraction (HOST / PATH / QUERY / single query
+    param) over per-document URLs. The oracle rebuilds each component
+    from the fields the URL was constructed from, so the parser is
+    verified against ground truth rather than another parser. Pure
+    projection — codegen'd, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_EXPR_SPARK)
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitwise + conditional scalars
+# ---------------------------------------------------------------------------
+
+_MISC_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey AS b_and,
+       l_orderkey | l_partkey AS b_or,
+       xor(l_orderkey, l_partkey) AS b_xor,
+       CAST(l_linenumber AS BIGINT) << 2 AS shl,
+       l_orderkey >> 1 AS shr,
+       nullif(l_returnflag, 'N') AS flag_or_null,
+       COALESCE(nullif(l_returnflag, 'N'), l_linestatus) AS flag_fallback,
+       GREATEST(l_orderkey, l_partkey, l_suppkey) AS hi_key,
+       LEAST(l_orderkey, l_partkey, l_suppkey) AS lo_key
+FROM lineitem
+"""
+
+
+@query("fn_misc_scalar", oracle=_MISC_ORACLE, tags=("scalar",))
+def fn_misc_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (&, |, xor, shifts) and conditional (nullif / coalesce /
+    greatest / least) scalar surface — all integer/string exact, pure
+    codegen projections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & l_partkey").alias("b_and"),
+        F.expr("l_orderkey | l_partkey").alias("b_or"),
+        F.expr("l_orderkey ^ l_partkey").alias("b_xor"),
+        F.expr("shiftleft(CAST(l_linenumber AS BIGINT), 2)").alias("shl"),
+        F.expr("shiftright(l_orderkey, 1)").alias("shr"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.col("l_linestatus")
+        ).alias("flag_fallback"),
+        F.greatest("l_orderkey", "l_partkey", "l_suppkey").alias("hi_key"),
+        F.least("l_orderkey", "l_partkey", "l_suppkey").alias("lo_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate percentiles (sketch path)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_approx_percentile", oracle=None, tags=("agg", "stats", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` — the mergeable-sketch quantile path that
+    replaces the exact within-group sort at billion-row groups.
+    Approximate by design → rows-only driver check; the error bound vs
+    the exact percentile is pinned in tests/test_analytics.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_quartiles"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_median_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-registered Python UDF
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE)
+         / n_chars AS tokens_per_char
+FROM documents
+WHERE n_chars > 0
+"""
+
+
+@query("udf_sql_registered", oracle=_SQL_UDF_ORACLE, tags=("udf",))
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas (Arrow-vectorized) UDF registered into the SQL function
+    catalog with ``spark.udf.register`` and invoked from a SQL string —
+    the path by which SQL-only users reach Python logic. The division is
+    one exact int/int op, so the result hashes identically to the
+    oracle."""
+    @F.pandas_udf("double")
+    def tokens_per_char(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        toks = text.str.lower().str.split(r"\s+", regex=True).str.len()
+        return toks.astype("float64") / n_chars.astype("float64")
+
+    spark.udf.register("tokens_per_char", tokens_per_char)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT doc_id, tokens_per_char(text, n_chars) AS tokens_per_char "
+        "FROM documents WHERE n_chars > 0"
+    )

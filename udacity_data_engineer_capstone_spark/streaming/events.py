@@ -331,3 +331,62 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "stream_stream_join",
+    oracle=_STREAM_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to same-user purchases
+    within the following hour, both sides watermarked. The event-time
+    range condition is what lets Spark bound the join state (a side's
+    buffered rows are evicted once the watermark passes their join
+    window); without it a stream-stream join would buffer forever.
+    Drained availableNow, the result must equal the batch interval join
+    — the oracle."""
+    src = stage_events_dir(spark, sf_dir)
+    views = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    return run_to_memory(joined, output_mode="append")
