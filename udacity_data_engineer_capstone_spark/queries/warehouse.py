@@ -1,0 +1,176 @@
+"""Warehouse-maintenance operators: SCD2 dimension merge + DQ audit report.
+
+The reference is a warehouse ETL (star schema over immigration facts,
+``/root/reference/etl.py:224-266``) whose dimension loads are full
+overwrites and whose data-quality checks are built but never raised
+(etl.py:252-257). This module supplies the two pieces a production
+warehouse actually runs:
+
+- **SCD2 merge** — apply a change batch to a dimension while preserving
+  history (close the old row, insert the new version). Spark has no
+  MERGE INTO on plain parquet, so the operator expresses the merge as
+  set algebra: anti-join (unchanged) ∪ closed old versions ∪ new
+  versions — three narrow joins on the business key, each shuffle
+  carrying only key-width rows. Versioning uses integer batch numbers,
+  not wall-clock timestamps, so the result is deterministic and
+  hash-verifiable.
+- **DQ audit report** — one row per check (row count, PK uniqueness, FK
+  coverage, null rate), the report shape a warehouse publishes after
+  each load. Each check is a single aggregate; the FK check is an
+  anti-join count, id-width at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# SCD2 merge
+# ---------------------------------------------------------------------------
+
+# the change batch, derived deterministically: every 7th customer changes
+# segment; 45 brand-new customers arrive with keys above 1_000_000
+_UPD_MOD = 7
+_NEW_MOD = 11
+
+_SCD2_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+),
+upd AS (
+  SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % {_UPD_MOD} = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment,
+         CAST(0.0 AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % {_NEW_MOD} = 3
+)
+SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+       0 AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM dim d
+WHERE d.c_custkey NOT IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+       0 AS valid_from, 1 AS valid_to, FALSE AS is_current
+FROM dim d
+WHERE d.c_custkey IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+       1 AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM upd u
+"""
+
+
+@query("snk_scd2_merge", oracle=_SCD2_ORACLE, tags=("sink", "pipeline"))
+def snk_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: unchanged rows stay
+    current, changed keys get their old version closed (valid_to = new
+    batch) and a new current version inserted, net-new keys insert at
+    the new version. Three id-width joins — the parquet-era stand-in
+    for MERGE INTO, and the plan a Delta/Iceberg MERGE lowers to
+    anyway."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = (
+        dim.filter(F.col("c_custkey") % _UPD_MOD == 0)
+        .select(
+            "c_custkey",
+            F.lit("UPDATED").alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        .unionAll(
+            dim.filter(F.col("c_custkey") % _NEW_MOD == 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    upd_keys = upd.select("c_custkey")
+    v_from = F.lit(0).alias("valid_from")
+    no_end = F.lit(None).cast("int").alias("valid_to")
+    unchanged = dim.join(upd_keys, "c_custkey", "left_anti").select(
+        "*", v_from, no_end, F.lit(True).alias("is_current")
+    )
+    closed = dim.join(upd_keys, "c_custkey", "left_semi").select(
+        "*", v_from, F.lit(1).alias("valid_to"), F.lit(False).alias("is_current")
+    )
+    fresh = upd.select(
+        "*",
+        F.lit(1).alias("valid_from"),
+        no_end,
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionAll(closed).unionAll(fresh)
+
+
+# ---------------------------------------------------------------------------
+# DQ audit report
+# ---------------------------------------------------------------------------
+
+_DQ_REPORT_ORACLE = """
+SELECT 'orders_rowcount' AS check_name,
+       COUNT(*) AS observed,
+       COUNT(*) >= 1 AS passed
+FROM orders
+UNION ALL
+SELECT 'orders_pk_unique',
+       COUNT(*) - COUNT(DISTINCT o_orderkey),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem_orderkey_fk_orphans',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+UNION ALL
+SELECT 'customer_segment_nulls',
+       COUNT(*) FILTER (WHERE c_mktsegment IS NULL),
+       COUNT(*) FILTER (WHERE c_mktsegment IS NULL) = 0
+FROM customer
+"""
+
+
+@query("act_dq_report", oracle=_DQ_REPORT_ORACLE, tags=("agg", "dq"))
+def act_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit report: one row per check — row count, primary
+    key uniqueness, foreign-key orphan count (anti-join, id-width), and
+    null-rate — with observed value and pass verdict. The publishable
+    twin of ``act_count_dq``'s raise-on-failure gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    rowcount = orders.agg(
+        F.lit("orders_rowcount").alias("check_name"),
+        F.count(F.lit(1)).alias("observed"),
+        (F.count(F.lit(1)) >= 1).alias("passed"),
+    )
+    dup = F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    pk_unique = orders.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        dup.alias("observed"),
+        (dup == 0).alias("passed"),
+    )
+    orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+        "left_anti",
+    ).agg(
+        F.lit("lineitem_orderkey_fk_orphans").alias("check_name"),
+        F.count(F.lit(1)).alias("observed"),
+        (F.count(F.lit(1)) == 0).alias("passed"),
+    )
+    nulls = F.count(F.lit(1)) - F.count("c_mktsegment")
+    null_rate = customer.agg(
+        F.lit("customer_segment_nulls").alias("check_name"),
+        nulls.alias("observed"),
+        (nulls == 0).alias("passed"),
+    )
+    return rowcount.unionAll(pk_unique).unionAll(orphans).unionAll(null_rate)
