@@ -5,6 +5,7 @@ from __future__ import annotations
 from udacity_data_engineer_capstone_spark.operators.similarity import (
     sim_ann_ivf,
     sim_ann_lsh,
+    sim_ann_pq,
     sim_topk_bruteforce,
 )
 
@@ -41,3 +42,16 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
 def test_ivf_deterministic(spark, sf_dir):
     assert _pairs(sim_ann_ivf(spark, sf_dir)) == _pairs(sim_ann_ivf(spark, sf_dir))
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    """sim_ann_pq (ADC + exact rerank) must reach high recall vs the
+    exact baseline (params tuned on uniform random vectors — the
+    no-cluster worst case) and be run-to-run deterministic (seeded
+    codebooks, total-order tie-breaks)."""
+    exact = _pairs(sim_topk_bruteforce(spark, sf_dir))
+    got1 = sim_ann_pq(spark, sf_dir).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in got1}
+    assert len(exact & pq) / len(exact) >= 0.8
+    got2 = sim_ann_pq(spark, sf_dir).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))

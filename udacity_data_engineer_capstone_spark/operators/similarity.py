@@ -298,3 +298,128 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC + exact rerank)
+# ---------------------------------------------------------------------------
+
+PQ_M = 16       # subspaces (64 dims → 16 × 4-dim subvectors)
+PQ_K = 16       # codes per subspace → 4 bits/subspace, 8 B/vector total
+PQ_SHORTLIST = 100  # ADC shortlist size before exact rerank
+
+
+@query("sim_ann_pq", tags=("similarity", "pq"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via product quantization with asymmetric
+    distance computation (ADC), then exact rerank — the memory-bound ANN
+    design for 100 TB: vectors are stored as M=16 4-bit codes (8 bytes vs
+    256 B float32, a 32× shrink), and query scoring reads only the codes
+    plus an M×K lookup table per query.
+
+    - **Codebooks**: per-subspace k-means on a bounded seeded sample
+      (same driver-trivial pattern as ``sim_ann_ivf``; never a full
+      collect).
+    - **Encoding**: one Arrow-batched pandas UDF — numpy distance to the
+      broadcast codebooks, argmin per subspace. Narrow map, no shuffle.
+    - **ADC scoring**: per query, an (M, K) table of subvector dot
+      products and a code-norm table are computed driver-side (tiny) and
+      closed over by a vectorized UDF that scores every encoded vector
+      with M table lookups — no float vector is read at scan time.
+    - **Rerank**: the ADC top-``PQ_SHORTLIST`` per query join back their
+      exact vectors for true cosine; final top-k is exact over the
+      shortlist (the standard PQ + rerank recipe, Jégou et al. 2011).
+
+    Approximate by design → rows-only driver check; recall vs the exact
+    baseline is pinned in tests/test_similarity.py."""
+    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    dim, sub = 64, 64 // PQ_M
+
+    # --- codebook training on a bounded sample (driver-trivial)
+    n_rows = emb.count()
+    fraction = min(1.0, 200_000.0 / max(n_rows, 1))
+    sample = np.array(
+        [r.v for r in emb.sample(fraction=fraction, seed=_LSH_SEED).limit(100_000).collect()]
+    )
+    rng = np.random.default_rng(_LSH_SEED)
+    codebooks = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        X = sample[:, m * sub : (m + 1) * sub]
+        cents = X[rng.choice(len(X), size=PQ_K, replace=False)].copy()
+        for _ in range(5):
+            d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = X[assign == k]
+                if len(members):
+                    cents[k] = members.mean(axis=0)
+        codebooks[m] = cents
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        V = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, PQ_M, sub)
+        codes = np.empty((len(V), PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            d2 = ((V[:, m, None, :] - codebooks[None, m]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, c)) for c in codes])
+
+    encoded = emb.select("vec_id", encode("v").alias("codes"))
+
+    # --- per-query ADC lookup tables (M×K dots + code norms), tiny
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    Q = np.array([r.v for r in qrows])                      # (q, 64)
+    qnorm = np.sqrt((Q**2).sum(axis=1))                     # (q,)
+    lut_dot = np.einsum("qms,mks->qmk", Q.reshape(len(Q), PQ_M, sub), codebooks)
+    code_n2 = (codebooks**2).sum(axis=2)                    # (M, K)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        C = np.asarray(codes.tolist(), dtype=np.int64)      # (batch, M)
+        rows = np.arange(PQ_M)
+        recon_n = np.sqrt(code_n2[rows, C].sum(axis=1))     # (batch,)
+        out = np.empty((len(C), len(Q)))
+        for qi in range(len(Q)):
+            dots = lut_dot[qi][rows, C].sum(axis=1)         # (batch,)
+            out[:, qi] = dots / (qnorm[qi] * np.maximum(recon_n, 1e-12))
+        return pd.Series([list(map(float, r)) for r in out])
+
+    scored = encoded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(adc_scores("codes")).alias("query_id", "adc_sim"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact rerank over the shortlist only
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        shortlist.join(emb, shortlist["neighbor_id"] == emb["vec_id"])
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", "qv", F.col("v").alias("ev"))
+    )
+    dot = F.expr("aggregate(zip_with(qv, ev, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    nq = F.sqrt(F.expr("aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    ne = F.sqrt(F.expr("aggregate(transform(ev, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    rescored = cand.select(
+        "query_id", "neighbor_id", (dot / (nq * ne)).alias("cos_sim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
