@@ -67,3 +67,23 @@ def register_views(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def load_table_scaled(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + a *conditional* repartition to the session's
+    default parallelism, for CPU-heavy per-row operators (shingling,
+    hashing, vector encoding).
+
+    Why: a small parquet file scans as ONE split (parallelism is bounded
+    by row groups, not ``maxPartitionBytes``), so an expensive
+    projection over it runs serially no matter how many cores exist. At
+    100 TB a scan already yields thousands of splits, the condition is
+    false, and this is a no-op — the repartition exists precisely and
+    only for the narrow-input/heavy-compute shape, where one round-robin
+    shuffle of the (tiny) input buys full-cluster parallelism for the
+    expensive stage above it."""
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:  # plan-time check, no job
+        df = df.repartition(target)
+    return df

@@ -31,7 +31,7 @@ from udacity_data_engineer_capstone_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
 )
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 MIN_TOKENS = 20
@@ -234,10 +234,14 @@ def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire for the per-doc hit aggregate. The contamination ratio is a
     single exact int/int division, so it is bit-identical across
     engines (no float-fold ambiguity)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table_scaled(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
-    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles"))
+    # the shingle table feeds three consumers (bench vocabulary, the
+    # candidate explode, and the per-doc size) — materialize it once
+    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).localCheckpoint(
+        eager=False
+    )
     is_bench = F.col("doc_id") % BENCH_MOD == BENCH_REMAINDER
     bench = (
         sh.filter(is_bench)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -46,10 +46,18 @@ corpus AS (
 """
 
 
-def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus(spark: SparkSession, sf_dir: str, scaled: bool = False) -> DataFrame:
     """documents ∪ planted exact dups ∪ planted near-dups (see CORPUS_CTE,
-    the SQL twin that oracles use)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    the SQL twin that oracles use).
+
+    ``scaled=True`` for consumers whose per-row compute dominates the
+    scan (shingling, per-token hashing): it routes through
+    ``load_table_scaled``, whose conditional round-robin repartition
+    ships the text once to buy full parallelism. Cheap consumers (one
+    md5 per doc) keep the plain scan so no exchange ever carries
+    document text."""
+    loader = load_table_scaled if scaled else load_table
+    docs = loader(spark, sf_dir, "documents").select("doc_id", "text")
     exact = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -200,7 +208,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect on candidates only. At scale the only shuffles are
     the band-key join (n·6 narrow rows) and the candidate verification
     join — never the O(n²) pair space."""
-    c = corpus(spark, sf_dir).withColumn(
+    c = corpus(spark, sf_dir, scaled=True).withColumn(
         "toks", F.split(F.lower("text"), r"\s+")
     )
     # the shingle table feeds three consumers (banding + both sides of
@@ -308,7 +316,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token's md5 is high). Identical texts ⇒ identical fingerprints;
     near-identical texts ⇒ small Hamming distance. Computed per-row with
     array expressions — embarrassingly parallel, no shuffle at all."""
-    c = corpus(spark, sf_dir).select(
+    c = corpus(spark, sf_dir, scaled=True).select(
         "doc_id",
         F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks_d"),
     )
@@ -365,7 +373,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scale lever: without it, one stop-bigram appearing in every
     document makes the self-join quadratic. With it, join fan-out per
     gram is bounded by the cap squared, independent of corpus size."""
-    toks = corpus(spark, sf_dir).select(
+    toks = corpus(spark, sf_dir, scaled=True).select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
     grams = toks.select(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 _QUANT_SCALE = 127.0
@@ -59,7 +59,7 @@ FROM n
 def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize each embedding and quantize to int8 range
     (round(x/‖v‖·127) per dimension, NULL for zero vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
     sumsq = F.expr(
         "aggregate(embedding, CAST(0 AS DOUBLE),"
         " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"

@@ -246,3 +246,80 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("evt_retention", oracle=_RETENTION_ORACLE, tags=("events",))
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted once per (cohort, day-offset) they return on — the classic
+    growth-analytics triangle. Two shuffles on user_id (first-day
+    aggregate + the distinct), then a count on the small (cohort,
+    offset) key space; integer date arithmetic end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# value histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BIN = 50
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_BIN}) AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       CAST(floor(value / {_HIST_BIN}) AS BIGINT) * {_HIST_BIN} AS bin_lo
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("agg_value_histogram", oracle=_HIST_ORACLE, tags=("agg", "stats"))
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (floor-binned — the same
+    IEEE op in both engines, unlike width_bucket's edge handling).
+    Partial-aggregates map-side; the shuffle carries one row per
+    (type, bin)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / _HIST_BIN).cast("long")
+    return ev.groupBy(
+        "event_type", bin_.alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    ).withColumn("bin_lo", F.col("bin") * _HIST_BIN)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 MEDIA_SCHEMA = T.StructType(
@@ -57,7 +57,7 @@ FEATURE_SCHEMA = T.StructType(
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media binary, meta struct). The real-world
     twin reads payload bytes from object storage / parquet binary."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_scaled(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("media"),

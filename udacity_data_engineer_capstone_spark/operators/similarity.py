@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 TOP_K = 10
@@ -53,6 +53,8 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 
 def _as_double(df: DataFrame) -> DataFrame:
+    """Widen float32→double once; callers pass a *scaled* scan so the
+    vector math above parallelizes regardless of input file layout."""
     return df.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
@@ -68,7 +70,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     *Partial* WindowGroupLimit below the exchange, so each map task
     pre-reduces to ≤ k rows per query and only k·partitions rows cross
     the shuffle (pinned in tests/test_plans.py)."""
-    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).alias("q")
     data = emb.alias("e")
     dot = F.expr("aggregate(zip_with(q.v, e.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
@@ -173,7 +175,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_cells, nprobe, iters = 16, 4, 5
     max_fit_rows = 100_000
-    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
 
     # --- driver-side seeded mini k-means over a BOUNDED sample: never
     # collect the full table (a driver OOM at scale). count() is served
@@ -264,7 +266,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on (table, bucket) — shuffle ∝
     n·N_TABLES, never n². Bucket skew (dense regions) is handled by AQE
     skew-join splitting."""
-    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
 
     queries_b = with_lsh_buckets(emb.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     data_b = with_lsh_buckets(emb).alias("e")
@@ -332,7 +334,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Approximate by design → rows-only driver check; recall vs the exact
     baseline is pinned in tests/test_similarity.py."""
-    emb = _as_double(load_table(spark, sf_dir, "embeddings"))
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
     dim, sub = 64, 64 // PQ_M
 
     # --- codebook training on a bounded sample (driver-trivial)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
 from udacity_data_engineer_capstone_spark.registry import query
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single non-alnum marks
@@ -408,4 +408,62 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     had = F.col("text").rlike(_EMAIL_RE) | F.col("text").rlike(_PHONE_RE)
     return planted.select(
         "doc_id", scrubbed.alias("clean_text"), had.alias("had_pii")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistic token rarity
+# ---------------------------------------------------------------------------
+
+_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           regexp_split_to_array(lower(text), '\\s+'))) AS tok
+  FROM documents
+),
+df AS (
+  SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_distinct_tokens,
+       SUM(d.doc_freq) AS sum_df,
+       CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*) AS mean_df
+FROM toks t JOIN df d ON d.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
+@query("text_token_rarity", oracle=_RARITY_ORACLE, tags=("text",))
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus statistic: per-token document frequency, joined
+    back to score each document by its tokens' mean DF — the cheap
+    "commonness" signal quality filters use (rare-token-heavy docs are
+    OCR noise; common-token-heavy docs are boilerplate).
+
+    Pass 1 shuffles (token, count) pairs — vocabulary-sized, not
+    corpus-sized, thanks to map-side partial aggregation. Pass 2 is an
+    equi-join on token; at web scale the DF table is Zipf-concentrated,
+    so AQE's skew split handles the hot tokens (or pre-bucket by token).
+    Integer sums + one final division keep the hash exact."""
+    toks = (
+        load_table_scaled(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("tok"),
+        )
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("doc_freq").alias("sum_df"),
+        )
+        .withColumn(
+            "mean_df",
+            F.col("sum_df").cast("double") / F.col("n_distinct_tokens"),
+        )
     )
