@@ -206,3 +206,55 @@ def src_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource (Spark 4 Data Source API)
+# ---------------------------------------------------------------------------
+
+_PYDS_ORACLE = """
+SELECT 'natfmtl' AS fmt, CAST(n_nationkey AS VARCHAR) AS code,
+       n_name AS value
+FROM nation
+UNION ALL
+SELECT 'regfmtl', CAST(r_regionkey AS VARCHAR), r_name FROM region
+UNION ALL
+SELECT 'modefmt', code, value FROM (VALUES ('1','Air'),('2','Sea'),
+       ('3','Land'),('9','Not reported')) AS t(code, value)
+"""
+
+
+@query("src_python_datasource", oracle=_PYDS_ORACLE, tags=("source",))
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (Spark 4 Data Source API): a
+    three-block SAS label file read via
+    ``spark.read.format("sas_labels")`` — one input partition per label
+    block, parsed executor-side (see sources/pyds.py). The oracle is the
+    ground truth the file was rendered from, so the whole source —
+    registration, planning, partitioning, executor parse — is
+    hash-verified."""
+    from udacity_data_engineer_capstone_spark.sources import pyds
+    from udacity_data_engineer_capstone_spark.sources.sas_labels import (
+        render_label_block,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").collect()
+    region = load_table(spark, sf_dir, "region").collect()
+    modes = [("1", "Air"), ("2", "Sea"), ("3", "Land"), ("9", "Not reported")]
+    text = (
+        "libname library 'Z:\\' ;\nproc format library=library ;\n"
+        + render_label_block(
+            "natfmtl", [(str(r.n_nationkey), r.n_name) for r in nation]
+        )
+        + render_label_block(
+            "regfmtl", [(str(r.r_regionkey), r.r_name) for r in region]
+        )
+        + render_label_block("modefmt", modes)
+        + "run ;\n"
+    )
+    d = tempfile.mkdtemp(prefix="engine_pyds_")
+    path = f"{d}/labels.SAS"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    pyds.register(spark)
+    return spark.read.format("sas_labels").option("path", path).load()

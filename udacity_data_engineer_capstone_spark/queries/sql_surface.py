@@ -402,3 +402,65 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, tokens_per_char(text, n_chars) AS tokens_per_char "
         "FROM documents WHERE n_chars > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe (try_*) arithmetic
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+            ELSE l_quantity / (l_linenumber - 1) END AS qty_per_prior_line,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS key_roundtrip
+FROM lineitem
+"""
+
+
+@query("fn_try_arithmetic", oracle=_TRY_ORACLE, tags=("scalar",))
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` (NULL on zero divisor
+    instead of an error under ANSI mode) and ``try_cast`` (NULL on
+    malformed input). The safety valves a production pipeline needs once
+    ANSI SQL mode is on — one bad row must not kill a 100 TB job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "try_divide(l_quantity, CAST(l_linenumber - 1 AS DOUBLE))"
+        ).alias("qty_per_prior_line"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr(
+            "try_cast(CAST(l_orderkey AS STRING) AS INT)"
+        ).alias("key_roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mode (most frequent value with total-order tiebreak)
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+SELECT user_id, event_type AS modal_type, n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rn = 1
+"""
+
+
+@query("agg_mode_det", oracle=_MODE_SQL, tags=("agg",))
+def agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per key: most frequent event type with a
+    lexicographic tiebreak (the built-in ``mode()`` is tie-arbitrary —
+    useless for reproducible pipelines). One partial-aggregated count
+    shuffle + a WindowGroupLimit-pruned ranking window; identical SQL
+    runs in both engines."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MODE_SQL)
