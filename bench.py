@@ -41,6 +41,8 @@ HEADLINE = [
     # round-2 wave: clustering + end-to-end corpus pipeline
     "dedup_cluster_cc",           # iterative connected components
     "pipe_corpus_curation",       # quality→cap→decontaminate→pack
+    "tpch_q1_pricing_summary",    # canonical wide aggregate
+    "tpch_q3_shipping_priority",  # 3-way join + global top-k
 ]
 
 

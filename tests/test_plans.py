@@ -150,3 +150,21 @@ def test_group_cap_has_partial_window_limit(spark, sf_dir):
     df = Q["curate_group_cap"].fn(spark, sf_dir)
     text = plan_text(df)
     assert "WindowGroupLimit" in text, text
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """tpch_q6: date/discount/quantity predicates must reach the parquet
+    reader — the query is pure scan + one aggregate, so a post-scan
+    Filter doing the heavy lifting means pushdown broke."""
+    df = Q["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    text = plan_text(df)
+    pushed = text.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q3_topk_avoids_full_sort(spark, sf_dir):
+    """tpch_q3: ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), never a global Sort of all groups."""
+    df = Q["tpch_q3_shipping_priority"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(df)

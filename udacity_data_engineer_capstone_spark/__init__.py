@@ -38,6 +38,7 @@ def load_all() -> None:
         pipeline,
         reference_ops,
         sql_surface,
+        tpch,
         warehouse,
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
