@@ -63,8 +63,8 @@ FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
 GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue DESC, l.l_orderkey
 LIMIT 10
@@ -83,8 +83,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q4 = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1994-04-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate)
@@ -107,8 +107,8 @@ SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * CAST(l_discount AS DECIMAL(3,2))) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -132,8 +132,8 @@ FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
 ORDER BY revenue DESC, c.c_custkey
