@@ -464,3 +464,59 @@ def agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in both engines."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_MODE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated derived tables
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 3) t
+"""
+
+
+@query("sub_lateral_topn", oracle=_LATERAL_SQL, tags=("subquery",))
+def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table: top-3 orders per customer — the
+    per-row-subquery phrasing of a grouped top-n. Catalyst decorrelates
+    the LATERAL into a ranked window over one join (DomainJoin rewrite),
+    so the plan is the same shuffle a window top-n costs, never an
+    order-by-limit per customer. Total order (price desc, orderkey)
+    keeps the LIMIT deterministic."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# event-time RANGE frame (rolling interval aggregate)
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS rolling_1h_cents,
+       COUNT(*)
+         OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS rolling_1h_events
+FROM events
+"""
+
+
+@query("win_range_interval", oracle=_ROLLING_SQL, tags=("window", "events"))
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling aggregate: a RANGE frame bounded by an
+    INTERVAL — each row sums its user's trailing hour. RANGE frames
+    include sort-key peers, so duplicate timestamps can't make the
+    result order-dependent; the summed value is integer cents, exact in
+    any fold order. One window shuffle on user_id."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ROLLING_SQL)
