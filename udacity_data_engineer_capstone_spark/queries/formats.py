@@ -258,3 +258,45 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write(text)
     pyds.register(spark)
     return spark.read.format("sas_labels").option("path", path).load()
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve (multi-dimensional data layout)
+# ---------------------------------------------------------------------------
+
+def _interleave_expr(a: str, b: str, bits: int = 16) -> str:
+    """Bit-interleave two columns into a Z-value: a's bit i lands at
+    position 2i+1, b's at 2i — pure 64-bit integer ops, identical text
+    in Spark SQL and DuckDB."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+_ZEXPR = _interleave_expr("l_orderkey", "l_partkey")
+
+_ZORDER_ORACLE = f"""
+SELECT l_orderkey, l_partkey,
+       {_ZEXPR} AS zvalue
+FROM lineitem
+"""
+
+
+@query("fn_zorder_curve", oracle=_ZORDER_ORACLE, tags=("scalar", "layout"))
+def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve value over two join keys — the
+    multi-dimensional clustering primitive: sorting files by zvalue
+    co-locates rows close in BOTH key dimensions, so min/max file stats
+    prune scans filtered on either key (what Delta's OPTIMIZE ZORDER
+    does; here as a first-class expression usable with
+    ``sortWithinPartitions`` before any parquet write). Pure integer
+    bit arithmetic — codegen'd, zero shuffle, bit-identical across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(_ZEXPR).alias("zvalue"),
+    )

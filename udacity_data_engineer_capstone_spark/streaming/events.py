@@ -390,3 +390,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     return run_to_memory(joined, output_mode="append")
+
+
+_FOREACH_BATCH_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle=_FOREACH_BATCH_ORACLE,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink path: ``foreachBatch`` appends each
+    micro-batch to a parquet directory (the escape hatch for sinks
+    Structured Streaming lacks natively — JDBC upserts, MERGEs,
+    multi-table writes). After the availableNow drain, the directory
+    must contain every event exactly once across all batch files; the
+    read-back aggregate equals the batch oracle."""
+    src = stage_events_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="engine_fbsink_")
+    shutil.rmtree(out)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream_events(spark, src)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out + "_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("sum_cents"),
+        )
+    )
