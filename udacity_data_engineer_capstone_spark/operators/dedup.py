@@ -373,7 +373,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scale lever: without it, one stop-bigram appearing in every
     document makes the self-join quadratic. With it, join fan-out per
     gram is bounded by the cap squared, independent of corpus size."""
-    toks = corpus(spark, sf_dir, scaled=True).select(
+    # plain scan: the gram explode feeds a shuffle (groupBy/self-join)
+    # one op later, which already redistributes — a pre-repartition of
+    # the text costs more than the serial tokenize it saves (measured
+    # 1.5 s plain vs 2.5-3.2 s scaled at sf0.1)
+    toks = corpus(spark, sf_dir).select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
     grams = toks.select(

@@ -80,21 +80,33 @@ def run_to_memory(
     df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
-    memory sink; returns the sink table as a batch DataFrame."""
+    memory sink; returns the sink table as a batch DataFrame.
+
+    State-store parallelism is bounded for the drain (and restored
+    after): a vanilla session's 200 shuffle partitions mean 200 state
+    stores per stateful operator per micro-batch — pure fixed overhead
+    at test scale, and a knob a cluster job would size to its executor
+    count anyway."""
+    spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q.awaitTermination(timeout_sec)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
 
 
 _TUMBLING_STREAM_ORACLE = """
