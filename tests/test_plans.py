@@ -168,3 +168,22 @@ def test_q3_topk_avoids_full_sort(spark, sf_dir):
     (per-partition top-k + merge), never a global Sort of all groups."""
     df = Q["tpch_q3_shipping_priority"].fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in plan_text(df)
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Join-strategy hints must reach the planner: MERGE forces a
+    sort-merge join and SHUFFLE_HASH a shuffled hash join on the same
+    (otherwise broadcastable) join — the manual override a user needs
+    when statistics mislead AQE at scale."""
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    merged = orders.join(
+        cust.hint("MERGE"), orders["o_custkey"] == cust["c_custkey"]
+    )
+    assert "SortMergeJoin" in plan_text(merged)
+    hashed = orders.join(
+        cust.hint("SHUFFLE_HASH"), orders["o_custkey"] == cust["c_custkey"]
+    )
+    assert "ShuffledHashJoin" in plan_text(hashed)

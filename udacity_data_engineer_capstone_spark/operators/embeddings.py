@@ -80,3 +80,55 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, dim,
+       SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000 AS centroid
+FROM (
+  SELECT label,
+         unnest(embedding) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+@query("emb_label_centroids", oracle=_CENTROID_ORACLE, tags=("embedding", "agg"))
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid, dimension-wise — the nearest-
+    class-mean classifier / cluster-profile primitive. Elements are
+    integer-quantized (µ-units) *before* summing so the aggregate is
+    fold-order exact; the mean is one double division at the end. The
+    posexplode fans 64 rows per vector into a (label, dim)-keyed
+    partial-aggregated shuffle — at 100 TB the map-side combine reduces
+    each task's output to |labels|·64 rows regardless of input size."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("dim", "xq"),
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.sum("xq").alias("sum_e6"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .withColumn(
+            "centroid",
+            F.col("sum_e6").cast("double") / F.col("n_vectors") / 1000000,
+        )
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 _TUMBLING_ORACLE = """
@@ -323,3 +323,36 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
     ).withColumn("bin_lo", F.col("bin") * _HIST_BIN)
+
+
+# ---------------------------------------------------------------------------
+# per-user event paths
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+_PATH_SPARK = """
+SELECT user_id,
+       listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("evt_user_path", oracle=_PATH_ORACLE, tags=("events", "string"))
+def evt_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event path (``view>click>purchase>...``) — the
+    input shape for sequence mining / Markov funnel models. Ordered
+    listagg with a (ts, event_id) total order makes the string
+    deterministic. Ordered concat cannot partial-aggregate; at
+    billion-event users, cap the sequence first (curate_group_cap
+    pattern)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PATH_SPARK)

@@ -467,3 +467,44 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_df").cast("double") / F.col("n_distinct_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide top tokens
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 50
+
+_TOP_TOKENS_ORACLE = f"""
+SELECT tok, COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id, unnest(list_distinct(
+           regexp_split_to_array(lower(text), '\\s+'))) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n_docs DESC, tok
+LIMIT {TOP_TOKENS_K}
+"""
+
+
+@query("text_top_tokens", oracle=_TOP_TOKENS_ORACLE, tags=("text",))
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary heavy hitters: document frequency of every
+    distinct token, global top-50 with a lexicographic tiebreak. The
+    aggregate partial-combines map-side (vocabulary-width shuffle) and
+    the ORDER BY + LIMIT plans as TakeOrderedAndProject — per-partition
+    top-k then a driver merge of k·partitions rows, never a global
+    sort. For stream-scale heavy hitters, swap in count-min sketches;
+    exact is right here because the oracle is exact."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), r"\s+"))
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "tok")
+        .limit(TOP_TOKENS_K)
+    )
