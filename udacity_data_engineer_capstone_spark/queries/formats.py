@@ -300,3 +300,61 @@ def fn_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.expr(_ZEXPR).alias("zvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# whole-line text source
+# ---------------------------------------------------------------------------
+
+_TEXT_SRC_ORACLE = """
+SELECT md5(text) AS line_md5, n_chars
+FROM documents
+"""
+
+
+@query("src_text_lines", oracle=_TEXT_SRC_ORACLE, tags=("source", "sink"))
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink round-trip: export documents one per line
+    with ``write.text``, read back with ``read.text`` (the rawest
+    ingestion format — every log/crawl pipeline starts here). Line md5s
+    must match the originals, proving the format preserves content
+    byte-for-byte (the testdata texts contain no newlines, the
+    precondition one-doc-per-line requires)."""
+    d = tempfile.mkdtemp(prefix="engine_src_text_")
+    load_table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(d)
+    return spark.read.text(d).select(
+        F.md5(F.col("value")).alias("line_md5"),
+        F.length("value").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON struct round-trip
+# ---------------------------------------------------------------------------
+
+_JSON_RT_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+"""
+
+
+@query("fn_json_roundtrip", oracle=_JSON_RT_ORACLE, tags=("scalar", "json"))
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_json`` → ``from_json`` struct round-trip: serialize each
+    order row into a JSON string column and parse it back with an
+    explicit schema. The extracted fields must equal the originals —
+    including the double surviving text serialization exactly (Spark
+    writes shortest-round-trip doubles). The embed/extract primitive
+    for event payloads and API exports; pure projections, zero
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    return orders.select(
+        F.to_json(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("j")
+    ).select(F.from_json("j", schema).alias("s")).select("s.*")
