@@ -75,3 +75,20 @@ def test_sas_date_decode_matches_python_truth(spark):
         else:
             expected = (date(1960, 1, 1) + timedelta(days=int(d))).isoformat()
         assert got[i] == expected, (d, got[i], expected)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_zorder_interleave_is_bijective(a, b):
+    """fn_zorder_curve's bit interleave must be invertible — the curve
+    value uniquely identifies (a, b), the property file-stat pruning
+    relies on."""
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    ra = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    rb = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a, b)
