@@ -12,7 +12,7 @@ row per event.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
@@ -356,3 +356,91 @@ def evt_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_PATH_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# sessionized funnel
+# ---------------------------------------------------------------------------
+
+_SESSION_FUNNEL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+v AS (SELECT user_id, session_id, MIN(ts) AS t_view FROM islands
+      WHERE event_type = 'view' GROUP BY user_id, session_id),
+c AS (SELECT i.user_id, i.session_id, MIN(i.ts) AS t_click
+      FROM islands i JOIN v ON v.user_id = i.user_id
+                           AND v.session_id = i.session_id
+      WHERE i.event_type = 'click' AND i.ts > v.t_view
+      GROUP BY i.user_id, i.session_id)
+SELECT s.user_id, s.session_id, s.n_events,
+       (v.user_id IS NOT NULL) AS saw_view,
+       (c.user_id IS NOT NULL) AS converted_click
+FROM (SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, session_id) s
+LEFT JOIN v ON v.user_id = s.user_id AND v.session_id = s.session_id
+LEFT JOIN c ON c.user_id = s.user_id AND c.session_id = s.session_id
+"""
+
+
+@query("evt_session_funnel", oracle=_SESSION_FUNNEL_ORACLE, tags=("events",))
+def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel scoped to sessions: within each 30-minute-gap session, did
+    the user view and then click? Composes the gaps-and-islands
+    sessionizer with the ordered-stage pattern of ``evt_funnel`` — the
+    per-session conversion shape product analytics actually reports.
+    All joins are on (user_id, session_id); timestamps pass through
+    untouched."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (a seconds cast would truncate and disagree
+    # with the oracle's INTERVAL comparison on sub-second boundaries)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    islands = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    s = islands.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    v = (
+        islands.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        islands.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "session_id"])
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    return (
+        s.join(v.select("user_id", "session_id", F.lit(True).alias("saw_view")),
+               ["user_id", "session_id"], "left")
+        .join(c.select("user_id", "session_id",
+                       F.lit(True).alias("converted_click")),
+              ["user_id", "session_id"], "left")
+        .select(
+            "user_id", "session_id", "n_events",
+            F.coalesce("saw_view", F.lit(False)).alias("saw_view"),
+            F.coalesce("converted_click", F.lit(False)).alias("converted_click"),
+        )
+    )

@@ -520,3 +520,78 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     any fold order. One window shuffle on user_id."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ROLLING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set operations
+# ---------------------------------------------------------------------------
+
+# l_suppkey projections carry duplicates, so ALL vs DISTINCT semantics
+# genuinely differ — the case set_union_intersect_except can't exercise
+_BAG_SET_SQL = """
+SELECT s, COUNT(*) AS n FROM (
+  SELECT l_suppkey AS s FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+) GROUP BY s
+"""
+
+_BAG_EXCEPT_SQL = """
+SELECT s, COUNT(*) AS n FROM (
+  SELECT l_suppkey AS s FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+) GROUP BY s
+"""
+
+
+@query("set_bag_intersect", oracle=_BAG_SET_SQL, tags=("set",))
+def set_bag_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each supplier key survives
+    min(count_left, count_right) times, which only shows on inputs with
+    duplicates (this projection has them; the DISTINCT variants in
+    set_union_intersect_except cannot see the difference)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_BAG_SET_SQL)
+
+
+@query("set_bag_except", oracle=_BAG_EXCEPT_SQL, tags=("set",))
+def set_bag_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: count_left − count_right occurrences
+    survive (floor 0). The multiplicity-preserving form dedup accounting
+    needs."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_BAG_EXCEPT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pattern-matching scalars
+# ---------------------------------------------------------------------------
+
+_PATTERN_SQL = """
+SELECT p_partkey, p_name,
+       p_name LIKE '%steel%' AS has_steel,
+       p_name ILIKE '%STEEL%' AS has_steel_ci,
+       p_type LIKE 'PROMO%' AS is_promo,
+       regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words
+FROM part
+"""
+
+_PATTERN_SPARK = """
+SELECT p_partkey, p_name,
+       p_name LIKE '%steel%' AS has_steel,
+       p_name ILIKE '%STEEL%' AS has_steel_ci,
+       p_type LIKE 'PROMO%' AS is_promo,
+       p_name RLIKE '^[a-z]+ [a-z]+' AS two_words
+FROM part
+"""
+
+
+@query("fn_pattern_match", oracle=_PATTERN_SQL, tags=("scalar", "string"))
+def fn_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-matching surface: LIKE, case-insensitive ILIKE, prefix
+    LIKE (which Catalyst compiles to StartsWith — no regex engine), and
+    RLIKE ≙ regexp_matches with a dialect-portable pattern. Pure codegen
+    projections."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_PATTERN_SPARK)
