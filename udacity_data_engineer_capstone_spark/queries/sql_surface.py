@@ -595,3 +595,77 @@ def fn_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections."""
     register_views(spark, sf_dir, ("part",))
     return spark.sql(_PATTERN_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# running distinct count (first-occurrence trick)
+# ---------------------------------------------------------------------------
+
+# COUNT(DISTINCT) OVER a running frame is unsupported in both engines;
+# the portable form marks each key's first occurrence and running-sums
+# the marks — the standard rewrite, and it partial-aggregates fine.
+_RUN_DISTINCT_SQL = """
+SELECT user_id, ts, event_id,
+       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+         AS distinct_types_so_far
+FROM (
+  SELECT user_id, ts, event_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+"""
+
+
+@query("win_running_distinct", oracle=_RUN_DISTINCT_SQL, tags=("window",))
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-count per user timeline (how many event types
+    has this user touched so far) via the first-occurrence rewrite —
+    windowed COUNT(DISTINCT) doesn't exist, but a running SUM over
+    first-seen markers is equivalent, integer-exact, and needs only two
+    window passes over the same user_id shuffle."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RUN_DISTINCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: median absolute deviation
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, median(l_quantity) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(m.m) AS med_qty,
+       median(abs(l.l_quantity - m.m)) AS mad_qty
+FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+_MAD_SPARK = """
+WITH med AS (
+  SELECT l_returnflag, median(l_quantity) AS m
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(m.m) AS med_qty,
+       median(abs(l.l_quantity - m.m)) AS mad_qty
+FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
+@query("agg_mad_robust", oracle=_MAD_ORACLE, tags=("agg", "stats"))
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    measure outlier detection uses where stddev is poisoned by the
+    outliers themselves. Two-pass: per-group median (broadcast back as
+    a tiny dim), then the median of absolute deviations. Integer-valued
+    quantities keep every interpolation exact; ANY_VALUE is
+    deterministic here because m is constant within each group."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_MAD_SPARK)
