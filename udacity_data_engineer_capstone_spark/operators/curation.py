@@ -40,7 +40,7 @@ _CURATE_ORACLE = f"""
 WITH {CORPUS_CTE},
 q AS (
   SELECT doc_id, text,
-         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT) AS n_tokens
   FROM corpus
 ),
 keepers AS (
@@ -140,7 +140,7 @@ PACK_BUDGET = 512
 _PACK_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, source,
-         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT) AS n_tokens
   FROM documents
 )
 SELECT doc_id, source, n_tokens,
@@ -279,8 +279,8 @@ _CAP_ORACLE = f"""
 SELECT doc_id, source, lang, rn
 FROM (
   SELECT doc_id, source, lang,
-         row_number() OVER (PARTITION BY source, lang
-                            ORDER BY doc_id) AS rn
+         CAST(row_number() OVER (PARTITION BY source, lang
+                            ORDER BY doc_id) AS INT) AS rn
   FROM documents
 )
 WHERE rn <= {GROUP_CAP}

@@ -88,7 +88,7 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTROID_ORACLE = """
 SELECT label, dim,
-       SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sum_e6,
+       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
        COUNT(*) AS n_vectors,
        CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
          / COUNT(*) / 1000000 AS centroid

@@ -128,7 +128,7 @@ def evt_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -139,7 +139,7 @@ _MAP_ORACLE = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-       len(json_keys(props)) AS n_keys
+       CAST(len(json_keys(props)) AS INT) AS n_keys
 FROM events
 """
 
@@ -258,7 +258,7 @@ WITH firsts AS (
 ),
 activity AS (
   SELECT DISTINCT e.user_id, f.cohort_day,
-         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+         CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS day_offset
   FROM events e JOIN firsts f ON f.user_id = e.user_id
 )
 SELECT cohort_day, day_offset, COUNT(*) AS n_users
@@ -373,8 +373,8 @@ WITH ordered AS (
 ),
 islands AS (
   SELECT user_id, ts, event_id, event_type,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM ordered
 ),
 v AS (SELECT user_id, session_id, MIN(ts) AS t_view FROM islands

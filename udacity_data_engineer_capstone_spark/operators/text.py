@@ -34,9 +34,9 @@ LANG_MARKERS = {
 
 _TOKENS_ORACLE = f"""
 SELECT doc_id,
-       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens,
-       length(text) AS n_chars_computed
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed
 FROM documents
 """
 
@@ -66,7 +66,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       len(toks) AS n_tokens,
+       CAST(len(toks) AS INT) AS n_tokens,
        CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
          AS avg_token_len,
        CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks)
@@ -183,7 +183,7 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
   FROM documents
 )
-SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
 FROM t, unnest(range(1, least(len(toks), 5) + 1)) AS u(i)
 """
 
@@ -225,7 +225,7 @@ SELECT doc_id,
        len(list_distinct(list_filter(
              list_transform(range(1, greatest(length(text) - {_ROLL_K} + 2, 2)),
                             i -> md5(substring(text, i, {_ROLL_K}))),
-             h -> substring(h, 1, 1) = '0'))) AS n_sampled
+             h -> substring(h, 1, 1) = '0'))) :: INT AS n_sampled
 FROM documents
 """
 
@@ -426,7 +426,7 @@ df AS (
 )
 SELECT t.doc_id,
        COUNT(*) AS n_distinct_tokens,
-       SUM(d.doc_freq) AS sum_df,
+       CAST(SUM(d.doc_freq) AS BIGINT) AS sum_df,
        CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*) AS mean_df
 FROM toks t JOIN df d ON d.tok = t.tok
 GROUP BY t.doc_id

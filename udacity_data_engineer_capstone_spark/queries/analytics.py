@@ -28,7 +28,7 @@ WITH rev AS (
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
-SELECT nationkey, custkey, revenue, rnk
+SELECT nationkey, custkey, revenue, CAST(rnk AS INT) AS rnk
 FROM (SELECT *, rank() OVER (PARTITION BY nationkey
                              ORDER BY revenue DESC, custkey) AS rnk
       FROM rev)
@@ -436,8 +436,8 @@ SELECT p_partkey,
        round(sqrt(p_retailprice), 4) AS sqrt_price,
        abs(p_size - 25) AS size_dev,
        upper(substring(p_name, 1, 4)) AS name4,
-       length(p_name) AS name_len,
-       greatest(p_size, 10) AS size_floor10,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(greatest(p_size, 10) AS INT) AS size_floor10,
        CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
 FROM part
 """
@@ -487,7 +487,7 @@ def fn_date_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_ORACLE = """
 SELECT vec_id,
-       len(embedding) AS dim,
+       CAST(len(embedding) AS INT) AS dim,
        round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
          AS max_coord,
        round(list_sum(list_transform(embedding,

@@ -52,7 +52,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NTILE_ORACLE = """
 SELECT c_custkey, c_nationkey,
-       ntile(4)       OVER w AS quartile,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
        percent_rank() OVER w AS pct_rank,
        cume_dist()    OVER w AS cume,
        lead(c_custkey) OVER w AS next_cust
@@ -198,7 +198,7 @@ def agg_corr_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEV_ORACLE = """
 SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
        CAST(length(a.p_name) AS INT) AS a_len
 FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
 """
@@ -228,7 +228,7 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_ORACLE = """
 SELECT o_orderkey, o_orderpriority, o_totalprice,
        COUNT(*) OVER w AS n_in_band,
-       SUM(o_custkey) OVER w AS custkey_sum
+       CAST(SUM(o_custkey) OVER w AS BIGINT) AS custkey_sum
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
              RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)

@@ -27,8 +27,9 @@ _ORACLE = """
 SELECT
   r.r_name AS region,
   n.n_name AS nation,
-  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+    AS DECIMAL(33,4)) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -66,47 +66,51 @@ def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.csv(d, header=True, schema=schema)
 
 
-_STATS_ORACLE = """
+# Shared text, valid in BOTH Spark SQL and DuckDB: every float op is a
+# single IEEE-correctly-rounded operation applied in an identical order,
+# so results are bit-identical across engines. (The previous version
+# applied ROUND(engine_computed_stddev, 2): the raw doubles differed in
+# the last ulps between engines and a .xx5-boundary median flipped a
+# cent at sf0.001 — Spark's string-based HALF_UP vs DuckDB's
+# multiply-based half-away round diverge exactly at those knife edges.)
+# All stats derive from exact integer-cents moments: min/max/avg from
+# BIGINT/DECIMAL cents, stddev via the n·Σx²−(Σx)² identity, and an
+# interpolated median over integer cents (exact halves in binary).
+_STATS_SQL = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+)
 SELECT l_returnflag,
-       MIN(l_extendedprice) AS min_price,
-       MAX(l_extendedprice) AS max_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+       CAST(MIN(c) AS DOUBLE) / 100.0 AS min_price,
+       CAST(MAX(c) AS DOUBLE) / 100.0 AS max_price,
+       CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 100.0
          AS avg_price,
-       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
-FROM lineitem
+       floor(sqrt((CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+                   - CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+                     * CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE))
+                  / (CAST(COUNT(*) AS DOUBLE)
+                     * (CAST(COUNT(*) AS DOUBLE) - 1.0))) + 0.5) / 100e0
+         AS sd_price,
+       median(c) / 100.0 AS median_price
+FROM cents
 GROUP BY l_returnflag
 """
 
 
-@query("agg_summary_stats", oracle=_STATS_ORACLE, tags=("agg", "stats"))
+@query("agg_summary_stats", oracle=_STATS_SQL, tags=("agg", "stats"))
 def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Summary statistics incl. an exact interpolated median
-    (``percentile`` — for 100 TB use ``approx_percentile``, whose sketch
-    is mergeable map-side; exact percentile shuffles the group's values).
+    """Summary statistics incl. an exact interpolated median (for 100 TB
+    swap ``median`` for ``approx_percentile``, whose t-digest sketch is
+    mergeable map-side; the exact median shuffles each group's values).
+    Single partial+final hash aggregate over integer-cents moments —
+    the shuffle carries 4 numbers per group regardless of scale."""
+    from udacity_data_engineer_capstone_spark.catalog import register_views
 
-    Cross-engine float determinism: the mean is computed as an exact
-    DECIMAL cents sum cast to double, divided by the count (bit-exact in
-    any fold order); stddev/median are rounded to 2 decimals on both
-    sides — raw double folds differ between engines in the last ulps."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("avg_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
-                "median_price"
-            ),
-        )
-    )
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_STATS_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -110,9 +110,9 @@ agg AS (
   SELECT city, state_code,
          SUM(CAST(male_population AS DOUBLE)) AS total_male_population,
          SUM(CAST(female_population AS DOUBLE)) AS total_female_population,
-         SUM(total_population) AS total_population,
-         SUM(number_of_veterans) AS number_of_veterans,
-         SUM(number_of_foreign_born) AS number_of_foreign_born
+         CAST(SUM(total_population) AS BIGINT) AS total_population,
+         CAST(SUM(number_of_veterans) AS BIGINT) AS number_of_veterans,
+         CAST(SUM(number_of_foreign_born) AS BIGINT) AS number_of_foreign_born
   FROM demo GROUP BY city, state_code
 ),
 ports AS (
@@ -162,7 +162,8 @@ from udacity_data_engineer_capstone_spark.operators.curation import (  # noqa: E
 _CORPUS_PIPE_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, source, lang,
-         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT)
+           AS n_tokens
   FROM documents
   WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= {MIN_TOKENS}
     AND doc_id % {BENCH_MOD} <> {BENCH_REMAINDER}

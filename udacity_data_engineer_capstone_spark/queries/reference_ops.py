@@ -580,10 +580,10 @@ _AGG_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS sum_qty_implicit,
        SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-         AS sum_net_price,
-       SUM(l_linenumber) AS sum_lines,
+         AS DECIMAL(33,4)) AS sum_net_price,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_lines,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -640,9 +640,9 @@ def act_count_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SELECT = """
 SELECT r.r_name AS region,
-       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-         AS revenue,
+         AS DECIMAL(33,4)) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

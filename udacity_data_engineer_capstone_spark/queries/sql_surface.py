@@ -116,16 +116,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOF_ORACLE = """
 SELECT vec_id,
-       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
        CAST(floor(list_reduce(
               list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
               (a, b) -> greatest(a, b)) * 1000000) AS BIGINT) AS absmax_e6,
-       list_sum(list_transform(embedding,
-         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS sum_milli,
+       CAST(list_sum(list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
        list_sum(list_transform(range(1, len(embedding) + 1),
          i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
                          * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
-                         * 1000000) AS BIGINT))) AS revdot_e6,
+                         * 1000000) AS BIGINT))) :: BIGINT AS revdot_e6,
        len(list_filter(embedding, x -> abs(x) > 0.25)) > 0 AS has_large_dim
 FROM embeddings
 """
@@ -170,8 +170,8 @@ _FILTER_AGG_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS n_all,
        COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-       SUM(CAST(l_quantity AS BIGINT))
-         FILTER (WHERE l_tax > 0.04) AS qty_high_tax,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+         FILTER (WHERE l_tax > 0.04) AS BIGINT) AS qty_high_tax,
        COUNT(DISTINCT l_suppkey)
          FILTER (WHERE l_linestatus = 'O') AS n_open_suppliers,
        bool_or(l_quantity > 49) AS any_bulk,
@@ -499,10 +499,10 @@ def sub_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_SQL = """
 SELECT event_id, user_id, ts,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-         AS rolling_1h_cents,
+         AS BIGINT) AS rolling_1h_cents,
        COUNT(*)
          OVER (PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -606,9 +606,9 @@ def fn_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the marks — the standard rewrite, and it partial-aggregates fine.
 _RUN_DISTINCT_SQL = """
 SELECT user_id, ts, event_id,
-       SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING)
-         AS distinct_types_so_far
+         AS BIGINT) AS distinct_types_so_far
 FROM (
   SELECT user_id, ts, event_id,
          CASE WHEN row_number() OVER (PARTITION BY user_id, event_type

@@ -31,9 +31,9 @@ _CHARGE = f"{_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2
 
 _Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
-       SUM({_DISC_PRICE}) AS sum_disc_price,
+       CAST(SUM({_DISC_PRICE}) AS DECIMAL(33,4)) AS sum_disc_price,
        SUM({_CHARGE}) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
@@ -56,8 +56,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3 = f"""
 SELECT l.l_orderkey,
-       SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
-                       .replace('l_discount', 'l.l_discount')}) AS revenue,
+       CAST(SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
+                       .replace('l_discount', 'l.l_discount')}) AS DECIMAL(33,4)) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -103,8 +103,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q6 = """
-SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(3,2))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(32,4)) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -125,8 +125,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10 = f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
-                       .replace('l_discount', 'l.l_discount')}) AS revenue,
+       CAST(SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
+                       .replace('l_discount', 'l.l_discount')}) AS DECIMAL(33,4)) AS revenue,
        COUNT(*) AS n_items
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey

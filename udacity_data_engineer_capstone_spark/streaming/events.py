@@ -260,7 +260,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USER_TOTALS_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY user_id
 """
@@ -406,7 +406,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FOREACH_BATCH_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY event_type
 """
