@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 from udacity_data_engineer_capstone_spark.operators.similarity import (
-    sim_ann_ivf,
-    sim_ann_lsh,
-    sim_ann_pq,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_pq_topk,
     sim_topk_bruteforce,
 )
 
@@ -16,7 +16,7 @@ def _pairs(df):
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     exact = _pairs(sim_topk_bruteforce(spark, sf_dir))
-    approx = _pairs(sim_ann_lsh(spark, sf_dir))
+    approx = _pairs(ann_lsh_topk(spark, sf_dir))
     assert exact, "brute force returned nothing"
     recall = len(exact & approx) / len(exact)
     # 16 tables × 4 hyperplanes on random 64-d data: recall is imperfect by
@@ -25,14 +25,14 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ann_deterministic(spark, sf_dir):
-    a = _pairs(sim_ann_lsh(spark, sf_dir))
-    b = _pairs(sim_ann_lsh(spark, sf_dir))
+    a = _pairs(ann_lsh_topk(spark, sf_dir))
+    b = _pairs(ann_lsh_topk(spark, sf_dir))
     assert a == b
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = _pairs(sim_topk_bruteforce(spark, sf_dir))
-    approx = _pairs(sim_ann_ivf(spark, sf_dir))
+    approx = _pairs(ann_ivf_topk(spark, sf_dir))
     recall = len(exact & approx) / len(exact)
     # nprobe=4 of 16 cells on near-uniform data: neighbors are spread
     # across cells, so recall is modest by construction — but must beat
@@ -41,7 +41,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ivf_deterministic(spark, sf_dir):
-    assert _pairs(sim_ann_ivf(spark, sf_dir)) == _pairs(sim_ann_ivf(spark, sf_dir))
+    assert _pairs(ann_ivf_topk(spark, sf_dir)) == _pairs(ann_ivf_topk(spark, sf_dir))
 
 
 def test_pq_recall_and_determinism(spark, sf_dir):
@@ -50,8 +50,8 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     no-cluster worst case) and be run-to-run deterministic (seeded
     codebooks, total-order tie-breaks)."""
     exact = _pairs(sim_topk_bruteforce(spark, sf_dir))
-    got1 = sim_ann_pq(spark, sf_dir).collect()
+    got1 = ann_pq_topk(spark, sf_dir).collect()
     pq = {(r.query_id, r.neighbor_id) for r in got1}
     assert len(exact & pq) / len(exact) >= 0.8
-    got2 = sim_ann_pq(spark, sf_dir).collect()
+    got2 = ann_pq_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))

