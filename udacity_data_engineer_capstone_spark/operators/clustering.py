@@ -102,6 +102,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prev_sum: int | None = None
+    converged = False
     for _ in range(MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -123,7 +124,22 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strictly-decreasing convergence witness: equal sum ⇒ fixpoint.
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+
+    if not converged:
+        # a component with diameter > MAX_ITERS would silently return
+        # non-fixpoint labels (diverging from true connected components)
+        import warnings
+
+        warnings.warn(
+            f"dedup_cluster_cc: min-label propagation did not converge "
+            f"within {MAX_ITERS} iterations; labels may be non-fixpoint "
+            f"(a component's diameter exceeds the round cap — switch to "
+            f"the large-star/small-star variant for deep graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

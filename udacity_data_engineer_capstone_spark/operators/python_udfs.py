@@ -23,11 +23,35 @@ from pyspark.sql import functions as F
 from udacity_data_engineer_capstone_spark.catalog import load_table
 from udacity_data_engineer_capstone_spark.registry import query
 
+# Cross-engine bit-exactness without rounding: values quantize to exact
+# 1e-4-unit integers, the group moments (n, Σc, Σc²) are exact integer
+# sums, and every float op afterwards is the SAME IEEE expression tree
+# in numpy and DuckDB — identical operands + identical op order =
+# identical doubles, so raw z hashes match. (The previous version
+# ROUNDed engine-divergent doubles to 4 dp: pandas rounds half-even,
+# DuckDB half-away, so exact ties diverged — and the sd==0 NULL guard
+# existed only on the pandas side.) Σc² stays within int64 for groups
+# up to ~2×10⁸ rows at this value range; beyond that, widen to DECIMAL
+# cents on both sides.
 _ZSCORE_ORACLE = """
-SELECT event_id, event_type,
-       ROUND((value - avg(value) OVER (PARTITION BY event_type))
-             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
-FROM events
+WITH g AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s,
+         CAST(SUM(c * c) AS DOUBLE) AS q
+  FROM g GROUP BY event_type
+)
+SELECT g.event_id, g.event_type,
+       CASE WHEN m.n = 1 OR m.q - m.s * m.s / m.n <= 0 THEN NULL
+            ELSE (CAST(g.c AS DOUBLE) - m.s / m.n)
+                 / sqrt((m.q - m.s * m.s / m.n) / (m.n - 1.0))
+       END AS z
+FROM g JOIN m USING (event_type)
 """
 
 
@@ -37,21 +61,36 @@ def udaf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives as one pandas DataFrame (Arrow transfer), normalized in
     vectorized numpy. Shuffle is one hash partition per group key — the
     same shape as any aggregation; group size bounds worker memory, so
-    keys with huge groups should pre-aggregate or salt first."""
+    keys with huge groups should pre-aggregate or salt first.
+
+    z is computed over values quantized to 1e-4 units from exact integer
+    moments (see oracle note: bit-identical to the SQL formulation, and
+    the sd=0 / single-row NULL guard is mirrored on both sides)."""
+    import math
+
+    import numpy as np
+
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"]
-        sd = v.std(ddof=1)
-        # SQL NULL semantics: stddev_samp of a 1-row group is NULL (pandas
-        # gives NaN), and a constant group would divide by zero
-        if pd.isna(sd) or sd == 0:
-            pdf = pdf.assign(z=pd.Series([None] * len(pdf), dtype="float64"))
+        c = np.floor(pdf["value"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+        n = len(c)
+        s_f = float(int(c.sum()))
+        q_f = float(int((c * c).sum()))
+        n_f = float(n)
+        var_num = q_f - s_f * s_f / n_f
+        if n == 1 or var_num <= 0:
+            z = pd.Series([None] * n, dtype="float64")
         else:
-            # fixed 4-dp output: pandas and SQL window folds differ in the
-            # last ulps, so raw doubles would never hash-match cross-engine
-            pdf = pdf.assign(z=((v - v.mean()) / sd).round(4))
-        return pdf[["event_id", "event_type", "z"]]
+            sd = math.sqrt(var_num / (n_f - 1.0))
+            z = pd.Series((c.astype(np.float64) - s_f / n_f) / sd)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "event_type": pdf["event_type"].to_numpy(),
+                "z": z.to_numpy(),
+            }
+        )
 
     return ev.groupBy("event_type").applyInPandas(
         zscore, "event_id long, event_type string, z double"

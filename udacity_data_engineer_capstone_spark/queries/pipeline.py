@@ -27,13 +27,14 @@ from udacity_data_engineer_capstone_spark.pipelines import i94
 from udacity_data_engineer_capstone_spark.registry import query
 from udacity_data_engineer_capstone_spark.sources import i94_fixtures
 
-# Registration-time generation: oracle SQL embeds absolute fixture paths,
-# so the files must exist whenever the driver runs either side. Seeded +
-# idempotent, ~100 ms.
-_P = i94_fixtures.generate_stable()
+# Registration time needs only the PATHS (oracle SQL embeds them as
+# absolute strings); the files themselves are generated lazily and
+# atomically on first pipeline execution — no import-time I/O.
+_P = i94_fixtures.fixture_paths()
 
 
 def _run_pipeline(spark: SparkSession) -> dict[str, DataFrame]:
+    i94_fixtures.generate_stable()
     paths = i94.I94Paths(
         labels=_P["labels"],
         demographics=_P["demographics"],

@@ -219,12 +219,61 @@ def generate(base_dir: str) -> dict[str, str]:
     return paths
 
 
-STABLE_DIR = os.path.join(tempfile.gettempdir(), "engine_i94_fixtures_v1")
+# Per-user stable path: process-independent (oracle SQL strings embed
+# absolute paths at registration time) but not shared across users, so
+# another local account can neither poison nor race the fixture files.
+STABLE_DIR = os.path.join(
+    tempfile.gettempdir(), f"engine_i94_fixtures_v1_u{os.getuid()}"
+)
+
+_FIXTURE_NAMES = (
+    "labels",
+    "demographics",
+    "immigration",
+    "output",
+    "dim_states",
+    "dim_visas",
+    "dim_modes",
+    "dim_ports",
+    "dim_countries",
+)
+
+
+def fixture_paths() -> dict[str, str]:
+    """The stable fixture paths, WITHOUT any I/O — import-time callers
+    (oracle SQL f-strings) use this; actual generation is deferred to
+    :func:`generate_stable` at first query execution."""
+    paths = {
+        "labels": os.path.join(STABLE_DIR, "labels.SAS"),
+        "demographics": os.path.join(STABLE_DIR, "demographics.csv"),
+        "immigration": os.path.join(STABLE_DIR, "immigration.parquet"),
+        "output": os.path.join(STABLE_DIR, "out"),
+    }
+    for name in _FIXTURE_NAMES:
+        if name.startswith("dim_"):
+            paths[name] = os.path.join(STABLE_DIR, f"{name}.parquet")
+    return paths
 
 
 def generate_stable() -> dict[str, str]:
-    """Fixtures at a process-independent stable path, so oracle SQL
-    strings (created at registration time) can embed absolute paths that
-    are valid whenever the driver later runs them. Generation is seeded
-    and idempotent — every call rewrites identical bytes."""
-    return generate(STABLE_DIR)
+    """Idempotent, race-safe fixture generation at :data:`STABLE_DIR`.
+
+    STABLE_DIR only ever comes into existence via an atomic rename of a
+    fully-written private (0o700) staging dir, so its presence implies
+    complete content — concurrent bench/pytest processes either skip
+    (already present) or lose the rename race harmlessly. Seeded numpy
+    means every generation writes identical bytes."""
+    if not os.path.isdir(STABLE_DIR):
+        parent = os.path.dirname(STABLE_DIR)
+        staging = tempfile.mkdtemp(prefix=".engine_i94_staging_", dir=parent)
+        os.chmod(staging, 0o700)
+        generate(staging)
+        try:
+            os.rename(staging, STABLE_DIR)
+        except OSError:
+            # another process completed the rename first — ours is a
+            # byte-identical duplicate, discard it
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return fixture_paths()

@@ -17,8 +17,10 @@ state unboundedly — late events beyond the watermark are dropped.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
+import time
 import uuid
 
 import pandas as pd
@@ -44,10 +46,28 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events table into a temp directory the file-source
-    stream can watch (normalizing the NANOS timestamp on the way)."""
+    stream can watch (normalizing the NANOS timestamp on the way).
+
+    Files are staged in EVENT-TIME order: range-partitioned on ``ts``
+    with ascending modification times, so the file source's
+    discovery order (mod-time, then path) feeds micro-batches whose
+    watermark only ever trails data still to come. Unordered staging
+    would let the watermark jump to max(ts)−delay on an early batch and
+    silently drop later-arriving older files from join/aggregation
+    state — exactly the failure a production job avoids by reading an
+    append-ordered log (kafka, LSM'd object store listing)."""
     out = tempfile.mkdtemp(prefix="engine_stream_src_")
     shutil.rmtree(out)
-    load_table(spark, sf_dir, "events").write.parquet(out)
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(out)
+    )
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    base = time.time() - len(parts) - 10
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(out, p), (base + i, base + i))
     return out
 
 
