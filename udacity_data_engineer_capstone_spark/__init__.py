@@ -39,6 +39,7 @@ def load_all() -> None:
         reference_ops,
         sql_surface,
         tpch,
+        tpch_ext,
         warehouse,
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
