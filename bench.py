@@ -43,6 +43,12 @@ HEADLINE = [
     "pipe_corpus_curation",       # quality→cap→decontaminate→pack
     "tpch_q1_pricing_summary",    # canonical wide aggregate
     "tpch_q3_shipping_priority",  # 3-way join + global top-k
+    # round-3 wave: graph + exact-kNN + the rest of TPC-H's hardest shapes
+    "graph_pagerank",             # iterative integer PageRank
+    "dedup_cluster_cc_star",      # large-star/small-star CC
+    "sim_knn_join",               # block nested-loop exact kNN join
+    "tpch_q9_product_profit",     # 5-way join + LIKE-pruned dim
+    "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS double decorrelation
 ]
 
 

@@ -1,0 +1,85 @@
+"""Targeted properties for the graph operators beyond the oracle gate.
+
+The parity suite already hash-checks ``graph_pagerank`` and
+``dedup_cluster_cc_star`` against DuckDB; these tests pin the properties
+the oracle can't see — round complexity on adversarially deep graphs and
+rank-mass conservation.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.operators.clustering import (
+    STAR_MAX_ROUNDS,
+    star_components,
+)
+from udacity_data_engineer_capstone_spark.operators.graph import (
+    ITERS,
+    SCALE,
+    graph_pagerank,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_star_cc_deep_chain_logarithmic(spark):
+    """A 64-node path graph has diameter 63 — min-label propagation
+    would need 63 rounds (far beyond its cap), while the star algorithm
+    must collapse it to one star rooted at 0 well inside
+    STAR_MAX_ROUNDS. This is the property that makes it the deep-graph
+    escape hatch."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns -> fail
+        labels, rounds = star_components(pairs)
+        rows = {r["u"]: r["label"] for r in labels.collect()}
+    assert rounds < STAR_MAX_ROUNDS, "chain did not converge early"
+    assert rounds <= 8, f"expected O(log n) rounds on a 64-chain, got {rounds}"
+    assert rows == {i: 0 for i in range(1, n)}
+
+
+def test_star_cc_mixed_components(spark):
+    """Two components + isolated-by-absence nodes: labels must map every
+    non-root to its component minimum and nothing else."""
+    edges = [(10, 20), (20, 30), (5, 7), (7, 5), (30, 10)]
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    labels, _ = star_components(pairs)
+    rows = {r["u"]: r["label"] for r in labels.collect()}
+    assert rows == {20: 10, 30: 10, 7: 5}
+
+
+def test_pagerank_mass_conserved(spark):
+    """Integer PageRank redistributes, never creates, rank mass: the
+    total can only drift below N*SCALE by the per-node truncation of
+    `r DIV deg` and the damping division — bounded by (deg_total + N)
+    micro-units per iteration, i.e. a vanishing fraction of N*SCALE."""
+    ranks = graph_pagerank(spark, SF_DIR)
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pr_rank").alias("total")
+    ).collect()[0]
+    ideal = agg["n"] * SCALE
+    assert agg["total"] <= ideal
+    # truncation loss: < 1% of total mass even after all iterations
+    assert agg["total"] >= ideal * 0.99
+
+
+def test_pagerank_suppliers_concentrate_rank(spark):
+    """Suppliers (odd node ids) are the high-degree side of the
+    bipartite purchase graph — their mean rank must exceed SCALE (mass
+    flows toward hubs), and every rank is positive."""
+    ranks = graph_pagerank(spark, SF_DIR)
+    stats = (
+        ranks.groupBy((F.col("node_id") % 2).alias("side"))
+        .agg(F.avg("pr_rank").alias("mean_rank"), F.min("pr_rank").alias("min_rank"))
+        .collect()
+    )
+    by_side = {int(r["side"]): r for r in stats}
+    assert by_side[1]["mean_rank"] > SCALE  # suppliers are hubs
+    assert all(r["min_rank"] > 0 for r in stats)
+    assert ITERS >= 4  # enough hops for mass to traverse the bipartite graph

@@ -37,6 +37,7 @@ def load_all() -> None:
         formats,
         pipeline,
         reference_ops,
+        sketches,
         sql_surface,
         tpch,
         tpch_ext,
@@ -48,6 +49,7 @@ def load_all() -> None:
         embeddings,
         dedup,
         events,
+        graph,
         multimodal,
         python_udfs,
         similarity,

@@ -143,3 +143,119 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# alternating large-star/small-star (the deep-graph escape hatch)
+# ---------------------------------------------------------------------------
+
+STAR_MAX_ROUNDS = 12
+
+
+def star_components(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star rounds over an undirected pair
+    set (columns ``a_id``, ``b_id``); returns (labels, rounds_used)
+    where labels has (``u``, ``label``) = node → least node of its
+    component, one row per non-root node. See
+    :func:`dedup_cluster_cc_star` for the algorithm account."""
+    # canonical orientation: u = larger endpoint, v = smaller
+    oriented = (
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("u"),
+            F.least("a_id", "b_id").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev: tuple | None = None
+    converged = False
+    rounds = 0
+    for rounds in range(1, STAR_MAX_ROUNDS + 1):
+        # large-star over the symmetric neighbor view
+        sym = oriented.select(
+            F.col("u").alias("s"), F.col("v").alias("d")
+        ).union(oriented.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        nbhd_min = sym.groupBy("s").agg(
+            F.least(F.col("s"), F.min("d")).alias("m")
+        )
+        large = (
+            sym.join(nbhd_min, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.greatest("d", "m").alias("u"), F.least("d", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the larger->smaller orientation
+        small_min = large.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            large.join(small_min, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(small_min.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        oriented = rewired
+        cur = tuple(
+            oriented.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.sum(F.col("u") * F.lit(1000003) + F.col("v")),
+            ).collect()[0]
+        )
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star_components: edge set still changing after "
+            f"{STAR_MAX_ROUNDS} rounds; labels may be non-fixpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    return oriented.groupBy("u").agg(F.min("v").alias("label")), rounds
+
+
+@query("dedup_cluster_cc_star", oracle=_CC_ORACLE, tags=("dedup", "iterative"))
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm min-label propagation falls back to on
+    adversarially deep graphs (a chain of n near-dup docs takes n rounds
+    of label propagation but ~log n star rounds, because each round
+    *rewires* edges toward the component minimum instead of walking one
+    hop).
+
+    large-star: every node connects its larger neighbors to the least
+    member of its neighborhood; small-star does the same for smaller
+    neighbors on the larger->smaller orientation. The fixpoint is a star
+    per component, rooted at the component minimum — so labels fall out
+    of a single group-by. Each half-round is an aggregate + equi-join
+    (hash-width shuffles only); `localCheckpoint` truncates lineage and
+    the convergence witness is a three-scalar checksum, never a data
+    collect. Output is identical to ``dedup_cluster_cc`` (same oracle):
+    doc_id -> least doc_id of its near-dup component."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    labels, _ = star_components(pairs)
+    return (
+        corpus(spark, sf_dir)
+        .select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("u"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )

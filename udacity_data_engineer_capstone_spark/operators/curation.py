@@ -31,7 +31,11 @@ from udacity_data_engineer_capstone_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
 )
-from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
+from udacity_data_engineer_capstone_spark.catalog import (
+    load_table,
+    load_table_scaled,
+    register_views,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 MIN_TOKENS = 20
@@ -302,3 +306,62 @@ def curate_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= GROUP_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture sampling
+# ---------------------------------------------------------------------------
+
+# Target mixture in permille: a head of high-value sources, a mid tier,
+# and a long tail — the shape of a real pretraining recipe.
+_MIX_CASE = """CAST(CASE
+  WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+  WHEN source IN ('src5','src6','src7','src8','src9') THEN 60
+  ELSE 20 END AS BIGINT)"""
+
+# One template, two integer-division spellings (Spark `DIV`, DuckDB `//`)
+# — every other token is shared, so the semantics cannot drift. All
+# arithmetic is exact integer: budget = max feasible corpus size under
+# the mixture (the binding source fully consumed), per-source target =
+# its share of that budget, acceptance rate in permille, and a
+# multiplicative-hash gate on doc_id so the sample is reproducible
+# across runs, partitionings, and engines (same property
+# curate_stratified_sample relies on).
+_MIX_TMPL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s, {_MIX_CASE} AS w_s
+  FROM documents GROUP BY source
+),
+feasible AS (
+  SELECT MIN((n_s * 1000) {{d}} w_s) AS budget FROM counts
+),
+rates AS (
+  SELECT source, n_s, w_s,
+         ((((w_s * budget) {{d}} 1000)) * 1000) {{d}} n_s AS accept_permille
+  FROM counts, feasible
+)
+SELECT /*+ BROADCAST(r) */ d.doc_id, d.source,
+       CAST(r.w_s AS DOUBLE) / 1000 AS target_share,
+       r.accept_permille,
+       CAST(1000 AS DOUBLE) / r.accept_permille AS weight
+FROM documents d
+JOIN rates r ON r.source = d.source
+WHERE (d.doc_id * 2654435761) % 1000 < r.accept_permille
+"""
+
+
+@query(
+    "curate_mixture_weights",
+    oracle=_MIX_TMPL.format(d="//"),
+    tags=("pipeline",),
+)
+def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: downsample every source to a target
+    mixture (head/mid/tail shares) at the maximum feasible corpus size,
+    with inverse-rate weights for loss reweighting. The per-source rate
+    comes from one tiny aggregate (|sources| rows, broadcast back); the
+    gate itself is a pure filter on a multiplicative hash of doc_id —
+    no shuffle of the corpus at all, which is what lets this run as a
+    map-only pass over 100 TB."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_MIX_TMPL.format(d="DIV"))

@@ -444,3 +444,35 @@ def evt_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("converted_click", F.lit(False)).alias("converted_click"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix
+# ---------------------------------------------------------------------------
+
+# One SQL text for both engines. The per-user ORDER BY carries event_id
+# as tiebreak so simultaneous events order identically everywhere.
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("evt_transition_matrix", oracle=_TRANSITION_SQL, tags=("events", "window"))
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the Markov-chain edge weights
+    behind next-action models): LAG over each user's event-time-ordered
+    stream, then a tiny (type x type) count aggregate. One shuffle on
+    user_id for the window sort; the group-by then reduces map-side to
+    at most |types|^2 rows per partition."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_TRANSITION_SQL)

@@ -504,3 +504,114 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ+ADC ANN with the planted-neighbor correctness contract; the
     kernel is :func:`ann_pq_topk`."""
     return _planted_check(ann_pq_topk(spark, sf_dir, _planted_emb(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# exact kNN join (block nested-loop with vectorized kernels)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+_KNN_BLOCKS = 4
+_KNN_SLACK = 4  # per-block-pair candidates kept beyond K (absorbs any
+# last-ulp ranking wobble between the numpy kernel and the exact rerank)
+
+_KNN_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_DOT} / ({_NORM.format(s='q')} * {_NORM.format(s='e')}) AS cos_sim
+  FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= {KNN_K}
+"""
+
+
+@query("sim_knn_join", oracle=_KNN_ORACLE, tags=("similarity", "join"))
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN: every vector finds its top-k
+    cosine neighbors among all others (vs ``sim_topk_bruteforce``'s
+    bounded query set — here *both* sides are the full table).
+
+    Distributed block nested-loop: vectors hash into ``_KNN_BLOCKS``
+    blocks; each of the B² block pairs becomes one ``applyInPandas``
+    group whose kernel is a single numpy matmul emitting the pair's
+    top-(k+slack) candidates — O(n²/B²) work per task, Arrow-batched,
+    never a driver collect. Global winners come from an exact rerank of
+    the ≤ (k+slack)·B candidates per query using the same widened
+    left-fold dot product as the oracle, so the emitted cos_sim is
+    bit-identical to DuckDB's and ranking is deterministic (tie-break on
+    neighbor_id). The n² cost is intrinsic to *exact* kNN — at corpus
+    scale you switch to ``sim_ann_{{lsh,ivf,pq}}``; this operator is the
+    ground-truth those are measured against.
+    """
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    nb = _KNN_BLOCKS
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(nb)], "b1 int, b2 int"
+    )
+    blocked = emb.withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+    lhs = blocked.join(F.broadcast(pairs), F.col("blk") == F.col("b1")).select(
+        "b1", "b2", "vec_id", "v", F.lit("q").alias("role")
+    )
+    rhs = blocked.join(F.broadcast(pairs), F.col("blk") == F.col("b2")).select(
+        "b1", "b2", "vec_id", "v", F.lit("e").alias("role")
+    )
+
+    keep = KNN_K + _KNN_SLACK
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["role"] == "q"]
+        e = pdf[pdf["role"] == "e"]
+        if q.empty or e.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64"}
+            )
+        qm = np.stack(q["v"].to_numpy())
+        em = np.stack(e["v"].to_numpy())
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        en = em / np.linalg.norm(em, axis=1, keepdims=True)
+        sims = qn @ en.T
+        qid = q["vec_id"].to_numpy()
+        eid = e["vec_id"].to_numpy()
+        sims[qid[:, None] == eid[None, :]] = -np.inf  # exclude self
+        k = min(keep, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(qid, k)
+        rows_e = eid[idx.ravel()]
+        valid = sims[np.arange(len(qid))[:, None], idx].ravel() > -np.inf
+        return pd.DataFrame(
+            {"query_id": rows_q[valid], "neighbor_id": rows_e[valid]}
+        )
+
+    cand = (
+        lhs.union(rhs)
+        .groupBy("b1", "b2")
+        .applyInPandas(block_topk, "query_id long, neighbor_id long")
+    )
+    # exact rerank with the oracle's own arithmetic (widened left-fold)
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("ev"))
+    dot = F.expr(
+        "aggregate(zip_with(qv, ev, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    nq = F.sqrt(F.expr("aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    ne = F.sqrt(F.expr("aggregate(transform(ev, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(ev, "neighbor_id")
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .drop("rn")
+    )

@@ -362,3 +362,40 @@ def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
         ).alias("j")
     ).select(F.from_json("j", schema).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink (built-in since Spark 4.0)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@query("src_xml_roundtrip", oracle=_XML_ORACLE, tags=("source", "sink"))
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip over the nation dim using Spark 4's
+    built-in XML data source (``format("xml")`` with ``rowTag``). The
+    read passes an explicit schema — XML schema inference is a second
+    full scan, unaffordable on large feeds. DuckDB cannot read XML, so
+    the oracle runs on the parquet original; equality proves the
+    round-trip is lossless."""
+    d = tempfile.mkdtemp(prefix="engine_src_xml_")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "rowTag", "nation"
+    ).format("xml").save(d)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
