@@ -187,3 +187,43 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         cust.hint("SHUFFLE_HASH"), orders["o_custkey"] == cust["c_custkey"]
     )
     assert "ShuffledHashJoin" in plan_text(hashed)
+
+
+def test_knn_join_no_cartesian(spark, sf_dir):
+    """sim_knn_join must never plan an all-pairs join: the block
+    fan-out is two broadcast joins against the 16-row pair table, the
+    kernel is grouped-map pandas, and the rerank is equi-joins."""
+    df = Q["sim_knn_join"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    assert "FlatMapGroupsInPandas" in text  # the Arrow matmul kernel
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_bloom_prefilter_is_broadcast_and_semi(spark, sf_dir):
+    """join_bloom_prefilter: the word table must broadcast (never
+    shuffle the fact side for the pre-filter) and the exactness pass
+    must be a left-semi join."""
+    df = Q["join_bloom_prefilter"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "LeftSemi" in text
+
+
+def test_mixture_weights_no_corpus_shuffle(spark, sf_dir):
+    """curate_mixture_weights is a map-only pass over the corpus: the
+    per-source rates join is broadcast; the documents scan must not feed
+    a hash-partitioned exchange or a sort-merge join."""
+    df = Q["curate_mixture_weights"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_pagerank_jvm_only(spark, sf_dir):
+    """graph_pagerank's per-iteration dataflow is pure integer column
+    arithmetic — no Python evaluation node anywhere, no cartesian."""
+    df = Q["graph_pagerank"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "CartesianProduct" not in text

@@ -132,3 +132,51 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_e6").cast("double") / F.col("n_vectors") / 1000000,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16
+
+_MRL_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT vec_id,
+         list_sum(list_transform(v[1:{MRL_DIMS}], x -> x * x)) AS ss16,
+         list_sum(list_transform(v, x -> x * x)) AS ss64
+  FROM emb
+)
+SELECT vec_id,
+       CAST({MRL_DIMS} AS INT) AS kept_dims,
+       CASE WHEN ss64 > 0
+            THEN CAST(FLOOR(1000000 * (ss16 / ss64)) AS BIGINT) END
+         AS energy_e6
+FROM sums
+"""
+
+
+@query("emb_matryoshka_energy", oracle=_MRL_ORACLE, tags=("embeddings",))
+def emb_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: the fraction of each vector's
+    L2 energy retained by its first ``MRL_DIMS`` dimensions — the number
+    that tells you whether serving can use the short prefix instead of
+    the full vector. Pure column expressions (slice + widened left-fold
+    sum of squares, one IEEE divide, floor-quantized), so both engines
+    agree bit-for-bit and the op is a map-only pass at any scale."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    fold = "aggregate({0}, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    ss16 = F.expr(fold.format(f"slice(embedding, 1, {MRL_DIMS})"))
+    ss64 = F.expr(fold.format("embedding"))
+    return emb.select(
+        "vec_id",
+        F.lit(MRL_DIMS).cast("int").alias("kept_dims"),
+        F.when(
+            ss64 > 0, F.floor(F.lit(1000000) * (ss16 / ss64)).cast("long")
+        ).alias("energy_e6"),
+    )

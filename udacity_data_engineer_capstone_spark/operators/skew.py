@@ -55,3 +55,93 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+# Rich customers: the selective dim-side predicate the bloom filter
+# carries over to the fact scan.
+_BLOOM_ACCTBAL = 9000
+
+_BLOOM_ORACLE = f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(33,2))
+         AS sum_price
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_ACCTBAL})
+GROUP BY o.o_orderstatus
+"""
+
+
+_BLOOM_BITS = 1 << 20  # 1 Mbit filter = 16 K longs ≈ 128 KB broadcast
+
+
+def _bloom_pos(col: str):
+    """Bit position of a key in the filter: xxhash64 folded into the bit
+    space (pmod handles the signed hash)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(_BLOOM_BITS))
+
+
+@query("join_bloom_prefilter", oracle=_BLOOM_ORACLE, tags=("join", "skew"))
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit bloom-filter runtime pre-filter — the
+    pattern behind Spark's InjectRuntimeFilter (whose
+    ``bloom_filter_agg`` is internal-only), hand-rolled from DataFrame
+    ops so the mechanics are visible and testable.
+
+    Build: the selective dim side hashes each key to a bit position;
+    ``BIT_OR`` over shifted masks assembles a 1 Mbit filter as a 16 K-row
+    (word, mask) table — a pure distributed aggregate, ~128 KB total,
+    broadcast. Probe: the fact side computes the same (word, bit),
+    broadcast-joins the word table, and keeps rows whose bit is set —
+    all *before* the join shuffle, so only matches + false positives
+    ever cross the wire. The exact left-semi join then removes the
+    false positives, making the result row-identical to the plain
+    semi-join — which is precisely what the oracle asserts. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling ~the matching fraction."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > _BLOOM_ACCTBAL)
+        .select("c_custkey")
+    )
+    words = (
+        cust.select(_bloom_pos("c_custkey").alias("bp"))
+        .select(
+            F.expr("bp DIV 64").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bp % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "bp", _bloom_pos("o_custkey")
+    )
+    prefiltered = (
+        orders.withColumn("widx", F.expr("bp DIV 64"))
+        .join(F.broadcast(words), "widx")  # absent word ⇒ no key hashed there
+        .filter(
+            F.expr(
+                "(word & shiftleft(CAST(1 AS BIGINT), CAST(bp % 64 AS INT))) != 0"
+            )
+        )
+        .drop("bp", "widx", "word")
+    )
+    return (
+        prefiltered.join(
+            cust, prefiltered["o_custkey"] == cust["c_custkey"], "left_semi"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(33,2)")
+            .alias("sum_price"),
+        )
+    )
