@@ -49,6 +49,8 @@ HEADLINE = [
     "sim_knn_join",               # block nested-loop exact kNN join
     "tpch_q9_product_profit",     # 5-way join + LIKE-pruned dim
     "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS double decorrelation
+    "graph_triangle_count",       # degree-oriented wedge join
+    "sql_recursive_cte",          # native WITH RECURSIVE ancestor walk
 ]
 
 
@@ -65,6 +67,13 @@ def main() -> None:
     engine.load_all()
     spark = configure(
         SparkSession.builder.master(f"local[{cpus}]").appName("engine-bench")
+        # JDK unified logging (e.g. GCLocker retry warnings) writes to
+        # stdout and could interleave with the single JSON result line the
+        # driver parses — disable it for the bench JVM.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+        # local[32] runs all 32 executor threads inside the driver JVM;
+        # the 1g default heap OOMs on the wider headline set.
+        .config("spark.driver.memory", "16g")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -227,3 +227,44 @@ def test_pagerank_jvm_only(spark, sf_dir):
     text = plan_text(df)
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert "CartesianProduct" not in text
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """graph_triangle_count: degree-oriented wedge counting must stay
+    hash-equi-join land — an all-pairs or nested-loop plan would explode
+    on any skewed graph."""
+    df = Q["graph_triangle_count"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    # The only nested-loop joins allowed are the two 1-row scalar
+    # combines (nodes x edges x triangles) at the very top of the plan;
+    # formatted mode prints each node twice (tree + detail).
+    import re
+
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", text)
+    assert len(bnlj_nodes) <= 2, text
+
+
+def test_count_min_probe_is_broadcast(spark, sf_dir):
+    """agg_count_min: the d*w-cell sketch is KBs — the probe join against
+    it must broadcast, never shuffle the key table."""
+    df = Q["agg_count_min"].fn(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_text(df)
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """curate_reservoir_sample: ORDER BY + LIMIT k must plan as
+    TakeOrderedAndProject (per-task top-k, driver merge) — a global Sort
+    of the corpus would be the 100 TB failure mode."""
+    df = Q["curate_reservoir_sample"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(df)
+
+
+def test_url_dedup_single_shuffle(spark, sf_dir):
+    """dedup_url_canonical: canonicalization is map-side string work; the
+    only exchange in the plan is the final group-by on the canonical
+    key."""
+    df = Q["dedup_url_canonical"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("Exchange") <= 2, text  # partial+final agg pair max
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text

@@ -36,9 +36,11 @@ def load_all() -> None:
         flagship,
         formats,
         pipeline,
+        recursive,
         reference_ops,
         sketches,
         sql_surface,
+        stats,
         tpch,
         tpch_ext,
         warehouse,

@@ -365,3 +365,116 @@ def curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass over 100 TB."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_MIX_TMPL.format(d="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic reservoir sample
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 100
+
+_RESERVOIR_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS STRING))) AS INT)
+         AS sample_rank
+FROM documents
+ORDER BY md5(CAST(doc_id AS STRING))
+LIMIT {_RESERVOIR_K}
+"""
+
+
+@query("curate_reservoir_sample", oracle=_RESERVOIR_ORACLE, tags=("curation",))
+def curate_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-row corpus sample: rank every document by
+    md5(doc_id) — a uniform, seedless, engine-portable permutation —
+    and keep the k smallest. Equivalent to a reservoir sample but
+    reproducible across engines and runs, which is what an eval-set
+    carve-out needs (re-running the pipeline must not resample).
+
+    Scale shape: ORDER BY + LIMIT k plans as TakeOrderedAndProject —
+    each task keeps its local top-k, the driver merges k·tasks rows;
+    the full corpus is never sorted or shuffled. The final rank is a
+    window over the k survivors only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    topk = docs.orderBy("hk").limit(_RESERVOIR_K)
+    w = Window.orderBy("hk")
+    return topk.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+# Noisy-but-equivalent URL per document: pairs of consecutive doc_ids
+# share a target page (doc_id DIV 2) but carry different surface noise —
+# www. prefix + tracking params, uppercased host, or a trailing slash.
+# The host keeps the page owner's source so the pair only collapses when
+# both docs share a source (realistic: different sites are different
+# pages). Shared SQL text: runs verbatim in Spark and DuckDB.
+_URL_NOISY = """
+CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN 'https://www.' || source || '.example.com/page/'
+              || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS STRING)
+              || '?utm_source=feed&ref=rss'
+  WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/page/'
+              || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS STRING)
+  ELSE 'https://' || source || '.example.com/page/'
+       || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS STRING) || '/'
+END
+"""
+
+# scheme off; host lowercased, www. stripped; query string and trailing
+# slash dropped. Path case is preserved (paths are case-sensitive; only
+# scheme+host are case-insensitive per RFC 3986).
+_URL_CANON_TMPL = """
+WITH noisy AS (
+  SELECT doc_id, {url_expr} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS base
+  FROM noisy
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(split_part(base, '/', 1)), '^www[.]', '')
+         || regexp_replace(
+              regexp_replace(substr(base, length(split_part(base, '/', 1)) + 1),
+                             '[?].*$', ''),
+              '/$', '')
+           AS canonical_url
+  FROM parts
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=_URL_CANON_TMPL.format(url_expr=_URL_NOISY),
+    tags=("dedup", "curation"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-crawl
+    pipeline: the same page arrives as ``https://www.x.com/p?utm=…``,
+    ``HTTPS://X.COM/p`` and ``x.com/p/``; canonicalize (case-fold
+    scheme+host, strip ``www.``, drop tracking query params and the
+    trailing slash — path case preserved per RFC 3986) and keep one doc
+    per canonical URL. Pure string expressions → map-side, with one
+    hash-width shuffle on the canonical key; the oracle runs the
+    identical SQL text, so the transform chain is verified
+    character-for-character."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_URL_CANON_TMPL.format(url_expr=_URL_NOISY))

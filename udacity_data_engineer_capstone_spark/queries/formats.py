@@ -399,3 +399,57 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(d)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+# The oracle rebuilds every extracted field from the ground-truth columns
+# the JSON was constructed from (fn_url_parse pattern) — the VARIANT
+# parse/extract path is verified against reality, not another parser.
+_VARIANT_ORACLE = """
+SELECT event_id,
+       event_type AS vtype,
+       user_id AS first_val,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       CAST(NULL AS VARCHAR) AS missing_field
+FROM events
+"""
+
+
+@query("fn_variant_extract", oracle=_VARIANT_ORACLE, tags=("scalar", "json"))
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: each event's typed columns are
+    serialized to a JSON document (nested object + array), parsed once
+    with ``parse_json`` into the binary VARIANT encoding, and fields are
+    pulled back out with typed ``variant_get`` JSON-path extraction —
+    the schema-on-read primitive for heterogeneous event payloads where
+    declaring a full struct schema up front is impossible. A miss path
+    returns NULL rather than erroring. VARIANT keeps the parse cost to
+    one pass per document and every extraction JVM-side — no Python, no
+    per-field re-parse of the JSON text."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.array("user_id", "event_id").alias("vals"),
+            ).alias("meta"),
+        )
+    )
+    parsed = ev.select(
+        "event_id",
+        F.parse_json(doc).alias("v"),
+        F.parse_json("props").alias("pk"),
+    )
+    return parsed.select(
+        "event_id",
+        F.expr("variant_get(v, '$.meta.type', 'string')").alias("vtype"),
+        F.expr("variant_get(v, '$.meta.vals[0]', 'bigint')").alias("first_val"),
+        F.expr("variant_get(pk, '$.k', 'int')").alias("k_val"),
+        F.expr("variant_get(v, '$.meta.absent', 'string')").alias(
+            "missing_field"
+        ),
+    )

@@ -22,8 +22,9 @@ approximate or bitwise aggregates — extension surface (SURVEY §6).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # lgConfigK = 14 -> relative standard error ~0.81%; the 5% gate below is
@@ -100,3 +101,227 @@ def agg_bitwise_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group to shuffle."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_BITWISE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hand-rolled count-min sketch (bit-identical in both engines)
+# ---------------------------------------------------------------------------
+
+_CM_D = 3  # hash rows
+_CM_W = 256  # buckets per row
+
+# Portable hex digit -> value: instr/strpos are 1-based in both engines.
+# bucket_i(key) = (hexval(h1)*16 + hexval(h2)) of md5('cm<i>:' || key),
+# i.e. the first byte of the digest — 0..255, identical text both sides.
+
+
+def _bucket_sql(i: int, key: str) -> str:
+    h = f"md5(concat('cm{i}:', CAST({key} AS STRING)))"
+    return (
+        f"(instr('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    )
+
+
+def _bucket_duck(i: int, key: str) -> str:
+    h = f"md5('cm{i}:' || CAST({key} AS VARCHAR))"
+    return (
+        f"(strpos('0123456789abcdef', substring({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1)"
+    )
+
+
+def _cm_oracle() -> str:
+    probes = "\nUNION ALL\n".join(
+        f"SELECT cust_key, exact_cnt, {d} AS d, "
+        f"{_bucket_duck(d, 'cust_key')} AS bucket FROM keys"
+        for d in range(_CM_D)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {_bucket_duck(d, 'cust_key')} AS bucket, "
+        f"exact_cnt FROM keys"
+        for d in range(_CM_D)
+    )
+    return f"""
+WITH keys AS (
+  SELECT o_custkey AS cust_key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY o_custkey
+),
+sketch AS (
+  SELECT d, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+  FROM ({rows}) GROUP BY d, bucket
+),
+est AS (
+  SELECT p.cust_key, p.exact_cnt, CAST(MIN(s.cnt) AS BIGINT) AS est_cnt
+  FROM ({probes}) p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY p.cust_key, p.exact_cnt
+)
+SELECT cust_key, exact_cnt, est_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@query("agg_count_min", oracle=_cm_oracle(), tags=("agg", "sketch"))
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, hand-rolled from DataFrame
+    ops so the mechanics are visible and the result is bit-identical in
+    both engines (md5-derived buckets — no engine-private hash). Build:
+    per-key counts fold into a d×w integer grid (d=3 rows, w=256
+    buckets) — a fixed ~768-cell aggregate regardless of corpus size,
+    the mergeable map-side structure that makes CMS the streaming
+    heavy-hitter sketch. Probe: each key reads its d cells and takes the
+    min. CMS guarantees est ≥ exact (``overcount`` is provably ≥ 0 —
+    a structural property the oracle verifies exactly, not a tolerance
+    band).
+
+    Scale shape: the only full-width shuffle is the initial per-key
+    count; the sketch itself is w·d cells and the probe joins against it
+    broadcast-size. At 100 TB the grid widens (w ∝ 1/ε) but stays KBs."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        orders.groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .localCheckpoint(eager=False)  # reused: build + probe
+    )
+    rows = None
+    for d in range(_CM_D):
+        part = keys.select(
+            F.lit(d).alias("d"),
+            F.expr(_bucket_sql(d, "cust_key")).alias("bucket"),
+            "exact_cnt",
+        )
+        rows = part if rows is None else rows.union(part)
+    sketch = rows.groupBy("d", "bucket").agg(
+        F.sum("exact_cnt").cast("long").alias("cnt")
+    )
+    probes = None
+    for d in range(_CM_D):
+        part = keys.select(
+            "cust_key",
+            "exact_cnt",
+            F.lit(d).alias("d"),
+            F.expr(_bucket_sql(d, "cust_key")).alias("bucket"),
+        )
+        probes = part if probes is None else probes.union(part)
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("cust_key", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+    return est.select(
+        "cust_key",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distinct via bitmap aggregates (Spark 3.5+ bitmap functions)
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "sketch"))
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via Spark's bitmap aggregate family:
+    keys fold into 32 KB roaring-style bitmap segments per
+    (group, bucket) — ``bitmap_construct_agg(bitmap_bit_position(k))``
+    — then ``bitmap_count`` sums bits per group. Unlike HLL this is
+    EXACT, so the oracle is a plain COUNT(DISTINCT); unlike
+    COUNT(DISTINCT) the shuffle carries fixed-size bitmaps instead of
+    every distinct value — the warehouse pattern for distinct-heavy
+    rollups over high-cardinality keys at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    seg = orders.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        )
+    )
+    return seg.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-minimum-values (KMV / theta-style) distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_HEX_DIGITS = 6  # 24-bit hash values: plenty of headroom above k
+
+
+def _hex_int_sql(h: str, pos_fn: str) -> str:
+    """hex-prefix -> integer with identical 1-based ``instr``/``strpos``
+    arithmetic in both engines (no ``conv`` in DuckDB, no ``from_hex``
+    int in Spark)."""
+    terms = [
+        f"({pos_fn}('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_KMV_HEX_DIGITS - 1 - i)}"
+        for i in range(_KMV_HEX_DIGITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _kmv_sql(pos_fn: str, div: str) -> str:
+    h = "md5(concat('kmv:', CAST(user_id AS STRING)))"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_hex_int_sql(h, pos_fn)} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM hashed
+),
+kth AS (
+  SELECT event_type, hv AS kth_hv FROM ranked WHERE rk = {_KMV_K}
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       e.exact_distinct,
+       CAST(({_KMV_K} - 1) * {16 ** _KMV_HEX_DIGITS} {div} k.kth_hv AS BIGINT)
+         AS kmv_estimate,
+       CAST(ABS(CAST(({_KMV_K} - 1) * {16 ** _KMV_HEX_DIGITS} {div} k.kth_hv AS BIGINT)
+                - e.exact_distinct) <= CAST(0.5 * e.exact_distinct AS BIGINT)
+            AS BOOLEAN) AS within_50pct
+FROM exact e JOIN kth k ON k.event_type = e.event_type
+"""
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=_kmv_sql("strpos", "//"),
+    tags=("agg", "sketch"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (the theta-sketch primitive):
+    hash every key with md5, keep the k smallest distinct hash values per
+    group, and estimate distinct = (k-1) * H / h_(k) where H is the hash
+    space size. Because the hash is md5 (not an engine-private function),
+    the ESTIMATE ITSELF is bit-identical in both engines — the oracle
+    checks the approximate value exactly, plus the exact distinct count
+    and a 2-sigma-ish error-band boolean (k=64 -> RSE ~ 1/sqrt(62) ~ 13%).
+
+    Scale shape: the per-group state is k 24-bit integers regardless of
+    cardinality — mergeable map-side like HLL but with exact set-ops
+    composability (union = merge bottom-k, intersect via inclusion-
+    exclusion on theta). The window is over ≤ distinct-hash rows per
+    group; the heavy lifting (DISTINCT on (group, hash)) is one
+    hash-width shuffle with partial aggregation."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_kmv_sql("instr", "DIV"))

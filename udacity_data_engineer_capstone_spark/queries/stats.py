@@ -1,0 +1,187 @@
+"""Hypothesis-test statistics over the corpus: Welch's t-test and a
+chi-square independence test, computed distributively from EXACT integer
+moments.
+
+The reference has no statistics at all (its 269-line ETL never aggregates
+beyond COUNT, ``/root/reference/etl.py:159-221``); this is extension
+surface for the data-quality side of a curation pipeline — "did source A
+drift from source B", "is event mix independent of user cohort" are the
+questions a 100 TB corpus refresh has to answer before shipping.
+
+Cross-engine determinism: every sum is over INTEGER values (text lengths,
+cell counts), so partial aggregation is fold-order-exact; the final
+statistic is then a fixed tree of IEEE-754 double ops (+,-,*,/,sqrt are
+all correctly-rounded per the standard, hence bit-identical in Spark and
+DuckDB given identical inputs). Where a statistic sums per-cell DOUBLE
+contributions (chi-square), each contribution is quantized to an integer
+first so the sum is again fold-order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test: doc length, per source pair vs source 'src0'
+# ---------------------------------------------------------------------------
+
+# Shared SQL text (runs verbatim in Spark and DuckDB). Sample variance
+# from exact integer power sums: v = (n*ss - s^2) / (n*(n-1)), evaluated
+# as one double division of two exact BIGINT products. At petabyte row
+# counts the BIGINT products would need DECIMAL(38,0) widening; the
+# shape (two exact partial sums per group) is unchanged.
+_TTEST_SQL = """
+WITH moments AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(length(text)) AS BIGINT) AS s,
+         CAST(SUM(CAST(length(text) AS BIGINT) * length(text)) AS BIGINT) AS ss
+  FROM documents
+  GROUP BY source
+),
+stats AS (
+  SELECT source, n, s, ss,
+         CAST(s AS DOUBLE) / n AS mean_len,
+         CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS BIGINT)
+           AS var_len
+  FROM moments
+),
+base AS (
+  SELECT * FROM stats WHERE source = 'src0'
+)
+SELECT o.source,
+       o.n AS n_other,
+       b.n AS n_base,
+       o.mean_len AS mean_other,
+       b.mean_len AS mean_base,
+       (o.mean_len - b.mean_len)
+         / sqrt(o.var_len / o.n + b.var_len / b.n) AS t_stat
+FROM stats o CROSS JOIN base b
+WHERE o.source <> 'src0'
+"""
+
+
+@query("stat_welch_ttest", oracle=_TTEST_SQL, tags=("stats",))
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of document length, every source
+    against the 'src0' baseline — the drift detector a corpus refresh
+    runs per ingest source. One hash aggregate computes exact integer
+    moments (n, Σx, Σx²) per source; the t statistic is a fixed
+    double-precision expression over those exact sums, so the value is
+    bit-identical across engines and partitionings. The baseline row is
+    a 1-row broadcast to every comparison."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_TTEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence: event_type x user-id parity
+# ---------------------------------------------------------------------------
+
+# Per-cell contributions (obs-exp)^2/exp are doubles; quantizing each to
+# an integer (floor * 1e9) before the final sum keeps the total
+# fold-order-exact. dof = (levels(type)-1) * (levels(cohort)-1).
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events
+  GROUP BY event_type, user_id % 2
+),
+tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells
+),
+margins AS (
+  SELECT c.event_type, c.cohort, c.obs,
+         CAST(SUM(c.obs) OVER (PARTITION BY c.event_type) AS BIGINT) AS row_tot,
+         CAST(SUM(c.obs) OVER (PARTITION BY c.cohort) AS BIGINT) AS col_tot
+  FROM cells c
+),
+contrib AS (
+  SELECT m.event_type, m.cohort,
+         CAST(floor(
+           (CAST(m.obs AS DOUBLE)
+              - CAST(m.row_tot AS DOUBLE) * m.col_tot / t.n)
+           * (CAST(m.obs AS DOUBLE)
+              - CAST(m.row_tot AS DOUBLE) * m.col_tot / t.n)
+           / (CAST(m.row_tot AS DOUBLE) * m.col_tot / t.n)
+           * 1000000000) AS BIGINT) AS q_contrib
+  FROM margins m CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SELECT COUNT(DISTINCT event_type) FROM cells) - 1 AS BIGINT)
+         * ((SELECT COUNT(DISTINCT cohort) FROM cells) - 1) AS dof,
+       CAST(SUM(q_contrib) AS BIGINT) AS chi2_nano
+FROM contrib
+"""
+
+
+@query("stat_chi2_independence", oracle=_CHI2_SQL, tags=("stats",))
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs user-id parity
+    cohort (an A/B-split sanity check: event mix should be independent
+    of the hash cohort). Contingency cells come from one exact hash
+    aggregate; expected counts from window-computed margins over the
+    |types|x|cohorts| cell table (tiny — window cost is nil); each
+    cell's (obs-exp)^2/exp is quantized to nano-units before summing so
+    the statistic is deterministic under any partitioning."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CHI2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# OLS simple regression from exact moments
+# ---------------------------------------------------------------------------
+
+# x = whitespace token count, y = character length, per source. All five
+# power sums are exact BIGINTs; slope/intercept/r2 are then fixed trees
+# of IEEE double ops — deterministic under any partitioning. The token
+# count reuses the whitespace tokenizer contract from text_tokens
+# (split on runs of whitespace).
+_OLS_SQL = """
+WITH obs AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS x,
+         CAST(length(text) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM obs
+  GROUP BY source
+)
+SELECT source, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT)
+         AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS BIGINT)) * sx) / n
+         AS intercept,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(n * sxy - sx * sy AS BIGINT)
+         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS BIGINT))
+         AS r2
+FROM m
+"""
+
+
+@query("stat_ols_regression", oracle=_OLS_SQL, tags=("stats",))
+def stat_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source simple linear regression (char length ~ token count) —
+    the chars-per-token fit that flags machine-generated or boilerplate
+    sources in a corpus audit. One exact hash aggregate produces the
+    five integer power sums; slope, intercept, and r² are fixed
+    double-precision expressions over them, bit-identical cross-engine.
+    Map-side combine does the heavy lifting; output is |sources| rows."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_OLS_SQL)
