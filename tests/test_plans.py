@@ -268,3 +268,22 @@ def test_url_dedup_single_shuffle(spark, sf_dir):
     text = plan_text(df)
     assert text.count("Exchange") <= 2, text  # partial+final agg pair max
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_udtf_chunk_is_narrow_map(spark, sf_dir):
+    """udtf_chunk_text: the UDTF expansion is per-row — the plan must
+    contain no Exchange (chunking 100 TB of documents is a pure map)."""
+    df = Q["udtf_chunk_text"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "Exchange" not in text, text
+
+
+def test_cdc_upsert_single_key_shuffle(spark, sf_dir):
+    """cdc_upsert_log: snapshot ∪ log resolves with ONE hash shuffle on
+    the business key for the ranking window."""
+    df = Q["cdc_upsert_log"].fn(spark, sf_dir)
+    text = plan_text(df)
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", text)
+    assert len(exchanges) == 1, text

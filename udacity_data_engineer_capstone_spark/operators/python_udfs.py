@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # Cross-engine bit-exactness without rounding: values quantize to exact
@@ -119,4 +119,62 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: fixed-size text chunking (Spark 4 table function)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 20
+
+# The oracle rebuilds the chunking relationally: words with subscripts,
+# grouped by (i-1) // chunk_size, re-joined in order. Same tokens, same
+# boundaries, same text — so the UDTF's row expansion is verified
+# value-exact, not just by row count.
+_CHUNK_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, u.w, u.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i) u
+)
+SELECT doc_id, CAST((i - 1) // {_CHUNK_TOKENS} AS INT) AS chunk_idx,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(COUNT(*) AS INT) AS n_tokens
+FROM words
+GROUP BY doc_id, (i - 1) // {_CHUNK_TOKENS}
+"""
+
+
+@query("udtf_chunk_text", oracle=_CHUNK_ORACLE, tags=("udf", "python", "text"))
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking as a Spark 4 Python UDTF — the
+    embedding-prep primitive (one row in, N chunk rows out, each ≤ 20
+    whitespace tokens). A UDTF is the right shape when the expansion
+    logic is imperative (overlap windows, sentence packing, markup-aware
+    splits live here later); for THIS plain fixed-size split a lateral
+    posexplode would also do — the op exists to pin the UDTF machinery
+    end-to-end against a relational oracle.
+
+    Scale shape: the UDTF is a narrow per-row map (no shuffle, no
+    state); each worker expands its partition's rows independently and
+    the output inherits the input partitioning."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for ci in range(0, len(toks), _CHUNK_TOKENS):
+                chunk = toks[ci : ci + _CHUNK_TOKENS]
+                yield ci // _CHUNK_TOKENS, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM documents d, LATERAL chunk_text(d.text) c"
     )

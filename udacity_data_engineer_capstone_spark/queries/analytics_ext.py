@@ -255,3 +255,98 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COUNT(*) {frame} AS n_in_band",
         f"SUM(o_custkey) {frame} AS custkey_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+# Shared SQL text. Ordering ties inside one value-block cannot move the
+# crossing value (the block's cumulative total is order-free), and the
+# weights sum in exact decimal, so the result is deterministic at any
+# parallelism.
+_WMEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, v, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(v) AS DOUBLE) AS weighted_median_price
+FROM c
+WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_SQL, tags=("agg", "stats"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the
+    robust-statistics sibling of percentile_cont that none of the
+    built-in aggregates cover (approx_percentile has no weights). One
+    sort-window pass accumulates weights; the median is the smallest
+    value whose cumulative weight crosses half the total. Weights sum
+    in exact integers, so the crossing point is deterministic; the sort
+    is per-group (RangePartitioning on the window key), never global."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_WMEDIAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pivot -> unpivot round-trip
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+# The oracle is the LONG form computed directly — the pivot/unpivot pair
+# must be the identity on it (absent combinations never materialize:
+# unpivoted NULL cells are filtered, matching the long-form group-by).
+_UNPIVOT_ORACLE = """
+SELECT c_nationkey, c_mktsegment AS segment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query("agg_unpivot_roundtrip", oracle=_UNPIVOT_ORACLE, tags=("agg",))
+def agg_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via Spark's native ``unpivot`` (ANSI UNPIVOT
+    semantics), proven as the exact inverse of a ``pivot``: per-nation
+    account balances pivot into one column per market segment and
+    unpivot back to (nation, segment, total) rows equal to the direct
+    long-form aggregate. The pivot list is explicit (never inferred via
+    a distinct scan), so the plan is a single aggregate with a fixed
+    column fan-out — the reshape itself is map-side metadata, no extra
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    wide = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.sum("bal"))
+    )
+    return (
+        wide.unpivot(
+            ids=["c_nationkey"],
+            values=_SEGMENTS,
+            variableColumnName="segment",
+            valueColumnName="total_dec",
+        )
+        .filter(F.col("total_dec").isNotNull())
+        .select(
+            "c_nationkey",
+            "segment",
+            F.col("total_dec").cast("double").alias("total_acctbal"),
+        )
+    )

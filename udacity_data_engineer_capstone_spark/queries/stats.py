@@ -185,3 +185,87 @@ def stat_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side combine does the heavy lifting; output is |sources| rows."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_OLS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (ntile)
+# ---------------------------------------------------------------------------
+
+# Total order (price, orderkey) makes ntile assignment deterministic;
+# decimal min/max avoid float drift. Shared SQL text.
+_EQUIDEPTH_SQL = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderkey,
+         ntile(4) OVER (PARTITION BY o_orderstatus
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+           AS bucket
+  FROM orders
+)
+SELECT o_orderstatus, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(price) AS DOUBLE) AS lo,
+       CAST(MAX(price) AS DOUBLE) AS hi
+FROM t
+GROUP BY o_orderstatus, bucket
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_SQL, tags=("agg", "stats"))
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order value per status —
+    the optimizer-statistics shape (equal mass per bucket, data-driven
+    bounds) vs the equi-width `agg_value_histogram`. ntile over a TOTAL
+    order (value, key) is deterministic; per-group range partitioning
+    sorts each status's orders once, and bucket bounds come from a
+    follow-up hash aggregate. At 100 TB the same result comes cheaper
+    from approx_percentile bounds — this op is the exact reference."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_EQUIDEPTH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# join-skew diagnostics (the "do I need to salt?" pre-flight)
+# ---------------------------------------------------------------------------
+
+# Group sizes are exact BIGINTs; the share/ratio outputs are single
+# IEEE divisions of exact integers — deterministic. Shared SQL text.
+_SKEWDIAG_SQL = """
+WITH sizes AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM sizes
+),
+p99 AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS p99_cnt
+  FROM (
+    SELECT cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, cnt) AS rk,
+           COUNT(*) OVER () AS n
+    FROM sizes
+  ) r
+  WHERE rk <= CAST(ceil(n * 0.01) AS BIGINT)
+)
+SELECT s.n_keys, s.n_rows, s.max_cnt, p.p99_cnt,
+       CAST(s.max_cnt AS DOUBLE) / s.n_rows AS top_key_share,
+       CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows AS skew_factor
+FROM stats s CROSS JOIN p99 p
+"""
+
+
+@query("stat_join_skew_diag", oracle=_SKEWDIAG_SQL, tags=("stats", "skew"))
+def stat_join_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for orders.o_custkey: hottest-key row
+    share, p99 group size, and skew factor (max/mean group ratio) — the
+    numbers that decide between a plain shuffle join, AQE skew split,
+    or explicit salting (`join_salted_skew`). One hash aggregate for
+    group sizes, scalar rollups after; nothing driver-side. skew_factor
+    ~ 1 means uniform; >> 1 means the hottest reducer owns the job."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SKEWDIAG_SQL)

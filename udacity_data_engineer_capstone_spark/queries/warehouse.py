@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -174,3 +174,74 @@ def act_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nulls == 0).alias("passed"),
     )
     return rowcount.unionAll(pk_unique).unionAll(orphans).unionAll(null_rate)
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert: replay a change log into current state (type-1 merge)
+# ---------------------------------------------------------------------------
+
+# Deterministic multi-batch change log over the orders snapshot:
+#   seq 1: every 7th key updates status; seq 2: every 5th key (mod 2)
+#   deletes, plus net-new keys above 2M insert; seq 3: a subset of the
+#   seq-1 keys updates AGAIN (the double-update is what makes
+#   last-writer-wins observable). Shared SQL text for both engines.
+_CDC_SQL = """
+WITH snapshot AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         0 AS seq, 'I' AS op
+  FROM orders
+),
+log AS (
+  SELECT o_orderkey, 'U1' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DECIMAL(18,2))
+           AS o_totalprice,
+         1 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         2 AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 5 = 2
+  UNION ALL
+  SELECT o_orderkey + 2000000 AS o_orderkey, 'NEW' AS o_orderstatus,
+         CAST(1.00 AS DECIMAL(18,2)) AS o_totalprice, 2 AS seq, 'I' AS op
+  FROM orders WHERE o_orderkey % 11 = 4
+  UNION ALL
+  SELECT o_orderkey, 'U3' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 20 AS DECIMAL(18,2))
+           AS o_totalprice,
+         3 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
+),
+unioned AS (
+  SELECT * FROM snapshot UNION ALL SELECT * FROM log
+),
+ranked AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, seq, op,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(seq AS INT) AS last_seq
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("cdc_upsert_log", oracle=_CDC_SQL, tags=("pipeline", "sink"))
+def cdc_upsert_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture replay: fold a multi-batch I/U/D change log
+    into current state with last-writer-wins (type-1) semantics — what a
+    MERGE INTO loop does in Delta/Iceberg, expressed as one ranked
+    window over snapshot ∪ log. Batch sequence numbers (not wall-clock)
+    version the writes, so replay is deterministic and idempotent.
+
+    Scale shape: one hash shuffle on the business key; the per-key
+    window sees only that key's versions (snapshot row + its log
+    entries), so state is bounded by update multiplicity, never table
+    size. Deletes ride the same path as a tombstone op filtered at the
+    end — no separate anti-join pass."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CDC_SQL)
