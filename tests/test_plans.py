@@ -287,3 +287,23 @@ def test_cdc_upsert_single_key_shuffle(spark, sf_dir):
 
     exchanges = re.findall(r"\(\d+\) Exchange", text)
     assert len(exchanges) == 1, text
+
+
+def test_tfidf_broadcasts_corpus_stats(spark, sf_dir):
+    """text_tfidf_topterms: the vocabulary-sized df table and the 1-row
+    N must broadcast back onto the token stream — a shuffle join on the
+    term would move the whole corpus twice."""
+    df = Q["text_tfidf_topterms"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_lm_logprob_no_python_workers(spark, sf_dir):
+    """text_lm_logprob: LM training + scoring is all builtin exprs —
+    no Python evaluation anywhere in the plan, and the vocabulary join
+    is a broadcast."""
+    df = Q["text_lm_logprob"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text

@@ -54,6 +54,7 @@ def load_all() -> None:
         graph,
         multimodal,
         python_udfs,
+        retrieval,
         similarity,
         skew,
         text,

@@ -476,3 +476,49 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most |types|^2 rows per partition."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_TRANSITION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# event-rate anomaly detection (z-score per minute bucket)
+# ---------------------------------------------------------------------------
+
+# Per-type moments are exact BIGINTs; mean/sd/z are a fixed tree of
+# IEEE-correctly-rounded ops (casts, +,-,*,/, sqrt), so z is
+# bit-identical cross-engine and the |z| > 3 cut is deterministic.
+# Shared SQL text for both engines.
+_ANOMALY_SQL = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('minute', ts)
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM buckets GROUP BY event_type
+)
+SELECT b.event_type, b.minute, b.c AS n_events,
+       (b.c - CAST(m.s AS DOUBLE) / m.n)
+         / nullif(sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                       / (m.n - 1)), 0) AS z
+FROM buckets b JOIN m ON b.event_type = m.event_type AND m.n > 1
+WHERE abs((b.c - CAST(m.s AS DOUBLE) / m.n)
+          / nullif(sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+                        / (m.n - 1)), 0)) > 3
+"""
+
+
+@query("evt_anomaly_zscore", oracle=_ANOMALY_SQL, tags=("events", "stats"))
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute event-rate anomalies: minutes whose event count sits
+    more than 3 sample standard deviations from that event type's mean
+    rate — the traffic-spike/outage detector over the event stream. Two
+    hash aggregates (minute buckets, then per-type moments; both reduce
+    map-side) and a broadcast-sized join back onto the bucket table.
+    The z expression is a fixed tree of correctly-rounded IEEE ops over
+    exact integer moments, so the 3-sigma cut is deterministic — no
+    float-fold drift can flip a row in or out."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ANOMALY_SQL)

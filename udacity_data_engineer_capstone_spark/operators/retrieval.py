@@ -1,0 +1,287 @@
+"""Lexical retrieval scoring over the ``documents`` table: TF-IDF,
+BM25, and unigram language-model log-probability (north-star extension;
+the reference has no text surface — SURVEY §2.8).
+
+These are the ranking/quality primitives of a training-data pipeline:
+TF-IDF surfaces each document's most characteristic terms, BM25 ranks
+documents against a query, and the unigram LM log-probability is the
+cheapest fluency/perplexity filter (documents far below the corpus LM
+are boilerplate or noise).
+
+Cross-engine determinism: term/document frequencies and lengths are
+exact BIGINTs from hash aggregates. The only transcendental is ``ln``,
+which is NOT correctly rounded and can differ between JVM ``Math.log``
+and libm in the last ulp — so every log-bearing score is quantized to
+micro-units (``floor(x * 1e6)``) where a 1-ulp input wobble is ~1e-9 of
+the grid step and cannot straddle a boundary on real data. All other
+ops in the score trees (int→double casts, division, multiplication)
+are IEEE-correctly-rounded, hence bit-identical.
+
+Scale shape: tokenize = narrow per-row explode (no shuffle); the corpus
+statistics (df table, vocabulary counts) are one hash aggregate whose
+result is vocabulary-sized — tiny next to the corpus — and re-enter the
+per-token stream via a broadcast-sized equi-join on the term. Nothing
+here is quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import (
+    load_table_scaled,
+    register_views,
+)
+from udacity_data_engineer_capstone_spark.registry import query
+
+# Whitespace tokenizer contract shared with text_tokens (operators/text.py):
+# split on runs of whitespace, lowercase.
+_TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+)
+"""
+
+# micro-quantization grid for log-bearing scores (see module docstring)
+_MICRO = 1_000_000
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-5 characteristic terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH {_TOKENS_CTE},
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tokens GROUP BY term
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tokens),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * {_MICRO})
+              AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf_micro
+FROM ranked WHERE rk <= 5
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("text", "retrieval"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by TF-IDF — the classic "what is this
+    document about" signal. tf and df come from two hash aggregates over
+    the exploded token stream; idf re-enters via an equi-join on term
+    (the df table is vocabulary-sized → Spark broadcasts it); the per-doc
+    top-5 is a WindowGroupLimit-pushed rank. Scores are micro-quantized
+    BIGINTs so the ln() is deterministic cross-engine; ties break on the
+    term string for a total order."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tokens.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * _MICRO
+            ).alias("tfidf_micro"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25: rank documents against a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH {_TOKENS_CTE},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens
+  WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * dl.dl * c.n_docs / CAST(c.total_len AS DOUBLE)))
+           * {_MICRO}) AS BIGINT) AS c_micro
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro,
+       CAST(COUNT(*) AS INT) AS n_matched_terms
+FROM contrib
+GROUP BY doc_id
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE, tags=("text", "retrieval"))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2 b=0.75) scores for the fixed query
+    {spark, query, join} — full-text search ranking as one pass: doc
+    lengths and corpus totals from hash aggregates, query-term tf from a
+    filtered aggregate (the IN-list prunes the token stream before the
+    shuffle), per-term contributions micro-quantized then summed
+    per-document in exact integers. The df/corpus sides are tiny and
+    broadcast; cost is ∝ corpus tokens, dominated by the tokenize map."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+                * _MICRO
+            ).alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c_micro").alias("bm25_micro"),
+        F.count("*").cast("int").alias("n_matched_terms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM log-probability (the perplexity filter)
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH {_TOKENS_CTE},
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokens GROUP BY term
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+tok_lp AS (
+  SELECT t.doc_id,
+         CAST(floor(ln(CAST(v.cnt AS DOUBLE) / tt.total) * {_MICRO})
+              AS BIGINT) AS lp_micro
+  FROM tokens t JOIN vocab v USING (term) CROSS JOIN total tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+       CAST(SUM(lp_micro) AS DOUBLE) / ({_MICRO} * COUNT(*))
+         AS avg_logprob
+FROM tok_lp
+GROUP BY doc_id
+"""
+
+
+@query("text_lm_logprob", oracle=_LM_ORACLE, tags=("text", "retrieval", "quality"))
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model log-probability per document — the
+    perplexity-style fluency filter: train the LM (term→count) on the
+    corpus itself in one hash aggregate, then score every token via an
+    equi-join on term and sum per document. Per-token log-probs are
+    micro-quantized BIGINTs, so the per-doc sum is exact integer
+    arithmetic — deterministic under any partitioning and fold order
+    (a float sum of 60k logs would NOT be). The vocabulary is tiny
+    relative to the corpus and broadcasts; everything else is the
+    token-stream map plus one per-doc aggregate."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    vocab = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    tok_lp = (
+        tokens.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total")) * _MICRO
+            ).alias("lp_micro"),
+        )
+    )
+    return tok_lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp_micro").alias("logprob_micro"),
+        (
+            F.sum("lp_micro").cast("double") / (F.lit(_MICRO) * F.count("*"))
+        ).alias("avg_logprob"),
+    )

@@ -453,3 +453,49 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_field"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: mergeSchema over parquet batches written months apart
+# ---------------------------------------------------------------------------
+
+# Batch 1 (even orderkeys) predates the o_orderstatus column; batch 2
+# (odd orderkeys) has it. The oracle reconstructs the evolved view from
+# the original table: status is NULL exactly for batch-1 rows. Sums run
+# in exact decimal so fold order cannot drift.
+_EVOLVE_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+"""
+
+
+@query("src_schema_evolution", oracle=_EVOLVE_ORACLE, tags=("source", "sink"))
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches with different
+    schemas (the second adds ``o_orderstatus``) land in one dataset and
+    are read back with ``mergeSchema=true`` — the day-2 reality of any
+    long-lived lake table. Rows from the pre-evolution batch surface
+    the new column as NULL; the aggregate groups on it to prove the
+    merged schema, not just the row union. At scale, mergeSchema's
+    footer reconciliation is a metadata operation (per-file, no data
+    rewrite) — exactly why additive evolution is the cheap path."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="engine_src_evolve_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(d + "/batch=1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        d + "/batch=1", d + "/batch=2"
+    )
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

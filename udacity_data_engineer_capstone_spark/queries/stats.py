@@ -269,3 +269,56 @@ def stat_join_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~ 1 means uniform; >> 1 means the hottest reducer owns the job."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SKEWDIAG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov test (pure integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# D = sup |ECDF_a - ECDF_b| evaluated at the pooled distinct values.
+# |cum_a/n_a - cum_b/n_b| maximizes exactly where |cum_a*n_b - cum_b*n_a|
+# does, so the supremum is found in EXACT integer arithmetic; only the
+# final statistic is one IEEE division. Shared SQL text.
+_KS_SQL = """
+WITH s AS (
+  SELECT n_chars AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+counts AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS c_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT CAST(SUM(c_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(SUM(c_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+  FROM s
+)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT) AS d_num,
+       CAST(t.n_a * t.n_b AS BIGINT) AS d_den,
+       CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS DOUBLE)
+         / (t.n_a * t.n_b) AS ks_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+@query("stat_ks_test", oracle=_KS_SQL, tags=("stats",))
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic comparing the document
+    length distributions of two sources — the distribution-drift test a
+    corpus monitor runs between ingestion batches. The ECDF difference
+    is maximized in exact cross-multiplied integers (no float ECDFs),
+    so the answer is deterministic at any parallelism; the only float
+    op is the final d_num/d_den division. One hash aggregate on the
+    pooled values, one ordered prefix-sum over the distinct-value table
+    (distinct-value-sized, tiny next to the corpus), one max."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_KS_SQL)

@@ -245,3 +245,57 @@ def cdc_upsert_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     end — no separate anti-join pass."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_CDC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planner (the OPTIMIZE bin-packer)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 65536  # bytes per output file (scaled down for testdata)
+
+# The inventory is one row per (simulated) data file; packing uses the
+# prefix-sum-before-me trick: bin = floor(cum_prev / target), which
+# packs files in date order into ~target-sized bins in one window pass.
+# 65536 is a power of two, so cum_prev / 65536.0 is exact and floor is
+# deterministic. Shared SQL text.
+_COMPACT_SQL = f"""
+WITH files AS (
+  SELECT CAST(l_shipdate AS DATE) AS file_date,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+  FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+),
+packed AS (
+  SELECT file_date, n_rows, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (ORDER BY file_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_prev
+  FROM files
+)
+SELECT CAST(floor(cum_prev / {_COMPACT_TARGET}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_input_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       MIN(file_date) AS first_date,
+       MAX(file_date) AS last_date
+FROM packed
+GROUP BY CAST(floor(cum_prev / {_COMPACT_TARGET}.0) AS BIGINT)
+"""
+
+
+@query("snk_compaction_plan", oracle=_COMPACT_SQL, tags=("sink", "layout"))
+def snk_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: bin-pack a date-ordered file
+    inventory (simulated as one file per ship date, 128 bytes/row) into
+    ~64 KiB output files — the planning half of OPTIMIZE/rewriteDataFiles
+    that keeps a 100 TB table from drowning in small files. A prefix sum
+    over the inventory assigns each file to floor(bytes_before/target),
+    preserving date locality so compacted files stay partition-prunable.
+
+    Scale shape: the window runs over the FILE INVENTORY (one row per
+    file — metadata-sized, millions of rows at worst), not the data; the
+    single-partition sort this implies is the same driver-side listing
+    every table-maintenance service does. The data movement it plans is
+    then an embarrassingly-parallel per-bin rewrite."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_COMPACT_SQL)
