@@ -478,3 +478,43 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-for-character."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_URL_CANON_TMPL.format(url_expr=_URL_NOISY))
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (hash-gated, reshuffle-proof)
+# ---------------------------------------------------------------------------
+
+# md5 is the one hash bit-identical in Spark and DuckDB; the first two
+# hex chars give 256 uniform buckets, split 204/26/26 (~79.7/10.2/10.2%).
+# Assignment depends only on doc_id, so re-ingesting, repartitioning, or
+# appending new data never moves an existing document across splits.
+# Shared SQL text.
+_HASH_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS STRING)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned GROUP BY split
+"""
+
+
+@query("curate_hash_split", oracle=_HASH_SPLIT_SQL, tags=("curation",))
+def curate_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the document
+    key — the split that survives re-ingestion: membership is a pure
+    function of doc_id (md5 prefix bucketing, ~80/10/10), so appends
+    and repartitions never leak documents between splits and the split
+    can be recomputed anywhere without a stored assignment table. The
+    audit output is one aggregate row per split; the assignment itself
+    is a narrow per-row expression (zero shuffle) ready to feed a
+    partitioned write."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_HASH_SPLIT_SQL)

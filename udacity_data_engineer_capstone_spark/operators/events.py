@@ -522,3 +522,53 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-fold drift can flip a row in or out."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ANOMALY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands: maximal runs of consecutive active minutes
+# ---------------------------------------------------------------------------
+
+# minute_idx - row_number() is constant exactly within a run of
+# consecutive minutes — the classic gaps-and-islands trick, all in
+# exact integers. Engine and oracle differ only in the epoch-seconds
+# builtin (unix_timestamp vs epoch); everything downstream is shared
+# arithmetic.
+_ISLANDS_BODY = """
+minutes AS (
+  SELECT DISTINCT user_id, {minute_idx} AS m
+  FROM events
+),
+grouped AS (
+  SELECT user_id, m,
+         m - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY m) AS grp
+  FROM minutes
+)
+SELECT user_id,
+       CAST(MIN(m) AS BIGINT) AS start_minute,
+       CAST(MAX(m) AS BIGINT) AS end_minute,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes
+FROM grouped
+GROUP BY user_id, grp
+"""
+
+_ISLANDS_ORACLE = "WITH " + _ISLANDS_BODY.format(
+    minute_idx="CAST(epoch(date_trunc('minute', ts)) AS BIGINT) / 60"
+)
+
+
+@query("evt_gaps_islands", oracle=_ISLANDS_ORACLE, tags=("events", "window"))
+def evt_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of consecutive active
+    minutes (the activity-streak / uptime-segment primitive). The
+    integer minute index minus the per-user row number is constant
+    exactly within a consecutive run, so one window plus one aggregate
+    finds every island — no self-join, no iteration. One shuffle on
+    user_id serves both the window and (via partial aggregation) the
+    island rollup; all arithmetic is exact integers."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        "WITH "
+        + _ISLANDS_BODY.format(
+            minute_idx="CAST(unix_timestamp(date_trunc('minute', ts)) AS BIGINT) DIV 60"
+        )
+    )

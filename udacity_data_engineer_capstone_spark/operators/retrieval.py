@@ -285,3 +285,85 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp_micro").cast("double") / (F.lit(_MICRO) * F.count("*"))
         ).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM: condition on the previous token
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, u.w, u.i
+  FROM documents, LATERAL (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i) u
+),
+bigrams AS (
+  SELECT doc_id,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1,
+         w AS w2
+  FROM words
+),
+bg AS (SELECT * FROM bigrams WHERE w1 IS NOT NULL),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * {_MICRO})
+              AS BIGINT) AS lp_micro
+  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+  JOIN c1 ON bg.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("text_lm_bigram", oracle=_BIGRAM_ORACLE, tags=("text", "retrieval", "quality"))
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model log-probability per document — the
+    sequence-aware upgrade of ``text_lm_logprob``: p(w2|w1) =
+    count(w1,w2)/count(w1,·), trained on the corpus in one pass. The
+    per-doc window (LAG over token position) forms the bigram stream;
+    two hash aggregates build the model; scoring re-joins the
+    vocabulary²-sized count tables back onto the stream as broadcasts.
+    Per-bigram log-probs are micro-quantized BIGINTs, so the per-doc
+    sum is exact integer arithmetic. One shuffle on doc_id (window) +
+    model-sized aggregates — never quadratic in corpus size."""
+    from pyspark.sql.window import Window
+
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("i", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        toks.select(
+            "doc_id", F.lag("w").over(w).alias("w1"), F.col("w").alias("w2")
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("c2").cast("double") / F.col("c1")) * _MICRO
+            ).alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp_micro").alias("logprob_micro"),
+    )

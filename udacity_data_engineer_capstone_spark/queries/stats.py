@@ -322,3 +322,106 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-value-sized, tiny next to the corpus), one max."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_KS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (inequality of order value)
+# ---------------------------------------------------------------------------
+
+# Exact integer cents + a total order (cents, orderkey) make the ranked
+# sum deterministic; the statistic is one fixed double expression over
+# three exact BIGINT sums. Shared SQL text.
+_GINI_SQL = """
+WITH cents AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderstatus, c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY c, o_orderkey) AS i
+  FROM cents
+),
+sums AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(i * c) AS BIGINT) AS six
+  FROM ranked GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+         AS gini
+FROM sums
+"""
+
+
+@query("stat_gini", oracle=_GINI_SQL, tags=("stats",))
+def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per status — the inequality /
+    concentration measure (is revenue spread across orders or owned by
+    a few whales?). Uses the ranked-sum identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over integer
+    cents with a total order, so everything up to the final division is
+    exact integer arithmetic. One per-group sort window + one hash
+    aggregate; output is |statuses| rows."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GINI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# token-distribution entropy per source (corpus diversity)
+# ---------------------------------------------------------------------------
+
+# H = -(sum_t c_t * ln(c_t/T)) / T. Each term's c*ln(c/T) is
+# micro-quantized to a BIGINT before summing (the per-term value is the
+# only non-correctly-rounded op), so the cross-term sum is exact and
+# order-free; the final negate/divide is one fixed double expression.
+_ENTROPY_SQL = """
+WITH tokens AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokens GROUP BY source, term
+),
+tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY source
+),
+contrib AS (
+  SELECT tc.source,
+         CAST(floor(tc.c * ln(CAST(tc.c AS DOUBLE) / tot.t) * 1000000)
+              AS BIGINT) AS q
+  FROM tc JOIN tot ON tc.source = tot.source
+)
+SELECT c.source, t.t AS n_tokens,
+       CAST(SUM(c.q) AS BIGINT) AS neg_sum_micro,
+       -(CAST(SUM(c.q) AS DOUBLE) / 1000000) / t.t AS entropy_nats
+FROM contrib c JOIN tot t ON c.source = t.source
+GROUP BY c.source, t.t
+"""
+
+
+def _entropy_spark_sql() -> str:
+    # Spark: split() instead of string_split_regex, explode instead of
+    # unnest; the arithmetic text is identical.
+    return _ENTROPY_SQL.replace(
+        "unnest(string_split_regex(lower(text), '\\s+'))",
+        "explode(split(lower(text), '\\\\s+'))",
+    )
+
+
+@query("stat_token_entropy", oracle=_ENTROPY_SQL, tags=("stats", "text"))
+def stat_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution — the
+    corpus-diversity audit that flags template/boilerplate sources (low
+    entropy) before they skew a training mix. Per-(source, term) counts
+    from one hash aggregate; each term's c*ln(c/T) contribution is
+    micro-quantized so the per-source sum is exact integer arithmetic;
+    one final fixed double expression yields nats. All shuffles carry
+    vocabulary-sized aggregates, never raw tokens."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_entropy_spark_sql())
