@@ -518,3 +518,47 @@ def curate_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned write."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_HASH_SPLIT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# winsorization: clamp outliers at exact per-source percentiles
+# ---------------------------------------------------------------------------
+
+# Exact p1/p99 by rank over the total order (n_chars, doc_id); the rank
+# thresholds ceil(q*n) are exact (0.01*n is one correctly-rounded
+# multiply, ceil is exact). Shared SQL text.
+_WINSOR_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+bounds AS (
+  SELECT source,
+         CAST(MAX(CASE WHEN rk = CAST(ceil(0.01 * n) AS BIGINT)
+                       THEN n_chars END) AS BIGINT) AS lo,
+         CAST(MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT)
+                       THEN n_chars END) AS BIGINT) AS hi
+  FROM ranked GROUP BY source
+)
+SELECT r.doc_id, r.source, r.n_chars,
+       CAST(LEAST(GREATEST(r.n_chars, b.lo), b.hi) AS BIGINT)
+         AS n_chars_winsorized,
+       (r.n_chars < b.lo OR r.n_chars > b.hi) AS clipped
+FROM ranked r JOIN bounds b ON r.source = b.source
+"""
+
+
+@query("curate_winsorize", oracle=_WINSOR_SQL, tags=("curation", "stats"))
+def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths at exact per-source p1/p99 — the
+    outlier-clamp that keeps a handful of mega-documents from dominating
+    length-balanced batch packing. Per-source rank windows (parallel
+    across sources) locate the exact percentile values; the bounds table
+    is |sources| rows and broadcasts back onto the corpus. At 100 TB the
+    same shape runs off approx_percentile bounds instead of the exact
+    rank — this is the exact reference semantics."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_WINSOR_SQL)

@@ -572,3 +572,44 @@ def evt_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             minute_idx="CAST(unix_timestamp(date_trunc('minute', ts)) AS BIGINT) DIV 60"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+# Engine/oracle differ only in IGNORE NULLS placement (Spark:
+# `last_value(x) IGNORE NULLS`, DuckDB: `last_value(x IGNORE NULLS)`).
+# The window excludes the current row, so a purchase never attributes
+# to itself; the total order (ts, event_id) makes the answer exact.
+_ATTRIB_BODY = """
+SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+       COALESCE(last_touch, 'none') AS attributed_channel
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         {last_value} OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM (SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END AS channel
+        FROM events)
+)
+WHERE event_type = 'purchase'
+"""
+
+_ATTRIB_ORACLE = _ATTRIB_BODY.format(last_value="last_value(channel IGNORE NULLS)")
+
+
+@query("evt_attribution_last_touch", oracle=_ATTRIB_ORACLE, tags=("events", "window"))
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding view/click by the same user — the marketing-analytics
+    primitive for conversion credit. One IGNORE NULLS navigation window
+    over the user timeline (self-excluded frame) finds the touch; no
+    self-join of events to events, so cost is one user_id shuffle
+    regardless of timeline length."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _ATTRIB_BODY.format(last_value="last_value(channel) IGNORE NULLS")
+    )

@@ -299,3 +299,56 @@ def snk_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     then an embarrassingly-parallel per-bin rewrite."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_COMPACT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (table-version comparison)
+# ---------------------------------------------------------------------------
+
+# v2 is a deterministic mutation of the orders snapshot: keys %17==5
+# deleted, %13==3 repriced, %19==7 cloned as net-new keys above 3M.
+# Shared SQL text; prices compare in exact decimal.
+_SNAPDIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+v2 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              + CASE WHEN o_orderkey % 13 = 3 THEN 5 ELSE 0 END
+              AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 17 <> 5
+  UNION ALL
+  SELECT o_orderkey + 3000000 AS k, 'NEW' AS status,
+         CAST(2.00 AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 19 = 7
+),
+diff AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'deleted'
+              WHEN a.status <> b.status OR a.price <> b.price THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM v1 a FULL JOIN v2 b ON a.k = b.k
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM diff GROUP BY change_type
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_SNAPDIFF_SQL, tags=("pipeline", "audit"))
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions — the audit behind time
+    travel ("what changed between Tuesday and today"): one full outer
+    join on the business key classifies every row as added / deleted /
+    changed / unchanged, then a count rollup summarizes. One key
+    shuffle for the join; value comparison is columnar (exact decimal),
+    no row serialization. At 100 TB both sides prune to changed
+    partitions first when partition-level metadata (snapshot manifests)
+    is available — this is the full-scan reference semantics."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SNAPDIFF_SQL)
