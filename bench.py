@@ -51,6 +51,9 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS double decorrelation
     "graph_triangle_count",       # degree-oriented wedge join
     "sql_recursive_cte",          # native WITH RECURSIVE ancestor walk
+    # round-3 second wave: retrieval scoring + CDC merge
+    "text_lm_bigram",             # bigram LM train + score (token windows)
+    "cdc_upsert_log",             # ranked-window change-log replay
 ]
 
 

@@ -307,3 +307,13 @@ def test_lm_logprob_no_python_workers(spark, sf_dir):
     text = plan_text(df)
     assert "BroadcastHashJoin" in text, text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_typo_pairs_no_cartesian(spark, sf_dir):
+    """text_typo_pairs: candidates come from an equi-join on the
+    deletion-variant key — the plan must contain no cartesian product
+    and no broadcast nested loop."""
+    df = Q["text_typo_pairs"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text

@@ -367,3 +367,69 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.sum("lp_micro").alias("logprob_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# typo/variant pair mining (SymSpell deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+# The ORACLE does the O(|V|^2) self-join (fine for an oracle); the
+# ENGINE uses symmetric-delete blocking: every edit-distance-1 pair
+# shares a 1-deletion (or identity) variant, so candidates come from an
+# equi-join on the variant key — ~(len+1) keys per term, linear in
+# vocabulary size — and only candidates pay the exact levenshtein
+# verification. Complete for distance 1 by construction.
+_TYPO_ORACLE = f"""
+WITH {_TOKENS_CTE},
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokens GROUP BY term
+)
+SELECT a.term AS w1, b.term AS w2, a.c AS c1, b.c AS c2
+FROM vocab a JOIN vocab b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) = 1
+"""
+
+
+@query("text_typo_pairs", oracle=_TYPO_ORACLE, tags=("text", "dedup"))
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs (typo/variant candidates for
+    normalization dictionaries), mined with SymSpell-style symmetric
+    deletes: each term emits itself plus its 1-deletion variants, pairs
+    sharing a variant are the complete distance-1 candidate set, and
+    exact ``levenshtein`` verifies survivors. The self-join is an
+    equi-join on the variant key — never all-pairs — so it scales to
+    web-corpus vocabularies where the oracle's quadratic check cannot.
+    Variant generation is a builtin higher-order function (no Python)."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    variants = vocab.select(
+        "term",
+        "c",
+        F.explode(
+            F.expr(
+                "array_append("
+                "  transform(sequence(1, length(term)),"
+                "    i -> concat(substring(term, 1, i-1),"
+                "                substring(term, i+1, length(term)))),"
+                "  term)"
+            )
+        ).alias("variant"),
+    )
+    pairs = (
+        variants.alias("a")
+        .join(variants.alias("b"), "variant")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .select(
+            F.col("a.term").alias("w1"),
+            F.col("b.term").alias("w2"),
+            F.col("a.c").alias("c1"),
+            F.col("b.c").alias("c2"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.levenshtein("w1", "w2") == 1)
