@@ -44,16 +44,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects by default. Read nanos as long (legacy conf is
-    runtime-settable) and rebuild a microsecond timestamp with exact
+    """Some testdata generations write events.parquet with TIMESTAMP(NANOS),
+    which Spark's vectorized parquet reader rejects by default; others write
+    plain microsecond timestamps. Handle both: read nanos as long (legacy
+    conf is runtime-settable) and rebuild a microsecond timestamp with exact
     integer division — nanos since epoch exceed 2^53, so float division
-    would corrupt low microseconds."""
+    would corrupt low microseconds. When the file already carries a real
+    timestamp, pass it through unchanged."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Microsecond-timestamp generations read as TIMESTAMP_NTZ; normalize
+        # to session-tz TIMESTAMP so downstream instant functions
+        # (unix_micros, window(), watermarks) see the same type the nanos
+        # path produced. Session tz is UTC here, so the instant is unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(
