@@ -35,12 +35,78 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# --- layout normalization ---------------------------------------------------
+#
+# Spark parallelizes parquet scans at ROW-GROUP granularity: a file with a
+# single row group decodes in one task no matter how many byte-range splits
+# the scheduler makes, so a big single-row-group input serializes every
+# downstream query's scan stage. That is a storage-layout defect, and the
+# warehouse-native fix is to normalize layout once at ingest (at 100 TB this
+# is the standard small-file/row-group compaction job — cf. the
+# ``snk_compaction_plan`` operator — run distributed; here the inputs are
+# driver-local test files, so a pyarrow rewrite suffices). Tables whose
+# layout already feeds the cores are read as-is. The rewrite is one-time,
+# keyed by (path, mtime, size) for staleness, written atomically into a
+# per-user 0700 cache dir (ADVICE round 2: no predictable world-shared
+# paths, no partial reads under concurrency). Oracles keep reading the
+# ORIGINAL files — only Spark's scan path is redirected, the rows are
+# byte-identical.
+
+_MIN_ROWS_TO_NORMALIZE = 50_000
+_TARGET_ROW_GROUPS = 32
+
+
+def _layout_cache_dir() -> str:
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"engine_layout_cache_{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _normalized_path(sf_dir: str, name: str) -> str:
+    """Return a read path for the table with scan-parallel layout,
+    rewriting once into the cache dir if the source needs it."""
+    src = table_path(sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(src)
+        rows = meta.metadata.num_rows
+        if rows < _MIN_ROWS_TO_NORMALIZE or meta.num_row_groups >= max(
+            4, _TARGET_ROW_GROUPS // 2
+        ):
+            return src
+        st = os.stat(src)
+        # no leading "_"/"." — Spark skips those as hidden/metadata files
+        key = (
+            os.path.abspath(src).replace("/", "_").strip("_")
+            + f"-{st.st_mtime_ns}-{st.st_size}"
+        )
+        dst = os.path.join(_layout_cache_dir(), f"{key}.parquet")
+        if not os.path.exists(dst):
+            tbl = meta.read()
+            tmp = f"{dst}.tmp.{os.getpid()}"
+            pq.write_table(
+                tbl,
+                tmp,
+                row_group_size=max(8192, rows // _TARGET_ROW_GROUPS),
+                compression="snappy",
+            )
+            os.replace(tmp, dst)  # atomic; concurrent writers converge
+        return dst
+    except Exception:
+        return src  # any surprise (no pyarrow, unreadable) → original path
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return spark.read.parquet(_normalized_path(sf_dir, name))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +121,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
+    df = spark.read.parquet(_normalized_path(sf_dir, "events"))
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:

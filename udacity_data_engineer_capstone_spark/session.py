@@ -45,6 +45,12 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # real cluster submit would raise it (rule of thumb: ~2-3x cores,
         # partitions of 64-256 MB post-shuffle).
         .config("spark.sql.shuffle.partitions", "32")
+        # Scan-split sizing: the default 4 MB open-cost floor collapses
+        # multi-MB inputs into a handful of splits, serializing the scan
+        # stage on a 32-core host. 128 KB keeps split count ≈ input/cores
+        # for small inputs while maxPartitionBytes (128 MB default) still
+        # governs real cluster-scale files.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
