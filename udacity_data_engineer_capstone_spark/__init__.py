@@ -58,6 +58,7 @@ def load_all() -> None:
         similarity,
         skew,
         text,
+        timeseries,
     )
     from udacity_data_engineer_capstone_spark.streaming import (  # noqa: F401
         events as streaming_events,
