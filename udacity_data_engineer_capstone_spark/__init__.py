@@ -47,6 +47,7 @@ def load_all() -> None:
     )
     from udacity_data_engineer_capstone_spark.operators import (  # noqa: F401
         clustering,
+        corpus,
         curation,
         embeddings,
         dedup,

@@ -1,0 +1,285 @@
+"""Corpus-structure operators: content-defined chunk dedup and RAKE
+keyword extraction.
+
+Extension surface (the reference — ``/root/reference/etl.py`` — has no
+text processing at all): two classic corpus-curation primitives that an
+LLM-training data pipeline runs between raw crawl and training shards.
+
+Both are pure column-expression + window dataflows — no Python row
+loops — and every score that crosses the engine/oracle hash is exact
+integer arithmetic (parts-per-million integer division), so results are
+bit-identical between Spark and DuckDB at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup
+# ---------------------------------------------------------------------------
+#
+# Fixed-size chunking (text_chunk_dedup) misses duplicated passages that
+# are SHIFTED by an insertion upstream; content-defined chunking (CDC —
+# the rsync/LBFS boundary trick) cuts where the CONTENT says to cut, so
+# a shifted copy still yields the same chunks. Boundary rule: a token
+# opens a new chunk when the first hex digit of md5(token) is '0'
+# (p = 1/16 → ~16-token expected chunks), a content-only predicate both
+# engines evaluate identically.
+
+_CDC_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos) u
+),
+marked AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN pos = 0 OR substring(md5(tok), 1, 1) = '0'
+              THEN 1 ELSE 0 END AS boundary
+  FROM toks
+),
+segmented AS (
+  SELECT doc_id, tok, pos,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk,
+         MIN(pos) AS start_pos,
+         COUNT(*) AS n_tokens
+  FROM segmented
+  GROUP BY doc_id, chunk_id
+)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id * 100000 + start_pos) // 100000 AS keep_doc,
+       MIN(doc_id * 100000 + start_pos) % 100000 AS keep_pos
+FROM chunks
+GROUP BY md5(chunk)
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_cdc_chunks", oracle=_CDC_ORACLE, tags=("dedup", "text"))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust repeated-passage detection via content-defined
+    chunking: cut chunks at md5-boundary tokens, hash each chunk, and
+    report every chunk occurring more than once corpus-wide with a
+    deterministic keep pointer (min (doc_id, start_pos)).
+
+    Scale shape: one window pass partitioned by doc_id (sorted by token
+    position — bounded by document length, not corpus size), one
+    group-by on (doc_id, chunk_id) co-partitioned with the window, then
+    a hash-width shuffle keyed on md5(chunk) — the chunk text itself
+    crosses the final shuffle only once per (doc, chunk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "tok"),
+    )
+    boundary = F.when(
+        (F.col("pos") == 0) | (F.substring(F.md5("tok"), 1, 1) == "0"), 1
+    ).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segmented = toks.select(
+        "doc_id", "tok", "pos", F.sum(boundary).over(w).alias("chunk_id")
+    )
+    chunks = (
+        segmented.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("chunk"),
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    key = F.col("doc_id") * 100000 + F.col("start_pos")
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(key).alias("k"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "chunk_hash",
+            "n_tokens",
+            "n_copies",
+            "n_docs",
+            (F.col("k") / 100000).cast("long").alias("keep_doc"),
+            (F.col("k") % 100000).alias("keep_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+#
+# RAKE (Rose et al. 2010, public method): candidate phrases are maximal
+# runs of non-stopword tokens; each word scores degree/frequency where
+# degree(w) = Σ over phrases containing w of phrase length and
+# freq(w) = number of occurrences; a phrase scores the sum of its word
+# scores. Scores are computed in exact integer parts-per-million
+# (degree * 1_000_000 // freq) so the cross-engine hash is stable.
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been on at for with "
+    "as by it this that from not"
+).split()
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_RAKE_TOP_N = 3
+
+_RAKE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos) u
+),
+marked AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN tok IN ({_STOP_SQL}) OR tok = '' THEN 1 ELSE 0 END AS stop
+  FROM toks
+),
+segmented AS (
+  SELECT doc_id, tok, pos, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS seg
+  FROM marked
+),
+phrase_words AS (
+  SELECT doc_id, seg, tok, pos FROM segmented WHERE stop = 0
+),
+phrases AS (
+  SELECT doc_id, seg,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM phrase_words
+  GROUP BY doc_id, seg
+),
+word_stats AS (
+  SELECT w.tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM phrase_words w
+  JOIN phrases p ON p.doc_id = w.doc_id AND p.seg = w.seg
+  GROUP BY w.tok
+),
+scored AS (
+  SELECT w.doc_id, w.seg,
+         CAST(SUM(s.degree * 1000000 // s.freq) AS BIGINT) AS score_ppm
+  FROM phrase_words w
+  JOIN word_stats s ON s.tok = w.tok
+  GROUP BY w.doc_id, w.seg
+),
+ranked AS (
+  SELECT p.doc_id, p.phrase, s.score_ppm,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY s.score_ppm DESC, p.phrase) AS rnk
+  FROM phrases p
+  JOIN scored s ON s.doc_id = p.doc_id AND s.seg = p.seg
+)
+SELECT doc_id, phrase, score_ppm, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_RAKE_TOP_N}
+"""
+
+
+@query("text_rake_keywords", oracle=_RAKE_ORACLE, tags=("text", "nlp"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 RAKE keyword phrases per document (stopword-delimited runs
+    scored by summed word degree/frequency ratios, in exact integer ppm).
+
+    Scale shape: the segmentation window and the phrase group-by are
+    both partitioned by doc_id; word_stats is a hash aggregate on token
+    (vocabulary-sized, Zipf-bounded); the score join broadcasts nothing
+    blindly — Catalyst/AQE picks broadcast when word_stats is small.
+    Final top-N is a per-doc window (WindowGroupLimit prunes to N per
+    partition before the sort at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("pos", "tok"),
+    )
+    marked = toks.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.when(F.col("tok").isin(*_STOPWORDS) | (F.col("tok") == ""), 1)
+        .otherwise(0)
+        .alias("stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segmented = marked.select(
+        "doc_id", "tok", "pos", "stop", F.sum("stop").over(w).alias("seg")
+    )
+    phrase_words = segmented.where(F.col("stop") == 0).select(
+        "doc_id", "seg", "tok", "pos"
+    )
+    phrases = phrase_words.groupBy("doc_id", "seg").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        phrase_words.join(phrases.select("doc_id", "seg", "plen"), ["doc_id", "seg"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+    )
+    scored = (
+        phrase_words.join(word_stats, "tok")
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.sum(F.expr("degree * 1000000 DIV freq")).alias("score_ppm")
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase")
+    )
+    return (
+        phrases.join(scored, ["doc_id", "seg"])
+        .select(
+            "doc_id",
+            "phrase",
+            "score_ppm",
+            F.row_number().over(rank_w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= _RAKE_TOP_N)
+    )
