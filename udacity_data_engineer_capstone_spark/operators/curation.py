@@ -562,3 +562,80 @@ def curate_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — this is the exact reference semantics."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_WINSOR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# quantized linear quality-model inference
+# ---------------------------------------------------------------------------
+
+# A distilled document-quality classifier deployed as a linear model
+# with integer micro-unit weights: score = Σ wᵢ·fᵢ + b over exact
+# integer features. Inference over a corpus is then a map-only column
+# expression — the deployment shape for cheap model scoring at 100 TB
+# (the expensive teacher model only labels the training sample).
+_MODEL_WEIGHTS = {
+    "n_tokens": 900,        # longer docs are better, up to a point
+    "n_chars": -4,          # penalize extreme verbosity per token
+    "n_digits": -350,       # numeric soup is usually tables/logs
+    "n_upper": -120,        # SHOUTING and code dumps
+}
+_MODEL_BIAS = 50_000
+_MODEL_THRESHOLD = 150_000
+
+_MODEL_SCORE_SQL = (
+    f"{_MODEL_WEIGHTS['n_tokens']} * n_tokens + {_MODEL_WEIGHTS['n_chars']} * n_chars"
+    f" + {_MODEL_WEIGHTS['n_digits']} * n_digits + {_MODEL_WEIGHTS['n_upper']} * n_upper"
+    f" + {_MODEL_BIAS}"
+)
+
+_MODEL_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+           AS n_digits,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
+           AS n_upper
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars, n_digits, n_upper,
+       CAST({_MODEL_SCORE_SQL} AS BIGINT) AS score_micro,
+       ({_MODEL_SCORE_SQL} >= {_MODEL_THRESHOLD}) AS keep
+FROM feats
+"""
+
+
+@query("curate_model_score", oracle=_MODEL_ORACLE, tags=("curation", "ml"))
+def curate_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate a corpus with a quantized linear classifier: exact
+    integer features (token/char/digit/uppercase counts) dotted with
+    integer micro-unit weights. Map-only, no shuffle at all — the plan
+    is a projection over the scan, which is what makes model-based
+    filtering affordable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("bigint").alias("n_digits"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[A-Z]", ""))
+        ).cast("bigint").alias("n_upper"),
+    )
+    score = (
+        F.col("n_tokens") * _MODEL_WEIGHTS["n_tokens"]
+        + F.col("n_chars") * _MODEL_WEIGHTS["n_chars"]
+        + F.col("n_digits") * _MODEL_WEIGHTS["n_digits"]
+        + F.col("n_upper") * _MODEL_WEIGHTS["n_upper"]
+        + _MODEL_BIAS
+    )
+    return feats.select(
+        "doc_id", "n_tokens", "n_chars", "n_digits", "n_upper",
+        score.cast("bigint").alias("score_micro"),
+        (score >= _MODEL_THRESHOLD).alias("keep"),
+    )

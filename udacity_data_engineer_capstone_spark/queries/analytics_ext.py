@@ -350,3 +350,36 @@ def agg_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_dec").cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# relative-rank windows: percent_rank + cume_dist
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("win_percent_rank_cume", oracle=_PCTRANK_ORACLE, tags=("window",))
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: percent_rank ((rank-1)/(n-1)) and
+    cume_dist per order priority. The ordering key (price, orderkey) is
+    total, so ranks are tie-free and both ratios are the same exact
+    integer division in either engine — correctly-rounded IEEE doubles,
+    hash-stable. One window pass partitioned by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

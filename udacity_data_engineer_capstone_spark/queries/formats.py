@@ -499,3 +499,55 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generated calendar dimension (date spine)
+# ---------------------------------------------------------------------------
+
+_CALENDAR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+)
+SELECT CAST(d AS DATE) AS cal_date,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day,
+       CAST(isodow(d) - 1 AS INT) AS weekday,
+       (day(d) = 1) AS is_month_start,
+       (d = last_day(d)) AS is_month_end
+FROM bounds, LATERAL unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)
+"""
+
+
+@query("src_calendar_dim", oracle=_CALENDAR_ORACLE, tags=("source", "dim"))
+def src_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the fact table's date range
+    — the date spine every star schema joins for fiscal rollups (the
+    reference hand-builds lookup dims from driver lists,
+    ``etl.py:41-78``; a generated spine is the same pattern derived from
+    data). weekday is ISO Monday=0 on both engines (Spark ``weekday``,
+    DuckDB ``isodow - 1``). The spine generation is one sequence()
+    explode from a 2-value aggregate — a few thousand rows regardless of
+    fact-table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("cal_date")
+    )
+    return spine.select(
+        "cal_date",
+        F.year("cal_date").cast("int").alias("year"),
+        F.quarter("cal_date").cast("int").alias("quarter"),
+        F.month("cal_date").cast("int").alias("month"),
+        F.dayofmonth("cal_date").cast("int").alias("day"),
+        F.weekday("cal_date").cast("int").alias("weekday"),
+        (F.dayofmonth("cal_date") == 1).alias("is_month_start"),
+        (F.col("cal_date") == F.last_day("cal_date")).alias("is_month_end"),
+    )

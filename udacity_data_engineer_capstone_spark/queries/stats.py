@@ -20,8 +20,9 @@ first so the sum is again fold-order-free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -425,3 +426,68 @@ def stat_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized aggregates, never raw tokens."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_entropy_spark_sql())
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# Expected Benford share of each leading digit, in exact ppm literals
+# (floor(log10(1 + 1/d) * 1e6)) so neither engine computes a log.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS first_digit
+  FROM lineitem
+  WHERE l_extendedprice >= 1
+),
+counted AS (
+  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY first_digit
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counted)
+SELECT c.first_digit,
+       c.n,
+       CAST(c.n * 1000000 // t.t AS BIGINT) AS observed_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+       CAST(c.n * 1000000 // t.t - {_BENFORD_CASE} AS BIGINT) AS deviation_ppm
+FROM counted c CROSS JOIN tot t
+"""
+
+
+@query("stat_benford_digits", oracle=_BENFORD_ORACLE, tags=("stats", "audit"))
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of extended prices — the standard
+    fabricated-data / corruption screen run over financial fact tables.
+    Observed shares are exact integer ppm against embedded Benford
+    constants (no runtime logarithms), so the comparison is hash-exact.
+    One hash aggregate to 9 rows plus a broadcast of the scalar total;
+    nothing about the plan changes at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.where(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    counted = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counted.agg(F.sum("n").alias("t"))
+    return counted.crossJoin(F.broadcast(tot)).selectExpr(
+        "first_digit",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n * 1000000 DIV t AS BIGINT) AS observed_ppm",
+        f"CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm",
+        f"CAST(n * 1000000 DIV t - {_BENFORD_CASE} AS BIGINT) AS deviation_ppm",
+    )
