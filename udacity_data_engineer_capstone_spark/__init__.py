@@ -58,6 +58,7 @@ def load_all() -> None:
         retrieval,
         similarity,
         skew,
+        spatial,
         text,
         timeseries,
     )

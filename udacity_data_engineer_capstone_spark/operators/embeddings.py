@@ -180,3 +180,112 @@ def emb_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ss64 > 0, F.floor(F.lit(1000000) * (ss16 / ss64)).cast("long")
         ).alias("energy_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via integer power iteration
+# ---------------------------------------------------------------------------
+#
+# The leading principal direction of the embedding cloud (un-centered
+# Gram PCA), computed so that Spark and DuckDB agree BITWISE despite
+# being an iterative numeric algorithm: vectors are quantized to int64
+# milli-units, the 64×64 Gram matrix A = QᵀQ is exact integer sums, and
+# each power-iteration step v ← (A·v) with L∞ fixed-point rescale
+# (x * 1000 div max|x|) is pure int64 arithmetic. Truncating division
+# is matched explicitly (Spark DIV truncates toward zero; DuckDB // is
+# floor, so the oracle wraps negatives in a sign-split CASE).
+#
+# Headroom: |q| ≤ 500 ⇒ |A| ≤ 2.5e5·n, A·v ≤ 64·|A|·1000 ≈ 1.6e13 at
+# n = 1e6 rows — comfortably int64 to corpus sizes ~1e8 vectors.
+
+_PCA_ITERS = 8
+_PCA_DIM = 64
+
+_PCA_Q_CTE = """
+q AS MATERIALIZED (
+  SELECT vec_id, u.i, CAST(floor(CAST(u.x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qx
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i) u
+),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS a_ij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+v0 AS MATERIALIZED (
+  SELECT i, CAST(1000 AS BIGINT) AS vx FROM range(1, 65) t(i)
+)
+"""
+
+# one iteration: mv = A·v, then L∞ fixed-point rescale with
+# truncation-toward-zero division on both engines
+_PCA_STEP = """
+mv{i} AS MATERIALIZED (
+  SELECT g.i, CAST(SUM(g.a_ij * v.vx) AS BIGINT) AS mx
+  FROM gram g JOIN v{prev} v ON v.i = g.j
+  GROUP BY g.i
+),
+m{i} AS MATERIALIZED (SELECT MAX(ABS(mx)) AS mm FROM mv{i}),
+v{i} AS MATERIALIZED (
+  SELECT i,
+         CASE WHEN mx >= 0 THEN (mx * 1000) // mm
+              ELSE -((-mx * 1000) // mm) END AS vx
+  FROM mv{i}, m{i}
+)
+"""
+
+
+def _pca_oracle() -> str:
+    ctes = [_PCA_Q_CTE]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(_PCA_STEP.format(i=t, prev=t - 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"SELECT CAST(i AS INT) AS dim, vx AS component_milli FROM v{_PCA_ITERS}"
+    )
+
+
+@query("emb_pca_power_iteration", oracle=_pca_oracle(), tags=("embedding", "iterative"))
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding corpus by 8 rounds
+    of integer power iteration over the exact int64 Gram matrix (see
+    module comment for the quantization/headroom argument).
+
+    Scale shape: the Gram build is the only corpus-sized stage — one
+    explode to (vec, i, q) rows and a self-join on vec_id aggregated to
+    64×64 cells, i.e. a partial+final hash aggregate whose output is
+    CONSTANT-sized regardless of corpus size. Iterations then run on
+    4096-row × 64-row inputs (broadcast joins, sub-millisecond at any
+    scale); lineage stays flat because each round's frames are tiny."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("qx"),
+    )
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).alias("a_ij"))
+        .localCheckpoint(eager=False)  # constant 4096 rows; computed once
+    )
+    v = spark.range(1, _PCA_DIM + 1).select(
+        F.col("id").alias("i"), F.lit(1000).cast("long").alias("vx")
+    )
+    for _ in range(_PCA_ITERS):
+        mv = (
+            gram.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("a_ij") * F.col("vx")).alias("mx"))
+        )
+        mm = mv.agg(F.max(F.abs(F.col("mx"))).alias("mm"))
+        v = mv.crossJoin(F.broadcast(mm)).selectExpr(
+            "i", "(mx * 1000) DIV mm AS vx"  # DIV truncates toward zero
+        )
+    return v.select(F.col("i").cast("int").alias("dim"), F.col("vx").alias("component_milli"))

@@ -1,0 +1,108 @@
+"""Spatial neighbor join via grid bucketing.
+
+Extension surface (the reference — ``/root/reference/etl.py`` — has no
+spatial operators): the standard "all pairs within radius r" join done
+the scalable way — hash every point to an r-sized grid cell, stamp one
+side onto its 3×3 cell neighborhood, equi-join on cell, then verify the
+exact distance. Unlike LSH this bucketing is COMPLETE (a pair within r
+always shares a stamped cell), so the result equals the brute-force
+answer exactly while the shuffle stays linear in points × 9.
+
+Coordinates are synthesized deterministically from user ids in integer
+micro-units, and the distance kernel is pure int64 arithmetic — both
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.registry import query
+
+_SPAN = 1_000_000  # coordinate space [0, 1e6)^2, micro-units
+_RADIUS = 20_000  # neighbor radius (2% of span)
+_MULT_X = 2_654_435_761  # Knuth multiplicative-hash constants
+_MULT_Y = 40_503
+
+_POINTS_CTE = f"""
+points AS MATERIALIZED (
+  SELECT user_id,
+         (user_id * {_MULT_X}) % {_SPAN} AS x,
+         (user_id * {_MULT_Y}) % {_SPAN} AS y
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+"""
+
+_SPATIAL_ORACLE = f"""
+WITH {_POINTS_CTE}
+SELECT a.user_id AS a_id, b.user_id AS b_id,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist2
+FROM points a JOIN points b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_RADIUS} * {_RADIUS}
+"""
+
+
+@query("join_spatial_grid", oracle=_SPATIAL_ORACLE, tags=("join", "spatial"))
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within radius r, via grid-cell bucketing.
+
+    Each point lands in cell (x//r, y//r); the left side is stamped onto
+    its 9-cell neighborhood, so any pair within r shares a join key by
+    construction (cells are r-sized ⇒ a neighbor is at most one cell
+    away in each axis) — completeness is geometric, not probabilistic.
+    The oracle brute-forces the quadratic pair space; the engine's
+    shuffle carries 9 narrow rows per point and the per-cell join is
+    bounded by local density, not corpus size. Exact int64 distances —
+    no floating point anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * _MULT_X) % _SPAN).alias("x"),
+            ((F.col("user_id") * _MULT_Y) % _SPAN).alias("y"),
+        )
+    )
+    # integer cell index (coords are non-negative, so DIV == floor)
+    cell = lambda c: F.expr(f"{c} DIV {_RADIUS}")  # noqa: E731
+    # left side stamped onto 3x3 neighborhood
+    offsets = F.expr("explode(sequence(-1, 1))")
+    a = (
+        pts.select(
+            F.col("user_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (cell("x")).alias("cx"),
+            (cell("y")).alias("cy"),
+        )
+        .withColumn("dx", F.expr("explode(sequence(-1, 1))"))
+        .withColumn("dy", offsets)
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("user_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
+        .where(F.col("dist2") <= _RADIUS * _RADIUS)
+    )
