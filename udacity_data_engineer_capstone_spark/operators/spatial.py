@@ -22,15 +22,21 @@ from udacity_data_engineer_capstone_spark.catalog import load_table
 from udacity_data_engineer_capstone_spark.registry import query
 
 _SPAN = 1_000_000  # coordinate space [0, 1e6)^2, micro-units
-_RADIUS = 20_000  # neighbor radius (2% of span)
+_RADIUS = 100_000  # neighbor radius (10% of span)
 _MULT_X = 2_654_435_761  # Knuth multiplicative-hash constants
 _MULT_Y = 40_503
 
+# Sequential user ids under a plain multiplicative hash mod SPAN form a
+# lattice whose nearest-neighbor spacing can exceed any radius (zero
+# result rows = vacuous operator); squaring the mixed value first breaks
+# the constant-increment structure. h ≤ 2^31-1 so h*h fits int64.
 _POINTS_CTE = f"""
 points AS MATERIALIZED (
   SELECT user_id,
-         (user_id * {_MULT_X}) % {_SPAN} AS x,
-         (user_id * {_MULT_Y}) % {_SPAN} AS y
+         ((user_id * {_MULT_X}) % 2147483647)
+           * ((user_id * {_MULT_X}) % 2147483647) % {_SPAN} AS x,
+         ((user_id * {_MULT_Y} + 7919) % 2147483647)
+           * ((user_id * {_MULT_Y} + 7919) % 2147483647) % {_SPAN} AS y
   FROM (SELECT DISTINCT user_id FROM events)
 )
 """
@@ -42,7 +48,7 @@ SELECT a.user_id AS a_id, b.user_id AS b_id,
          AS dist2
 FROM points a JOIN points b ON a.user_id < b.user_id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-      <= {_RADIUS} * {_RADIUS}
+      <= {_RADIUS * _RADIUS}
 """
 
 
@@ -64,8 +70,16 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(
             "user_id",
-            ((F.col("user_id") * _MULT_X) % _SPAN).alias("x"),
-            ((F.col("user_id") * _MULT_Y) % _SPAN).alias("y"),
+            (
+                ((F.col("user_id") * _MULT_X) % 2147483647)
+                * ((F.col("user_id") * _MULT_X) % 2147483647)
+                % _SPAN
+            ).alias("x"),
+            (
+                ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                * ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                % _SPAN
+            ).alias("y"),
         )
     )
     # integer cell index (coords are non-negative, so DIV == floor)
