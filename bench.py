@@ -54,6 +54,13 @@ HEADLINE = [
     # round-3 second wave: retrieval scoring + CDC merge
     "text_lm_bigram",             # bigram LM train + score (token windows)
     "cdc_upsert_log",             # ranked-window change-log replay
+    # round-3 third wave: timeseries, corpus, spatial, spectral
+    "ts_resample_ohlc",           # hourly OHLC bars (window + agg)
+    "dedup_cdc_chunks",           # content-defined chunking dedup
+    "text_rake_keywords",         # RAKE phrase extraction
+    "graph_kcore",                # iterative k-core peel to fixpoint
+    "join_spatial_grid",          # 3x3 grid-stamped radius join
+    "emb_pca_power_iteration",    # int64 Gram power iteration
 ]
 
 

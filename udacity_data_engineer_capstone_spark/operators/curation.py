@@ -639,3 +639,68 @@ def curate_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("score_micro"),
         (score >= _MODEL_THRESHOLD).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# priority dedup: keep the preferred copy, not the arbitrary one
+# ---------------------------------------------------------------------------
+
+# The corpus ∪ planted mirror copies (same text, lower-trust source).
+# Production dedup keeps the copy from the most-trusted source, THEN the
+# earliest id — encoded as one integer keep-key so the argmin rides
+# partial aggregation map-side (no window, no struct comparator).
+_PRIORITY_CTE = """
+corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_PRIORITY_ORACLE = f"""
+WITH {_PRIORITY_CTE},
+keyed AS (
+  SELECT md5(text) AS text_hash,
+         doc_id,
+         CASE WHEN source = 'mirror' THEN 1 ELSE 0 END * 100000 + doc_id AS k
+  FROM corpus
+)
+SELECT text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(k) % 100000 AS keep_doc,
+       CAST(SUM(CASE WHEN k >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mirrors
+FROM keyed
+GROUP BY text_hash
+"""
+
+
+@query("curate_dedup_priority", oracle=_PRIORITY_ORACLE, tags=("curation", "dedup"))
+def curate_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with source-priority keep selection: for every
+    distinct text, keep the copy from the trusted source (mirrors lose),
+    tie-broken by lowest doc_id. The preference is one integer keep-key
+    (priority * 100000 + doc_id) minimized per md5(text) group, so the
+    whole operator is a single hash aggregate with map-side combine —
+    same shuffle width as plain exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text", "source").unionAll(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    k = (
+        F.when(F.col("source") == "mirror", 1).otherwise(0) * 100000
+        + F.col("doc_id")
+    )
+    return (
+        corpus.select(F.md5("text").alias("text_hash"), k.alias("k"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.min("k") % 100000).alias("keep_doc"),
+            F.sum(F.when(F.col("k") >= 100000, 1).otherwise(0)).alias("n_mirrors"),
+        )
+    )

@@ -613,3 +613,105 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ATTRIB_BODY.format(last_value="last_value(channel) IGNORE NULLS")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain
+# ---------------------------------------------------------------------------
+
+# π ← πP iterated in integer fixed point (same discipline as
+# emb_pca_power_iteration): transition counts n_ij and row sums r_i are
+# exact integers; each step computes π'_j = Σ_i π_i·n_ij // r_i in
+# int64, then renormalizes to L1 mass 1e6 with truncating division.
+# Headroom: π ≤ 1e6, n ≤ 1e12 events/pair → products ≤ 1e18 < 2^63.
+_MARKOV_ITERS = 6
+
+_MARKOV_BASE = """
+trans AS MATERIALIZED (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+rowsum AS MATERIALIZED (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS r FROM trans GROUP BY prev_type
+),
+types AS MATERIALIZED (SELECT DISTINCT prev_type AS t FROM trans),
+p0 AS MATERIALIZED (
+  SELECT t, CAST(1000000 AS BIGINT) // (SELECT COUNT(*) FROM types) AS pi
+  FROM types
+)
+"""
+
+_MARKOV_STEP = """
+m{i} AS MATERIALIZED (
+  SELECT tr.next_type AS t,
+         CAST(SUM(p.pi * tr.n // rs.r) AS BIGINT) AS raw
+  FROM trans tr
+  JOIN rowsum rs ON rs.prev_type = tr.prev_type
+  JOIN p{prev} p ON p.t = tr.prev_type
+  GROUP BY tr.next_type
+),
+s{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM m{i}),
+p{i} AS MATERIALIZED (
+  SELECT t, (raw * 1000000) // tot AS pi FROM m{i}, s{i}
+)
+"""
+
+
+def _markov_oracle() -> str:
+    ctes = [_MARKOV_BASE]
+    for i in range(1, _MARKOV_ITERS + 1):
+        ctes.append(_MARKOV_STEP.format(i=i, prev=i - 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"SELECT t AS event_type, pi AS stationary_ppm FROM p{_MARKOV_ITERS}"
+    )
+
+
+@query("evt_markov_stationary", oracle=_markov_oracle(), tags=("events", "iterative"))
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution (ppm) of the event-type Markov chain —
+    where user behavior settles long-run, the weighting next-action
+    models and crawl schedulers use. Transition counts come from one
+    windowed LAG pass (corpus-sized); the |types|² chain then iterates
+    entirely in broadcast-sized frames with exact integer fixed-point
+    arithmetic, so both engines agree bitwise after any number of
+    rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # tiny |types|^2 frame, computed once
+    )
+    rowsum = trans.groupBy("prev_type").agg(F.sum("n").alias("r"))
+    n_types = trans.select("prev_type").distinct().count()
+    pi = trans.select("prev_type").distinct().select(
+        F.col("prev_type").alias("t"),
+        F.lit(1_000_000 // n_types).cast("long").alias("pi"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        m = (
+            trans.join(F.broadcast(rowsum), "prev_type")
+            .join(F.broadcast(pi.withColumnRenamed("t", "prev_type")), "prev_type")
+            .groupBy(F.col("next_type").alias("t"))
+            .agg(F.sum(F.expr("pi * n DIV r")).alias("raw"))
+        )
+        s = m.agg(F.sum("raw").alias("tot"))
+        pi = m.crossJoin(F.broadcast(s)).selectExpr(
+            "t", "(raw * 1000000) DIV tot AS pi"
+        )
+    return pi.select(
+        F.col("t").alias("event_type"), F.col("pi").alias("stationary_ppm")
+    )
