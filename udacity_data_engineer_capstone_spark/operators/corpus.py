@@ -283,3 +283,69 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= _RAKE_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed co-occurrence counts (GloVe-style)
+# ---------------------------------------------------------------------------
+
+_COOC_WINDOW = 2  # token distance; weight 1/d -> ppm integers 1e6, 5e5
+
+_COOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos) u
+  WHERE u.tok <> ''
+)
+SELECT a.tok AS left_tok,
+       b.tok AS right_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(1000000 // (b.pos - a.pos)) AS BIGINT) AS weight_ppm
+FROM toks a
+JOIN toks b
+  ON a.doc_id = b.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND {_COOC_WINDOW}
+GROUP BY a.tok, b.tok
+HAVING COUNT(*) >= 3
+"""
+
+
+@query("text_glove_cooccur", oracle=_COOC_ORACLE, tags=("text", "nlp"))
+def text_glove_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted token co-occurrence counts (window ±2, weight
+    1/d in exact ppm integers) — the input statistic GloVe-style
+    embedding training consumes. Pairs come from a positional self-join
+    per document (fan-out ≤ window size per token, corpus-linear); the
+    aggregate is vocabulary²-bounded with map-side combine. The ≥3
+    support cut keeps the result the hot co-occurrence matrix, not the
+    long noise tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, _COOC_WINDOW),
+        )
+        .groupBy(
+            F.col("a.tok").alias("left_tok"), F.col("b.tok").alias("right_tok")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("1000000 DIV (b.pos - a.pos)")).alias("weight_ppm"),
+        )
+        .where(F.col("n_pairs") >= 3)
+    )
