@@ -478,3 +478,149 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply: materialize a table from a change-log stream
+# ---------------------------------------------------------------------------
+
+# Streaming twin of queries/warehouse.py:cdc_upsert_log — the same
+# deterministic I/U/D change log, delivered as a STREAM in batch-seq
+# order, folded into per-key state with applyInPandasWithState (the
+# continuously-maintained MERGE target a warehouse keeps hot). Prices
+# ride as exact integer cents inside state; the final cents/100.0 is the
+# correctly-rounded double of the same rational the batch oracle casts
+# from DECIMAL(18,2), so the hash matches bit-for-bit.
+
+_CDC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("price_cents", T.LongType(), True),
+        T.StructField("seq", T.IntegerType(), True),
+        T.StructField("op", T.StringType(), True),
+    ]
+)
+
+_CDC_CHANGES_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+       0 AS seq, 'I' AS op
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'U1' AS o_orderstatus,
+       CAST((CAST(o_totalprice AS DECIMAL(18,2)) + 10) * 100 AS BIGINT),
+       1, 'U'
+FROM orders WHERE o_orderkey % 7 = 1
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 2, 'D'
+FROM orders WHERE o_orderkey % 5 = 2
+UNION ALL
+SELECT o_orderkey + 2000000, 'NEW', CAST(100 AS BIGINT), 2, 'I'
+FROM orders WHERE o_orderkey % 11 = 4
+UNION ALL
+SELECT o_orderkey, 'U3',
+       CAST((CAST(o_totalprice AS DECIMAL(18,2)) + 20) * 100 AS BIGINT), 3, 'U'
+FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 3 = 0
+"""
+
+
+def stage_cdc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the change log as one parquet file per batch seq with
+    ascending mtimes, so the file source (maxFilesPerTrigger=1) delivers
+    micro-batches in commit order — the append-ordered log contract a
+    production CDC stream (debezium→kafka) provides."""
+    from udacity_data_engineer_capstone_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    changes = spark.sql(_CDC_CHANGES_SQL)
+    out = tempfile.mkdtemp(prefix="engine_cdc_src_")
+    base = time.time() - 20
+    for i, seq in enumerate(sorted(r[0] for r in changes.select("seq").distinct().collect())):
+        batch_dir = os.path.join(out, f"tmp_seq{seq}")
+        changes.where(F.col("seq") == seq).coalesce(1).write.parquet(batch_dir)
+        part = next(
+            p for p in os.listdir(batch_dir) if p.startswith("part-")
+        )
+        dst = os.path.join(out, f"batch-{seq}.parquet")
+        os.rename(os.path.join(batch_dir, part), dst)
+        shutil.rmtree(batch_dir)
+        os.utime(dst, (base + i, base + i))
+    return out
+
+
+from udacity_data_engineer_capstone_spark.queries.warehouse import (  # noqa: E402
+    _CDC_SQL as _CDC_BATCH_ORACLE,
+)
+
+
+@query("stream_cdc_apply", oracle=_CDC_BATCH_ORACLE, tags=("streaming", "pipeline"))
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-materialized CDC target: replay the I/U/D change-log
+    stream into per-key state with ``applyInPandasWithState`` and read
+    back the final table — last-writer-wins by batch seq, deletes as
+    tombstones filtered at the end. Oracle: the BATCH ranked-window
+    replay (cdc_upsert_log's SQL), so the streaming fold provably equals
+    the declarative merge.
+
+    Scale shape: state is one row per live key (bounded by table
+    cardinality, the same bound a MERGE target has); each micro-batch
+    shuffles only that batch's keys. The memory-sink drain emits one row
+    per (key, batch) — the final max_by(seq) collapse is test harness,
+    not operator; a production job writes state updates straight to the
+    sink table."""
+
+    def update(key, pdfs, state: GroupState):
+        seq, status, cents, deleted = (
+            state.get if state.exists else (-1, "", 0, False)
+        )
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                if r.seq > seq:
+                    seq, status, cents, deleted = (
+                        int(r.seq),
+                        str(r.o_orderstatus),
+                        int(r.price_cents),
+                        r.op == "D",
+                    )
+        state.update((seq, status, cents, deleted))
+        yield pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "o_orderstatus": [status],
+                "price_cents": [cents],
+                "seq": [seq],
+                "deleted": [deleted],
+            }
+        )
+
+    src = stage_cdc_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_CDC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    applied = stream.groupBy("o_orderkey").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "o_orderkey long, o_orderstatus string, price_cents long, "
+            "seq long, deleted boolean"
+        ),
+        stateStructType="seq long, o_orderstatus string, price_cents long, deleted boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(applied, output_mode="update")
+    final = emitted.groupBy("o_orderkey").agg(
+        F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+        F.max_by("price_cents", "seq").alias("price_cents"),
+        F.max_by("deleted", "seq").alias("deleted"),
+        F.max("seq").alias("last_seq"),
+    )
+    return final.where(~F.col("deleted")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_cents") / F.lit(100.0)).alias("o_totalprice"),
+        F.col("last_seq").cast("int").alias("last_seq"),
+    )
