@@ -349,3 +349,91 @@ def text_glove_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pairs") >= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# link extraction + domain counts (crawl-graph input)
+# ---------------------------------------------------------------------------
+
+_URL_RE = "https?://[a-z0-9.-]+/[a-z0-9/]*"
+
+# URLs planted deterministically (testdata text contains none): every
+# 10th doc links one site, every 10th+1 links two — same CTE on both
+# engines, like the planted-PII corpus.
+_LINKS_CTE = """
+linked AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+                THEN text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.example.com/page' || CAST(doc_id AS VARCHAR) || ' ok'
+              WHEN doc_id % 10 = 1
+                THEN text || ' via http://hub' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example.org/idx and https://site'
+                     || CAST(doc_id % 50 AS VARCHAR) || '.example.com/ref'
+              ELSE text END AS text
+  FROM documents
+)
+"""
+
+_LINKS_ORACLE = f"""
+WITH {_LINKS_CTE},
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}')) AS url
+  FROM linked
+)
+SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(url) AS sample_url
+FROM urls
+GROUP BY 1
+"""
+
+
+@query("text_link_extract", oracle=_LINKS_ORACLE, tags=("text", "crawl"))
+def text_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over a planted-URL corpus: pull every URL with
+    one regexp pass, explode, and aggregate per domain (count, doc
+    spread, deterministic sample URL) — the inlink/outlink statistic a
+    crawl scheduler ranks domains by. Pure regexp/explode column
+    expressions; the aggregate is domain-cardinality-bounded with
+    map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/page"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ok"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" via http://hub"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.org/idx and https://site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/ref"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    urls = planted.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)")).alias("url"),
+    )
+    return urls.groupBy(
+        F.regexp_extract("url", "https?://([a-z0-9.-]+)", 1).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("url").alias("sample_url"),
+    )

@@ -325,3 +325,68 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-width shuffle with partial aggregation."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_kmv_sql("instr", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# log2-bucketed latency histogram (HdrHistogram shape)
+# ---------------------------------------------------------------------------
+
+# Bucket index = bit length of the integer cents value — an EXACT
+# power-of-two bucketing (no runtime log2, whose last-ulp rounding at
+# exact powers of two differs across libm implementations). Spark
+# length(conv(x,10,2)) ≡ DuckDB length(bin(x)).
+_LATHIST_SQL_DUCK = """
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE floor(value * 100 + 0.5) >= 1
+),
+bucketed AS (
+  SELECT event_type, CAST(length(bin(cents)) AS INT) AS bucket, cents
+  FROM vals
+)
+SELECT event_type, bucket,
+       CAST(1 << (bucket - 1) AS BIGINT) AS bucket_lo,
+       CAST((1 << bucket) - 1 AS BIGINT) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM bucketed
+GROUP BY event_type, bucket
+"""
+
+
+@query("agg_latency_histogram", oracle=_LATHIST_SQL_DUCK, tags=("agg", "sketch"))
+def agg_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style log2-bucketed value histogram per event type —
+    the constant-relative-error latency sketch dashboards aggregate at
+    scale. Bucketing is the integer's bit length (exact, no floating
+    log2), so the histogram is one hash aggregate with map-side combine
+    and merges associatively across any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    vals = ev.select("event_type", cents.alias("cents")).where(
+        F.col("cents") >= 1
+    )
+    bucketed = vals.select(
+        "event_type",
+        F.length(F.conv(F.col("cents"), 10, 2)).cast("int").alias("bucket"),
+        "cents",
+    )
+    return (
+        bucketed.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.expr("CAST(shiftleft(1L, bucket - 1) AS BIGINT)").alias("bucket_lo"),
+            F.expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").alias("bucket_hi"),
+            "n",
+            "min_cents",
+            "max_cents",
+        )
+    )
