@@ -232,3 +232,93 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media_table(spark, sf_dir).mapInPandas(frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiling (image patch extraction shape)
+# ---------------------------------------------------------------------------
+
+IMG_WIDTH = 32  # bytes per synthetic scanline
+TILE = 8  # 8x8 tiles
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tile_x", T.LongType(), False),
+        T.StructField("tile_y", T.LongType(), False),
+        T.StructField("tile_md5", T.StringType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+    ]
+)
+
+# payloads are ASCII (byte offset == char offset), so the oracle
+# reassembles each 8x8 tile as 8 substr slices and re-hashes it
+_TILE_ROWS = " || ".join(
+    f"substr(text, (ty * {TILE} + {r}) * {IMG_WIDTH} + tx * {TILE} + 1, {TILE})"
+    for r in range(TILE)
+)
+_TILE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         CAST(floor(octet_length(encode(text)) / {IMG_WIDTH}) AS BIGINT) AS height
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id, text, u.tx, v.ty
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, {IMG_WIDTH // TILE})) AS tx) u,
+       LATERAL (SELECT unnest(range(0, CAST(floor(height / {TILE}) AS INT))) AS ty) v
+)
+SELECT doc_id, tx AS tile_x, ty AS tile_y,
+       md5({_TILE_ROWS}) AS tile_md5,
+       CAST(list_sum(list_transform(
+         string_split_regex({_TILE_ROWS}, ''), x -> ord(x))) AS BIGINT)
+         AS byte_sum
+FROM tiles
+"""
+
+
+@query("mm_tile_2d", oracle=_TILE_ORACLE, tags=("multimodal", "udf"))
+def mm_tile_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D patch extraction over binary payloads: treat each payload as
+    a row-major width-32 grayscale image and emit every full 8×8 tile
+    with its md5 and exact byte sum — the ViT-style patching shape
+    (replace the hash with a real patch encoder in deployment). One
+    Arrow batch in, variable tile rows out via ``mapInPandas``; both
+    the slicing arithmetic and the tile bytes are oracle-verified."""
+    import hashlib
+
+    def tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, txs, tys, sums_, md5s = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                height = len(b) // IMG_WIDTH
+                for ty in range(height // TILE):
+                    for tx in range(IMG_WIDTH // TILE):
+                        rows = [
+                            b[
+                                (ty * TILE + r) * IMG_WIDTH
+                                + tx * TILE : (ty * TILE + r) * IMG_WIDTH
+                                + tx * TILE
+                                + TILE
+                            ]
+                            for r in range(TILE)
+                        ]
+                        tile = b"".join(rows)
+                        ids.append(doc_id)
+                        txs.append(tx)
+                        tys.append(ty)
+                        md5s.append(hashlib.md5(tile).hexdigest())
+                        sums_.append(sum(tile))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "tile_x": txs,
+                    "tile_y": tys,
+                    "tile_md5": md5s,
+                    "byte_sum": sums_,
+                }
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(tiles, TILE_SCHEMA)
