@@ -352,3 +352,95 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     is available — this is the full-scan reference semantics."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SNAPDIFF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of join: facts against the dimension version valid at fact time
+# ---------------------------------------------------------------------------
+
+# Versioned dim built deterministically: batch 0 = original customer
+# rows (valid [0, 1) for every 7th key, [0, inf) otherwise); batch 1 =
+# the updated versions of every 7th key (valid [1, inf)). Facts carry a
+# deterministic integer batch-time t = o_orderkey % 3 in {0,1,2}.
+_SCD2_ASOF_SQL = """
+WITH dim_v AS (
+  SELECT c_custkey, c_mktsegment, 0 AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE NULL END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'UPDATED' AS c_mktsegment, 1 AS valid_from, NULL AS valid_to
+  FROM customer WHERE c_custkey % 7 = 0
+),
+facts AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderkey % 3 AS INT) AS t
+  FROM orders
+)
+SELECT f.o_orderkey, f.o_custkey, f.t,
+       d.c_mktsegment AS segment_at_time,
+       CAST(d.valid_from AS INT) AS version_from
+FROM facts f
+JOIN dim_v d
+  ON d.c_custkey = f.o_custkey
+ AND d.valid_from <= f.t
+ AND (d.valid_to IS NULL OR f.t < d.valid_to)
+"""
+
+
+@query("join_scd2_asof", oracle=_SCD2_ASOF_SQL, tags=("join", "warehouse"))
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: join each fact to the SCD2 dimension
+    VERSION valid at the fact's batch time (the query every star schema
+    with history-preserving dims runs). The join is an equi-join on the
+    business key with a validity-range residual predicate — per-key
+    version counts are tiny, so the residual filters a handful of rows
+    per match and the shuffle is exactly the plain key join's. Integer
+    batch versions keep it deterministic."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SCD2_ASOF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+# Exact integer metrics; quartile assignment via ntile over a TOTAL
+# order (metric, user_id) so bucket boundaries are engine-invariant.
+_RFM_SQL = """
+WITH metrics AS (
+  SELECT user_id,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, last_us, frequency, monetary_cents,
+         ntile(4) OVER (ORDER BY last_us, user_id) AS r_quartile,
+         ntile(4) OVER (ORDER BY frequency, user_id) AS f_quartile,
+         ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_quartile
+  FROM metrics
+)
+SELECT user_id, last_us, frequency, monetary_cents,
+       CAST(r_quartile AS INT) AS r_quartile,
+       CAST(f_quartile AS INT) AS f_quartile,
+       CAST(m_quartile AS INT) AS m_quartile,
+       CAST(r_quartile * 100 + f_quartile * 10 + m_quartile AS INT) AS rfm_code
+FROM scored
+"""
+
+
+@query("evt_rfm_segmentation", oracle=_RFM_SQL, tags=("events", "analytics"))
+def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation of users —
+    the classic behavioral cohorting query. Metrics are exact integers
+    (epoch µs, counts, cents); quartiles come from ntile over a total
+    order so both engines cut identical buckets. One hash aggregate per
+    user, then three single-partition ntile windows over the (small)
+    per-user metric table — at larger cardinalities swap ntile for
+    percentile-threshold joins to avoid the single-partition sort."""
+    register_views(spark, sf_dir, ("events",))
+    # Spark's epoch micros builtin is unix_micros; the rest of the SQL
+    # text is shared verbatim with the DuckDB oracle.
+    return spark.sql(_RFM_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
