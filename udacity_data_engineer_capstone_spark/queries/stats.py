@@ -491,3 +491,56 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm",
         f"CAST(n * 1000000 DIV t - {_BENFORD_CASE} AS BIGINT) AS deviation_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation of the hourly event-rate series
+# ---------------------------------------------------------------------------
+
+# All moments are exact BIGINTs over integer counts; the Pearson r is
+# one fixed tree of IEEE ops at the end, so both engines emit the same
+# double bit-for-bit (same discipline as the anomaly/corr operators).
+# Pairs are (h, h+lag) where BOTH hours observed events — join, not a
+# dense-spine fill, so the statistic is over the observed series.
+_AUTOCORR_SQL = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+lags AS (SELECT * FROM (VALUES (1), (2), (3)) t(lag)),
+pairs AS (
+  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+  FROM buckets a
+  JOIN lags l ON TRUE
+  JOIN buckets b
+    ON b.event_type = a.event_type
+   AND b.h = a.h + l.lag * INTERVAL 1 HOUR
+),
+moments AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs
+  GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+FROM moments
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@query("stat_autocorrelation", oracle=_AUTOCORR_SQL, tags=("stats", "timeseries"))
+def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's hourly rate — the
+    seasonality screen a capacity planner or anomaly detector runs
+    first. Integer moments ride one hash aggregate per (type, lag);
+    the lag alignment is an equi-join of the bucket series against
+    itself shifted by whole hours (bucket-cardinality-sized, tiny
+    relative to the event scan). Shared SQL text with the oracle."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_AUTOCORR_SQL)
