@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from udacity_data_engineer_capstone_spark.catalog import register_views
 from udacity_data_engineer_capstone_spark.pipelines import i94
 from udacity_data_engineer_capstone_spark.registry import query
 from udacity_data_engineer_capstone_spark.sources import i94_fixtures
@@ -263,3 +264,80 @@ def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / PACK_BUDGET).cast("long").alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user 360 profile: sessions + funnel + RFM in one dataflow
+# ---------------------------------------------------------------------------
+
+# Composite analytics pipeline over the event stream — the "user 360"
+# table a growth team materializes nightly. Every metric is exact
+# integer arithmetic (session counts from gaps-and-islands, funnel
+# stage timestamps as epoch µs, monetary cents) and the quartile cuts
+# use total-order ntile — deterministic end to end. SQL text shared
+# verbatim with the oracle (Spark swaps in unix_micros).
+_E360_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM ordered
+  GROUP BY user_id
+),
+first_view AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN first_view v
+    ON v.user_id = e.user_id AND e.ts > v.t0
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+),
+converted AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN first_click c
+    ON c.user_id = e.user_id AND e.ts > c.t1
+  WHERE e.event_type = 'purchase'
+),
+scored AS (
+  SELECT s.user_id, s.n_sessions, s.n_events, s.monetary_cents,
+         (c.user_id IS NOT NULL) AS converted,
+         ntile(4) OVER (ORDER BY s.last_us, s.user_id) AS r_q,
+         ntile(4) OVER (ORDER BY s.n_events, s.user_id) AS f_q,
+         ntile(4) OVER (ORDER BY s.monetary_cents, s.user_id) AS m_q
+  FROM sess s LEFT JOIN converted c ON c.user_id = s.user_id
+)
+SELECT user_id, n_sessions, n_events, monetary_cents, converted,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+FROM scored
+"""
+
+
+@query("pipe_event_360", oracle=_E360_SQL, tags=("pipeline", "events"))
+def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end user-360 profile: 30-minute sessionization
+    (gaps-and-islands), strict view→click→purchase funnel conversion,
+    and RFM quartile coding, joined into one row per user.
+
+    Scale shape: everything is keyed by user_id — the window sort, the
+    three funnel-stage aggregates, and the final joins all share one
+    hash partitioning (Catalyst reuses the exchange); the only global
+    operation is the ntile over the per-user metric table (users ≪
+    events; swap for percentile-threshold joins at extreme
+    cardinality)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_E360_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
