@@ -427,3 +427,107 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "core_degree",
         (F.col("s") % 2).cast("int").alias("is_supplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# single-source BFS levels
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_ROUNDS = 10  # > graph diameter at every SF; engine raises otherwise
+_BFS_SEED = 2  # customer node with custkey 1 (ids: cust*2, supp*2+1)
+
+# One relaxation round: a node's level is the min of its current level
+# and (neighbor's level + 1). Pure integer min-propagation — the same
+# recurrence unrolled in the oracle and looped in the engine.
+_BFS_STEP = """
+lv{i} AS MATERIALIZED (
+  SELECT node, MIN(lvl) AS lvl FROM (
+    SELECT node, lvl FROM lv{prev}
+    UNION ALL
+    SELECT b.d AS node, p.lvl + 1 AS lvl
+    FROM bidir b JOIN lv{prev} p ON p.node = b.s
+  ) GROUP BY node
+)
+"""
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bidir AS MATERIALIZED (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges),
+lv0 AS MATERIALIZED (SELECT CAST({_BFS_SEED} AS BIGINT) AS node,
+                            CAST(0 AS BIGINT) AS lvl)
+"""
+    ]
+    for i in range(1, _BFS_MAX_ROUNDS + 1):
+        ctes.append(_BFS_STEP.format(i=i, prev=i - 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT node AS node_id, lvl AS bfs_level,
+       CAST(node % 2 AS INT) AS is_supplier
+FROM lv{_BFS_MAX_ROUNDS}
+"""
+    )
+
+
+@query("graph_bfs_levels", oracle=_bfs_oracle(), tags=("graph", "iterative"))
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the purchase graph: hop distance from the
+    seed customer to every reachable node (unweighted shortest paths —
+    the crawl-frontier / influence-radius primitive).
+
+    Min-level propagation: each round unions the frontier's neighbors
+    (level+1) with current levels and takes the per-node MIN — exact
+    integer semantics shared with the unrolled oracle. The engine loops
+    to fixpoint (scalar count check per round, ``localCheckpoint``
+    truncates lineage) and FAILS LOUDLY if the diameter exceeds the
+    oracle's unroll depth. Each round is one equi-join + hash aggregate
+    on node id — hash-width shuffles; the frontier never leaves the
+    cluster."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = (
+        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    levels = spark.createDataFrame(
+        [(_BFS_SEED, 0)], "node long, lvl long"
+    )
+    prev_n = 1
+    for _ in range(_BFS_MAX_ROUNDS):
+        expanded = bidir.join(
+            levels.withColumnRenamed("node", "s"), "s"
+        ).select(F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+        levels = (
+            levels.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint(eager=False)
+        )
+        n = levels.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
+        )
+    return levels.select(
+        F.col("node").alias("node_id"),
+        F.col("lvl").alias("bfs_level"),
+        (F.col("node") % 2).cast("int").alias("is_supplier"),
+    )
