@@ -61,6 +61,7 @@ HEADLINE = [
     "graph_kcore",                # iterative k-core peel to fixpoint
     "join_spatial_grid",          # 3x3 grid-stamped radius join
     "emb_pca_power_iteration",    # int64 Gram power iteration
+    "pipe_event_360",             # sessionize + funnel + RFM composite
 ]
 
 

@@ -715,3 +715,40 @@ def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("t").alias("event_type"), F.col("pi").alias("stationary_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type sequence n-grams (next-action model input)
+# ---------------------------------------------------------------------------
+
+_SEQ_NGRAM_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 2) OVER w AS t0,
+         LAG(event_type, 1) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+grams AS (
+  SELECT t0, t1, event_type AS t2 FROM seq WHERE t0 IS NOT NULL
+)
+SELECT t0, t1, t2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM grams) AS BIGINT)
+         AS share_ppm
+FROM grams
+GROUP BY t0, t1, t2
+"""
+
+
+@query("evt_sequence_ngrams", oracle=_SEQ_NGRAM_SQL, tags=("events", "window"))
+def evt_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type trigram frequencies across all user streams — the
+    sequence statistic next-action models and funnel designers start
+    from. One LAG window pass per user (the same user_id partitioning
+    every sequence operator here shares), then a |types|³-bounded hash
+    aggregate; shares are exact integer ppm. Shared SQL text with the
+    oracle."""
+    register_views(spark, sf_dir, ("events",))
+    # same text; Spark spells integer division DIV, DuckDB //
+    return spark.sql(_SEQ_NGRAM_SQL.replace("//", "DIV"))
