@@ -437,3 +437,141 @@ def text_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("url").alias("sample_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition filter (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos) u
+  WHERE u.tok <> ''
+),
+bigrams AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+counts AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bigrams GROUP BY doc_id, bigram
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_bigram_count,
+       CAST(top_bigram_count * 1000000 // n_bigrams AS BIGINT)
+         AS top_share_ppm,
+       (top_bigram_count * 1000000 // n_bigrams) < 180000 AS keep
+FROM per_doc
+WHERE n_bigrams > 0
+"""
+
+
+@query("curate_repetition_filter", oracle=_REPETITION_ORACLE, tags=("curation", "text"))
+def curate_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: the share (exact ppm) of a doc's
+    most frequent word bigram; docs above 18% are template/boilerplate
+    suspects and get keep=false. Bigrams come from a positional
+    self-join per document; both aggregates are keyed by doc_id, so the
+    whole operator shares one hash partitioning and never shuffles
+    token-level data twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bigrams = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.concat_ws(" ", F.col("a.tok"), F.col("b.tok")).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    share = F.expr("top_bigram_count * 1000000 DIV n_bigrams")
+    return per_doc.where(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_count",
+        share.alias("top_share_ppm"),
+        (share < 180000).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate statistics (tokenizer-training input)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, u.i,
+         substring(lower(text), u.i, 1) AS c0,
+         substring(lower(text), u.i + 1, 1) AS c1
+  FROM documents,
+       LATERAL (SELECT unnest(range(1,
+                  CAST(length(text) AS INT))) AS i) u
+),
+pairs AS (
+  SELECT c0 || c1 AS pair, CAST(COUNT(*) AS BIGINT) AS n
+  FROM chars
+  WHERE regexp_matches(c0, '^[a-z0-9]$') AND regexp_matches(c1, '^[a-z0-9]$')
+  GROUP BY c0 || c1
+),
+ranked AS (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM pairs
+)
+SELECT pair, n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 20
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_ORACLE, tags=("text", "nlp"))
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge decision, as data: corpus-wide counts of
+    adjacent alphanumeric character pairs, top-20 by (count, pair) —
+    what a tokenizer trainer computes every merge round. Character
+    pairs come from a substring explode (corpus-linear, no Python);
+    the aggregate is alphabet²-bounded with map-side combine, and the
+    final top-20 is a tie-broken total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        F.posexplode(
+            F.expr("sequence(1, CAST(length(text) AS INT) - 1)")
+        ).alias("j", "i"),
+        F.lower("text").alias("t"),
+    ).select(
+        F.expr("substr(t, i, 1)").alias("c0"),
+        F.expr("substr(t, i + 1, 1)").alias("c1"),
+    )
+    pairs = (
+        chars.where(
+            F.col("c0").rlike("^[a-z0-9]$") & F.col("c1").rlike("^[a-z0-9]$")
+        )
+        .groupBy(F.concat("c0", "c1").alias("pair"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pairs.select("pair", "n", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 20)
+    )
