@@ -704,3 +704,78 @@ def curate_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") >= 100000, 1).otherwise(0)).alias("n_mirrors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split hygiene: train/val overlap report
+# ---------------------------------------------------------------------------
+
+# The corpus ∪ mirror copies (same planted duplicates as
+# curate_dedup_priority) hash-split 80/20 by md5(doc_id) — the
+# deterministic split everybody ships — then audited for texts that
+# leak across the boundary. This is the val-set decontamination check
+# run before every training launch.
+_SPLIT_OVERLAP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0
+),
+split AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) % 5 = 0
+              THEN 'val' ELSE 'train' END AS part
+  FROM corpus
+),
+by_hash AS (
+  SELECT text_hash,
+         CAST(SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN part = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         MIN(doc_id) AS first_doc
+  FROM split GROUP BY text_hash
+)
+SELECT text_hash, n_train, n_val, first_doc
+FROM by_hash
+WHERE n_train > 0 AND n_val > 0
+"""
+
+
+@query(
+    "curate_validation_overlap",
+    oracle=_SPLIT_OVERLAP_ORACLE,
+    tags=("curation", "dedup"),
+)
+def curate_validation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene audit: texts that appear on BOTH sides of the
+    deterministic 80/20 hash split (duplicated docs whose copies hashed
+    into different parts) — exactly the leakage a val-set
+    decontamination pass must catch. One md5-keyed hash aggregate over
+    the split corpus; train/val tallies ride map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5
+    )
+    split = corpus.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.when(bucket == 0, "val").otherwise("train").alias("part"),
+    )
+    return (
+        split.groupBy("text_hash")
+        .agg(
+            F.sum(F.when(F.col("part") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("part") == "val", 1).otherwise(0)).alias("n_val"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_val") > 0))
+    )

@@ -289,3 +289,72 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "(mx * 1000) DIV mm AS vx"  # DIV truncates toward zero
         )
     return v.select(F.col("i").cast("int").alias("dim"), F.col("vx").alias("component_milli"))
+
+
+# ---------------------------------------------------------------------------
+# pairwise-cosine histogram (embedding-space calibration)
+# ---------------------------------------------------------------------------
+
+# A deterministic ~1% sample of the pair space ((a*31 + b) % 97 == 0)
+# keeps the work quadratic-but-tiny and IDENTICAL in both engines; the
+# cosine kernel is the same float→double-widened linear fold the dedup
+# op uses, and bucketing floor(cos*10) maps the same doubles to the
+# same bins everywhere.
+_COSHIST_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS va, b.v AS vb
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE (a.vec_id * 31 + b.vec_id) % 97 = 0
+),
+cos AS (
+  SELECT list_sum(list_transform(range(1, 65), i -> va[i] * vb[i]))
+         / (sqrt(list_sum(list_transform(va, x -> x * x)))
+            * sqrt(list_sum(list_transform(vb, x -> x * x)))) AS c
+  FROM pairs
+)
+SELECT CAST(floor(c * 10) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c) AS min_cos,
+       MAX(c) AS max_cos
+FROM cos
+GROUP BY 1
+"""
+
+
+@query("emb_cosine_histogram", oracle=_COSHIST_ORACLE, tags=("embedding", "stats"))
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosines over a deterministic ~1% pair
+    sample — the calibration curve that tells you where to set dedup /
+    retrieval thresholds for THIS embedding model. The sampled pair
+    join is id-arithmetic-gated (same subset in both engines); at
+    corpus scale the sample rate drops with n² so the work stays
+    bounded while the histogram converges."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") < F.col("b.vec_id"))
+        & ((F.col("a.vec_id") * 31 + F.col("b.vec_id")) % 97 == 0),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    na = F.sqrt(F.expr("aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    nb = F.sqrt(F.expr("aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    cos = (dot / (na * nb)).alias("c")
+    return (
+        pairs.select(cos)
+        .groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cos"),
+            F.max("c").alias("max_cos"),
+        )
+    )

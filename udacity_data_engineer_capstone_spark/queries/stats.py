@@ -544,3 +544,63 @@ def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the event scan). Shared SQL text with the oracle."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_AUTOCORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on the hourly rate series
+# ---------------------------------------------------------------------------
+
+# Test statistic kept integral: with S_t the running count sum over the
+# first t buckets and S_n, n the totals, the scaled deviation
+# D_t = |n·S_t − t·S_n| is exact int64 (counts ≤ 1e12 safe). The
+# change-point is argmax_t D_t with min-t tie-break, encoded as
+# MAX(D_t * 100000 + (100000 - 1 - t)) so it rides one aggregate.
+_CUSUM_SQL = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+ordered AS (
+  SELECT event_type, h, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS s_t
+  FROM buckets
+),
+tot AS (
+  SELECT event_type, CAST(MAX(t) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s_n
+  FROM ordered GROUP BY event_type
+),
+dev AS (
+  SELECT o.event_type, o.t, o.h,
+         abs(tt.n * o.s_t - o.t * tt.s_n) AS d
+  FROM ordered o JOIN tot tt ON tt.event_type = o.event_type
+),
+best AS (
+  SELECT event_type,
+         CAST(MAX(d * 100000 + (100000 - 1 - t)) AS BIGINT) AS enc
+  FROM dev GROUP BY event_type
+)
+SELECT b.event_type,
+       CAST(b.enc // 100000 AS BIGINT) AS d_max,
+       CAST(100000 - 1 - b.enc % 100000 AS BIGINT) AS change_t,
+       d2.h AS change_hour,
+       tt.n AS n_buckets,
+       tt.s_n AS total_events
+FROM best b
+JOIN tot tt ON tt.event_type = b.event_type
+JOIN dev d2 ON d2.event_type = b.event_type
+           AND d2.t = 100000 - 1 - b.enc % 100000
+"""
+
+
+@query("stat_cusum_changepoint", oracle=_CUSUM_SQL, tags=("stats", "timeseries"))
+def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan per event type: the hour where the
+    cumulative count deviates most from a constant-rate line — the
+    first tool reached for when a telemetry rate shifts. The deviation
+    |n·S_t − t·S_n| stays integral end to end, and the argmax (min-t
+    tie-break) is encoded into one MAX aggregate, so the whole scan is
+    a window pass plus two hash aggregates, no driver data."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CUSUM_SQL.replace("//", "DIV"))
