@@ -604,3 +604,40 @@ def stat_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window pass plus two hash aggregates, no driver data."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CUSUM_SQL.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile: hour-of-day shape per event type
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_SQL = """
+WITH by_hour AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, hour(ts)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS t FROM by_hour GROUP BY event_type
+),
+shaped AS (
+  SELECT b.event_type, b.hod, b.c,
+         CAST(b.c * 1000000 // t.t AS BIGINT) AS share_ppm,
+         row_number() OVER (PARTITION BY b.event_type
+                            ORDER BY b.c DESC, b.hod) AS peak_rank
+  FROM by_hour b JOIN tot t ON t.event_type = b.event_type
+)
+SELECT event_type, hod, c, share_ppm,
+       (peak_rank = 1) AS is_peak_hour
+FROM shaped
+"""
+
+
+@query("stat_seasonality_profile", oracle=_SEASONALITY_SQL, tags=("stats", "timeseries"))
+def stat_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load shape per event type (exact ppm shares, peak
+    hour flagged under a tie-broken total order) — the diurnal profile
+    capacity planning and anomaly baselines start from. One 24×|types|
+    hash aggregate plus a broadcast-sized share join; nothing about the
+    plan changes with event volume."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SEASONALITY_SQL.replace("//", "DIV"))
