@@ -551,3 +551,117 @@ def src_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofmonth("cal_date") == 1).alias("is_month_start"),
         (F.col("cal_date") == F.last_day("cal_date")).alias("is_month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# malformed-CSV quarantine ingest (PERMISSIVE + _corrupt_record)
+# ---------------------------------------------------------------------------
+
+# A CSV feed derived from orders with two deterministic corruption
+# modes planted: every key % 5 == 0 line carries an unparseable price,
+# every remaining key % 7 == 0 line is truncated to two columns. The
+# engine ingests with PERMISSIVE mode and a _corrupt_record column —
+# the quarantine pattern every production CSV loader runs — and
+# reports good/corrupt tallies; the oracle recomputes them from the
+# generation rule, so the parser's corruption classification itself is
+# what's verified.
+_QUARANTINE_ORACLE = """
+WITH feed AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0) AS is_corrupt
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT is_corrupt,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key,
+       CAST(SUM(CASE WHEN is_corrupt THEN 0 ELSE cents END) AS BIGINT)
+         AS sum_good_cents
+FROM feed GROUP BY is_corrupt
+"""
+
+
+@query("src_csv_quarantine", oracle=_QUARANTINE_ORACLE, tags=("source", "quality"))
+def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingest: stage a feed with two planted corruption
+    modes, read it back in PERMISSIVE mode with ``_corrupt_record``,
+    and report per-class tallies. The key survives partial parses (it
+    is the first token), so even quarantined rows stay attributable —
+    the property an incident replay depends on. At scale this is the
+    same scan (PERMISSIVE parsing is per-row, embarrassingly parallel);
+    the tally is one 2-row aggregate."""
+    import tempfile
+
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    lines = (
+        orders.where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.lit("NOT_A_NUMBER"),
+                ),
+            )
+            .when(
+                F.col("o_orderkey") % 7 == 0,
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents.cast("string"),
+                )
+            )
+            .alias("value")
+        )
+    )
+    out = tempfile.mkdtemp(prefix="engine_csv_quarantine_")
+    lines.write.mode("overwrite").text(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("status", T.StringType(), True),
+            T.StructField("cents", T.LongType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    # CSV column pruning changes _corrupt_record semantics: when a query
+    # doesn't reference every data column, the pruned parse no longer
+    # flags short rows (missing tokens for unreferenced columns) as
+    # corrupt — the classification would then depend on which columns
+    # the downstream aggregate happens to touch. Disable pruning for
+    # this read so quarantine classification is query-independent.
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return (
+        parsed.groupBy(F.col("_corrupt_record").isNotNull().alias("is_corrupt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.coalesce(F.col("cents"), F.lit(0))
+                ).otherwise(0)
+            ).alias("sum_good_cents"),
+        )
+    )
