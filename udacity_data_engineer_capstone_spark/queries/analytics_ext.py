@@ -383,3 +383,53 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile-threshold banding (the scale path past global ntile)
+# ---------------------------------------------------------------------------
+
+# Global ntile sorts the whole table in ONE partition; at extreme
+# cardinality the scalable shape is: compute the three quartile cut
+# VALUES (discrete quantiles at ranks ceil(n*q) — exact integers, no
+# interpolation arithmetic to disagree on), broadcast them, and band by
+# comparison. Shared SQL text.
+_BANDS_SQL = """
+WITH metrics AS (
+  SELECT user_id,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM metrics
+),
+cuts AS (
+  SELECT MAX(CASE WHEN r * 4 <= n THEN cents END) AS q1,
+         MAX(CASE WHEN r * 2 <= n THEN cents END) AS q2,
+         MAX(CASE WHEN r * 4 <= n * 3 THEN cents END) AS q3
+  FROM ranked
+)
+SELECT m.user_id, m.cents,
+       CAST(CASE WHEN m.cents <= c.q1 THEN 1
+                 WHEN m.cents <= c.q2 THEN 2
+                 WHEN m.cents <= c.q3 THEN 3
+                 ELSE 4 END AS INT) AS band,
+       c.q1, c.q2, c.q3
+FROM metrics m CROSS JOIN cuts c
+"""
+
+
+@query("agg_percentile_threshold_bands", oracle=_BANDS_SQL, tags=("agg", "window"))
+def agg_percentile_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile banding via broadcast threshold values instead of a
+    global ntile — the shape that survives when the banded table is too
+    big to sort in one partition: cut values come from a rank scan
+    (here a window; at extreme scale an approx-quantile or a sampled
+    rank), then banding is a map-only comparison against the broadcast
+    3-row cuts. Discrete quantiles (value at rank ⌈n·q⌉) keep every
+    number an exact integer."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BANDS_SQL)
