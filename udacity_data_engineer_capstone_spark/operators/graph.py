@@ -531,3 +531,106 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lvl").alias("bfs_level"),
         (F.col("node") % 2).cast("int").alias("is_supplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: capped common-neighbor / Jaccard scores
+# ---------------------------------------------------------------------------
+
+_LP_DEG_CAP = 25  # only wedge through rare parts (prefix-filter trick)
+
+# Customer pairs sharing low-degree PARTS (the supplier side is too
+# dense to be informative: every supplier serves hundreds of
+# customers). Wedging through a hub is both uninformative and quadratic
+# in its degree, so the wedge join is capped at degree <= 25 — the same
+# df-cap bound the n-gram dedup inverted index uses: fan-out <= cap^2
+# per supplier, corpus-size independent. Scores are exact integer ppm
+# over FULL degrees (only the wedge enumeration is capped).
+_LP_ORACLE = f"""
+WITH cs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+cdeg AS MATERIALIZED (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM cs GROUP BY c
+),
+sdeg AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM cs GROUP BY s
+),
+rare AS MATERIALIZED (
+  SELECT s FROM sdeg WHERE deg <= {_LP_DEG_CAP}
+),
+wedges AS (
+  SELECT a.c AS c1, b.c AS c2
+  FROM cs a
+  JOIN cs b ON b.s = a.s AND a.c < b.c
+  WHERE a.s IN (SELECT s FROM rare)
+),
+common AS (
+  SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges GROUP BY c1, c2
+  HAVING COUNT(*) >= 2
+)
+SELECT co.c1, co.c2, co.n_common,
+       d1.deg AS deg1, d2.deg AS deg2,
+       CAST(co.n_common * 1000000 // (d1.deg + d2.deg - co.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM common co
+JOIN cdeg d1 ON d1.c = co.c1
+JOIN cdeg d2 ON d2.c = co.c2
+"""
+
+
+@query("graph_link_prediction", oracle=_LP_ORACLE, tags=("graph",))
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the customer–part
+    bipartite graph: customer pairs sharing ≥2 RARE parts, scored by
+    exact-ppm Jaccard over their full part sets (co-purchase link
+    prediction — "customers like you also bought").
+
+    Scale shape: the wedge self-join runs only through parts of degree
+    ≤ 25 (hub wedges are quadratic AND uninformative — the
+    prefix-filtering bound from similarity self-joins), so fan-out per
+    part is capped at cap² regardless of corpus size; degrees for the
+    score come from full (uncapped) hash aggregates; everything
+    shuffles at key width."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused 3x (wedges + 2 degree aggs)
+    )
+    cdeg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    rare = (
+        cs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("sdeg"))
+        .where(F.col("sdeg") <= _LP_DEG_CAP)
+        .select("s")
+    )
+    capped = cs.join(rare, "s", "left_semi")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("c1"), F.col("b.c").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    d1 = cdeg.select(F.col("c").alias("c1"), F.col("deg").alias("deg1"))
+    d2 = cdeg.select(F.col("c").alias("c2"), F.col("deg").alias("deg2"))
+    return (
+        common.join(d1, "c1")
+        .join(d2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "n_common",
+            "deg1",
+            "deg2",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (deg1 + deg2 - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
