@@ -641,3 +641,53 @@ def stat_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan changes with event volume."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_SEASONALITY_SQL.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+# Nonparametric two-sample test ('click' vs 'purchase' values): ranks
+# are kept integral by working in DOUBLED rank units (tie-average rank
+# r + (t-1)/2 becomes 2r + t - 1, an exact integer), so the rank sum
+# and U statistic are pure int64; the normal-approximation z is one
+# fixed IEEE expression at the end. Shared SQL text.
+_MWU_SQL = """
+WITH samples AS (
+  SELECT event_type AS grp,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+ranked AS (
+  SELECT grp, cents,
+         rank() OVER (ORDER BY cents) AS r,
+         COUNT(*) OVER (PARTITION BY cents) AS t
+  FROM samples
+),
+sums AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 'click' THEN 2 * r + t - 1 ELSE 0 END) AS BIGINT)
+      AS r1_doubled,
+    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST((r1_doubled - n1 * (n1 + 1)) AS BIGINT) AS u1_doubled,
+       (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        - CAST(n1 * n2 AS DOUBLE) / 2.0)
+       / sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE) / 12.0) AS z_score
+FROM sums
+"""
+
+
+@query("stat_mann_whitney", oracle=_MWU_SQL, tags=("stats",))
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test comparing click vs purchase value
+    distributions — the nonparametric alternative to the t-test (cf.
+    stat_welch_ttest) that survives heavy tails. Doubled-rank units
+    keep every accumulation int64-exact (tie handling included); one
+    global rank window over the two-group sample (at extreme scale,
+    rank via sampled splitters), then a single-row aggregate."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MWU_SQL)
