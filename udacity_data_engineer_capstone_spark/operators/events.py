@@ -752,3 +752,43 @@ def evt_sequence_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("events",))
     # same text; Spark spells integer division DIV, DuckDB //
     return spark.sql(_SEQ_NGRAM_SQL.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# audience overlap matrix (event-type user-set Jaccard)
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_SQL = """
+WITH audiences AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM audiences GROUP BY event_type
+),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM audiences a
+  JOIN audiences b ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT o.type_a, o.type_b, sa.n AS n_a, sb.n AS n_b, o.n_both,
+       CAST(o.n_both * 1000000 // (sa.n + sb.n - o.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM ovl o
+JOIN sizes sa ON sa.event_type = o.type_a
+JOIN sizes sb ON sb.event_type = o.type_b
+"""
+
+
+@query("evt_audience_overlap", oracle=_AUDIENCE_SQL, tags=("events", "agg"))
+def evt_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact-ppm Jaccard between each pair of
+    event types' user sets — the segment-intersection report behind
+    campaign planning (and the exact ground truth the KMV/theta sketch
+    ops approximate). One distinct-projection, a user-keyed self-join
+    (fan-out = types-per-user ≤ |types|), and broadcast-sized size
+    joins."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_AUDIENCE_SQL.replace("//", "DIV"))

@@ -665,3 +665,57 @@ def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_good_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# parquet codec round-trip (compression coverage)
+# ---------------------------------------------------------------------------
+
+_CODECS = ("snappy", "gzip", "zstd")
+
+_CODEC_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_cents
+  FROM orders
+)
+SELECT codec, n_rows, sum_cents
+FROM base, (SELECT unnest(['{"', '".join(_CODECS)}']) AS codec)
+ORDER BY codec
+"""
+
+
+@query("snk_parquet_codecs", oracle=_CODEC_ORACLE, tags=("sink", "format"))
+def snk_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the orders table under snappy/gzip/zstd parquet compression
+    and read each copy back, proving every codec round-trips the exact
+    row count and integer-cents sum. Codec choice is the storage knob a
+    100 TB deployment tunes (zstd ≈ gzip ratio at snappy-class decode
+    speed); the verification aggregate is identical across codecs by
+    construction, which is precisely the claim being checked."""
+    import tempfile
+
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="engine_codec_")
+    frames = []
+    for codec in _CODECS:
+        path = f"{out}/{codec}"
+        orders.write.option("compression", codec).parquet(path)
+        frames.append(
+            spark.read.parquet(path).agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    )
+                ).alias("sum_cents"),
+            )
+        )
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionAll(fr)
+    return res
