@@ -575,3 +575,83 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("pair", "n", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (memorization-risk screen)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) - 1 AS pos) u
+  WHERE u.tok <> ''
+),
+trigrams AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+gram_docs AS (
+  SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM trigrams GROUP BY g
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gd.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM trigrams t JOIN gram_docs gd ON gd.g = t.g
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_unique,
+       CAST(n_unique * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+FROM per_doc
+"""
+
+
+@query("curate_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("curation", "text"))
+def curate_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the exact-ppm share of a doc's
+    word trigrams that occur in NO other document — low novelty marks
+    boilerplate/templated docs (duplication risk), high novelty marks
+    uniquely-informative ones. Trigram document frequency is one
+    hash aggregate keyed by the gram; the per-doc roll-up joins back on
+    the same key. At corpus scale the df table is the same vocabulary-
+    bounded object every dedup/contamination op here shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    a, b, c = toks.alias("a"), toks.alias("b"), toks.alias("c")
+    trigrams = (
+        a.join(b, (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .join(c, (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.tok"), F.col("b.tok"), F.col("c.tok")).alias("g"),
+        )
+    )
+    gram_docs = trigrams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        trigrams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_unique",
+        F.expr("CAST(n_unique * 1000000 DIV n_grams AS BIGINT)").alias(
+            "novelty_ppm"
+        ),
+    )
