@@ -719,3 +719,39 @@ def snk_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         res = res.unionAll(fr)
     return res
+
+
+# ---------------------------------------------------------------------------
+# multiline (JSON-array) source
+# ---------------------------------------------------------------------------
+
+_MULTILINE_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@query("src_json_multiline", oracle=_MULTILINE_ORACLE, tags=("source",))
+def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file JSON-ARRAY source (``multiLine=true``): the API-export
+    shape (one big ``[...]`` document) rather than JSON-lines. A
+    multiline file is NOT splittable — each file parses in one task —
+    so at scale you shard exports into many files (or convert to
+    JSON-lines at ingest); here one dim-sized file demonstrates the
+    reader. Explicit schema, no inference pass."""
+    import json as _json
+    import os
+
+    d = tempfile.mkdtemp(prefix="engine_src_mljson_")
+    rows = [
+        {"r_regionkey": r.r_regionkey, "r_name": r.r_name}
+        for r in load_table(spark, sf_dir, "region").collect()  # 5-row dim
+    ]
+    with open(os.path.join(d, "regions.json"), "w") as f:
+        _json.dump(rows, f, indent=2)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType(), True),
+            T.StructField("r_name", T.StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).option("multiLine", "true").json(d)
