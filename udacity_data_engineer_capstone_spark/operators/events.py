@@ -792,3 +792,45 @@ def evt_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_AUDIENCE_SQL.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# timed cart abandonment (funnel complement)
+# ---------------------------------------------------------------------------
+
+_ABANDON_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id
+  FROM events WHERE event_type = 'click'
+),
+converted AS (
+  SELECT DISTINCT c.user_id, c.event_id
+  FROM clicks c
+  JOIN events p
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase'
+   AND p.ts > c.click_ts
+   AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+)
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) - COUNT(v.event_id) AS BIGINT) AS n_abandoned,
+       CAST((COUNT(*) - COUNT(v.event_id)) * 1000000 // COUNT(*) AS BIGINT)
+         AS abandon_ppm
+FROM clicks c
+LEFT JOIN converted v
+  ON v.user_id = c.user_id AND v.event_id = c.event_id
+GROUP BY c.user_id
+"""
+
+
+@query("evt_cart_abandonment", oracle=_ABANDON_SQL, tags=("events", "join"))
+def evt_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed funnel complement: per user, the clicks NOT followed by a
+    purchase within one hour (exact-ppm abandonment rate) — the
+    retargeting audience query. The conversion check is a time-bounded
+    range join per user (state bounded by the 1-hour horizon — the same
+    bound its streaming twin would give a watermark); the roll-up is
+    one user-keyed aggregate. Shared SQL text."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ABANDON_SQL.replace("//", "DIV"))

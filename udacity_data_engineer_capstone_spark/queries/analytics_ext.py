@@ -433,3 +433,51 @@ def agg_percentile_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFram
     number an exact integer."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BANDS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rolling OLS slope (windowed trend detection)
+# ---------------------------------------------------------------------------
+
+# Rolling least-squares slope of value-cents against the event index
+# over the trailing 16 events per user. All five windowed moments are
+# int64-exact (x = position index ≤ stream length, y = cents), and the
+# slope is one fixed IEEE expression — engine-invariant. NULL where the
+# trailing variance is zero or the window is a single row.
+_ROLLREG_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS x
+  FROM events
+),
+moments AS (
+  SELECT user_id, ts, event_id, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY x
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, event_id, y,
+       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+            END AS slope_cents_per_step
+FROM moments
+"""
+
+
+@query("win_rolling_regression", oracle=_ROLLREG_SQL, tags=("window", "stats"))
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling OLS slope of spend over the trailing 16 events —
+    the windowed trend detector behind 'is this account ramping up'.
+    One window pass per user carrying five integer moments; the slope
+    is a single division of exact int64 expressions, so both engines
+    emit identical doubles. Shared SQL text."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ROLLREG_SQL)
