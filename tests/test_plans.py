@@ -317,3 +317,50 @@ def test_typo_pairs_no_cartesian(spark, sf_dir):
     text = plan_text(df)
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_spatial_grid_no_cartesian(spark, sf_dir):
+    """join_spatial_grid must join on the stamped (cx, cy) cell keys —
+    an all-pairs CartesianProduct/BNLJ would defeat the grid bucketing
+    whose whole point is linear shuffle at corpus scale."""
+    df = Q["join_spatial_grid"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_link_prediction_no_cartesian(spark, sf_dir):
+    """graph_link_prediction's wedge join must be an equi-join through
+    the rare-part key, never an all-pairs customer product."""
+    df = Q["graph_link_prediction"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_cdc_chunks_jvm_only(spark, sf_dir):
+    """dedup_cdc_chunks is pure column expressions + windows — a Python
+    worker node would mean the chunking dropped off the codegen path."""
+    df = Q["dedup_cdc_chunks"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_model_score_is_map_only(spark, sf_dir):
+    """curate_model_score must be a projection over the scan — any
+    exchange means the 'cheap inference at 100 TB' claim is false."""
+    df = Q["curate_model_score"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "Exchange" not in text, text
+
+
+def test_glove_cooccur_equi_join(spark, sf_dir):
+    """text_glove_cooccur's positional self-join must hash-join on
+    doc_id (range residual as filter), not nested-loop the token
+    table against itself."""
+    df = Q["text_glove_cooccur"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    """ts_ewma's 8 taps are lag reads inside ONE sorted window run —
+    the plan must contain exactly one user_id exchange, not one per
+    tap."""
+    df = Q["ts_ewma"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("Exchange hashpartitioning(user_id") <= 1, text
