@@ -834,3 +834,62 @@ def evt_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-keyed aggregate. Shared SQL text."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ABANDON_SQL.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# dense series materialization (gap fill)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT u.h FROM bounds,
+       LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) u
+),
+types AS (SELECT DISTINCT event_type FROM events),
+observed AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT t.event_type, s.h AS hour,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS n_events,
+       (o.c IS NULL) AS was_gap
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN observed o ON o.event_type = t.event_type AND o.h = s.h
+"""
+
+
+@query("evt_gap_fill", oracle=_GAP_FILL_SQL, tags=("events", "timeseries"))
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type: cross the generated hour
+    spine with the type dim and left-join observed counts, zero-filling
+    gaps (and flagging them) — the materialization every window/lag
+    analysis needs before treating a series as evenly spaced. The spine
+    and type dim are broadcast-sized; only the observed aggregate
+    touches event-scale data."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(observed, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("c").isNull().alias("was_gap"),
+        )
+    )

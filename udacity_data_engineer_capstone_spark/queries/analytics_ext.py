@@ -481,3 +481,43 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit identical doubles. Shared SQL text."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ROLLREG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# column profiling (the warehouse "describe" audit)
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders
+"""
+
+
+@query("agg_null_profile", oracle=_PROFILE_SQL, tags=("agg", "quality"))
+def agg_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (count / nulls / distinct per
+    column) — the automated 'describe' audit a warehouse publishes per
+    load. Expressed as one aggregate per column unioned together;
+    Catalyst collapses the scans and each aggregate is partial+final.
+    At very wide tables you'd do one pass with approx_count_distinct
+    per column instead — exact distincts here keep the oracle strict."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PROFILE_SQL)
