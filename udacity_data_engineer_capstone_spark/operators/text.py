@@ -508,3 +508,69 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "tok")
         .limit(TOP_TOKENS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation statistics
+# ---------------------------------------------------------------------------
+
+_SENTENCES_SQL_DUCK = """
+WITH sents AS (
+  SELECT doc_id, trim(u.s) AS s
+  FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS s) u
+  WHERE trim(u.s) <> ''
+),
+measured AS (
+  SELECT doc_id, s,
+         CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS n_tokens
+  FROM sents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT)
+         AS mean_len_ppm,
+       CAST(MAX(n_tokens) AS BIGINT) AS longest
+FROM measured
+GROUP BY doc_id
+"""
+
+
+@query("text_sentences", oracle=_SENTENCES_SQL_DUCK, tags=("text", "nlp"))
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: split on terminal
+    punctuation runs, drop empties, report sentence count, token total,
+    exact-ppm mean sentence length, and the longest sentence — the
+    structural features readability/quality scoring builds on. One
+    explode + one doc-keyed aggregate, all column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0"),
+        )
+        .select("doc_id", F.trim(F.col("s0")).alias("s"))
+        .where(F.col("s") != "")
+    )
+    measured = sents.select(
+        "doc_id", F.size(F.split(F.col("s"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    return (
+        measured.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max("n_tokens").alias("longest"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 DIV n_sentences AS BIGINT)").alias(
+                "mean_len_ppm"
+            ),
+            "longest",
+        )
+    )
