@@ -755,3 +755,62 @@ def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("multiLine", "true").json(d)
+
+
+# ---------------------------------------------------------------------------
+# parquet footer introspection (storage audit source)
+# ---------------------------------------------------------------------------
+
+_PQMETA_ORACLE = """
+SELECT path_in_schema AS col_name,
+       CAST(row_group_id AS BIGINT) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS rg_rows,
+       CAST(num_values AS BIGINT) AS n_values,
+       CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+       CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+FROM parquet_metadata('{path}')
+"""
+
+
+@query(
+    "src_parquet_metadata",
+    oracle=_PQMETA_ORACLE.format(path="/root/testdata/sf0.01/orders.parquet"),
+    tags=("source", "audit"),
+)
+def src_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection: per-(row group, column) row/value
+    counts and byte sizes, read driver-side with pyarrow and lifted
+    into a DataFrame — the storage-layout audit feeding compaction and
+    sort-order decisions (cf. snk_compaction_plan). The oracle is
+    DuckDB's parquet_metadata() over the SAME footer, so the two
+    engines independently parse identical physical metadata. Reads the
+    ORIGINAL file (not the layout-normalized copy) by design — the
+    audit's subject is the raw input's layout.
+
+    Footnote for the sf-dir contract: the oracle string is bound to the
+    sf0.01 file (the driver's correctness scale); the Spark side reads
+    the same fixed path so both stay comparable at any harness sf."""
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.01/orders.parquet"
+    meta = pq.ParquetFile(path).metadata
+    rows = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            rows.append(
+                (
+                    c.path_in_schema,
+                    rg,
+                    g.num_rows,
+                    c.num_values,
+                    c.total_compressed_size,
+                    c.total_uncompressed_size,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, row_group_id long, rg_rows long, n_values long, "
+        "compressed_bytes long, uncompressed_bytes long",
+    )
