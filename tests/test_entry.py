@@ -13,7 +13,12 @@ def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert set(df.columns) == {"region", "nation", "revenue", "n_items"}
+    assert set(df.columns) == {
+        "region",
+        "nation",
+        "revenue_ten_thousandths",
+        "n_items",
+    }
 
 
 def test_queries_and_oracles_consistent():

@@ -22,7 +22,8 @@ _TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY 1, 2
 """
@@ -34,12 +35,20 @@ def evt_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact BIGINT micros: the decimal(18,6) conversion is the
+            # same on both engines, then integer scaling — no DECIMAL
+            # (driver-hash-unstable in r2/r3) reaches the output
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("sum_value_micros"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
     )
 
@@ -56,7 +65,8 @@ WITH aligned AS (
 SELECT a15 - k.k * INTERVAL 15 MINUTE AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         AS BIGINT) AS sum_value_micros
 FROM aligned
 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
 GROUP BY 1, 2
@@ -70,12 +80,20 @@ def evt_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact BIGINT micros: the decimal(18,6) conversion is the
+            # same on both engines, then integer scaling — no DECIMAL
+            # (driver-hash-unstable in r2/r3) reaches the output
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("sum_value_micros"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
     )
 
@@ -102,7 +120,8 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         AS BIGINT) AS sum_value_micros
 FROM islands
 GROUP BY user_id, session_id
 """
@@ -115,13 +134,21 @@ def evt_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact BIGINT micros: the decimal(18,6) conversion is the
+            # same on both engines, then integer scaling — no DECIMAL
+            # (driver-hash-unstable in r2/r3) reaches the output
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("sum_value_micros"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
     )
 

@@ -68,8 +68,8 @@ _BLOOM_ACCTBAL = 9000
 _BLOOM_ORACLE = f"""
 SELECT o.o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(33,2))
-         AS sum_price
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
 FROM orders o
 WHERE o.o_custkey IN (
   SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_ACCTBAL})
@@ -140,8 +140,8 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(33,2)")
-            .alias("sum_price"),
+            # exact BIGINT integer cents — no DECIMAL in the output
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("sum_price_cents"),
         )
     )

@@ -24,13 +24,14 @@ from udacity_data_engineer_capstone_spark.registry import query
 _RANK_ORACLE = """
 WITH rev AS (
   SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
-         SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS revenue
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 )
-SELECT nationkey, custkey, revenue, CAST(rnk AS INT) AS rnk
+SELECT nationkey, custkey, revenue_cents, CAST(rnk AS INT) AS rnk
 FROM (SELECT *, rank() OVER (PARTITION BY nationkey
-                             ORDER BY revenue DESC, custkey) AS rnk
+                             ORDER BY revenue_cents DESC, custkey) AS rnk
       FROM rev)
 WHERE rnk <= 3
 """
@@ -41,7 +42,9 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by revenue per nation — ranking window after an
     aggregate. The rank filter is pushed below the final sort by Spark's
     window-group-limit optimization, so only ~3 rows per partition
-    survive the shuffle at any scale."""
+    survive the shuffle at any scale. Revenue is exact BIGINT integer
+    cents (round(price*100)) — fold-order-independent, and no DECIMAL
+    reaches the output (driver decimal hashing proved unstable r2/r3)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     rev = (
@@ -50,10 +53,13 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.col("c_custkey").alias("custkey"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("revenue"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("revenue_cents")
+        )
     )
     w = Window.partitionBy("nationkey").orderBy(
-        F.col("revenue").desc(), F.col("custkey")
+        F.col("revenue_cents").desc(), F.col("custkey")
     )
     return rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= 3)
 
@@ -209,7 +215,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_price
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -217,11 +224,15 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @query("agg_cube", oracle=_CUBE_ORACLE, tags=("agg",))
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions (all 4 grouping sets in one pass)."""
+    """CUBE over two dimensions (all 4 grouping sets in one pass).
+    Price sum in exact BIGINT integer cents — no DECIMAL in the output."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("sum_price"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("sum_price_cents")
+        )
     )
 
 

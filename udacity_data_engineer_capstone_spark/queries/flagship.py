@@ -27,9 +27,9 @@ _ORACLE = """
 SELECT
   r.r_name AS region,
   n.n_name AS nation,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-    AS DECIMAL(33,4)) AS revenue,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+    AS BIGINT) AS revenue_ten_thousandths,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -61,18 +61,20 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            # exact decimal arithmetic per row (price and discount are
-            # cents/percent-valued, so their casts are stable; the
-            # decimal product and sum are fold-order-independent, unlike
-            # double sums — and unlike casting the *double* product,
-            # whose boundary rounding differs between engines)
+            # exact *integer-cents* arithmetic per row: price is
+            # cents-valued and discount is percent-valued, so
+            # round(x*100) recovers the exact integer both engines agree
+            # on, and the BIGINT sum is fold-order-independent — no
+            # DECIMAL column ever reaches the output (decimal hashing
+            # proved driver-unstable across r2/r3 despite value-perfect
+            # results; integer cents is the suite-wide green pattern)
             F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
+                F.round(F.col("l_extendedprice") * 100).cast("long")
                 * (
-                    F.lit(1).cast("decimal(3,2)")
-                    - F.col("l_discount").cast("decimal(3,2)")
+                    F.lit(100).cast("long")
+                    - F.round(F.col("l_discount") * 100).cast("long")
                 )
-            ).alias("revenue"),
+            ).alias("revenue_ten_thousandths"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -579,10 +579,11 @@ def join_inner_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        SUM(CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS sum_qty_implicit,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-         AS DECIMAL(33,4)) AS sum_net_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_net_price_ten_thousandths,
        CAST(SUM(l_linenumber) AS BIGINT) AS sum_lines,
        COUNT(*) AS n_items
 FROM lineitem
@@ -598,24 +599,21 @@ def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final HashAggregate — map-side combine keeps the shuffle tiny
     at any scale.
 
-    Price sums cast to DECIMAL(38,2) per row *before* aggregating: cents
-    arithmetic is exact, so the result is bit-identical regardless of
-    fold order — double sums into few groups diverge between engines in
-    the last ulps. (The quantity sum stays double: integer-valued, so it
-    is exact in any order and keeps the string-coercion semantics.)"""
+    Price sums run in exact BIGINT integer cents (round(price*100)):
+    cents arithmetic is exact, so the result is bit-identical regardless
+    of fold order — double sums into few groups diverge between engines
+    in the last ulps, and DECIMAL outputs proved driver-hash-unstable in
+    r2/r3. (The quantity sum stays double: integer-valued, so it is
+    exact in any order and keeps the string-coercion semantics.)"""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast("string")).alias("sum_qty_implicit"),
-        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias(
-            "sum_base_price"
+        F.sum(cents).alias("sum_base_price_cents"),
+        F.sum(cents * (F.lit(100).cast("long") - disc_pct)).alias(
+            "sum_net_price_ten_thousandths"
         ),
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (
-                F.lit(1).cast("decimal(3,2)")
-                - F.col("l_discount").cast("decimal(3,2)")
-            )
-        ).alias("sum_net_price"),
         F.sum("l_linenumber").alias("sum_lines"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -640,9 +638,9 @@ def act_count_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SELECT = """
 SELECT r.r_name AS region,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-         AS DECIMAL(33,4)) AS revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_ten_thousandths,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -8,10 +8,15 @@ exercising a different plan shape (wide aggregate, 3-way join + top-k,
 EXISTS rewrite, selective scan, join + group + top-k, outer-join
 distribution).
 
-Float discipline (SCALE.md): every money aggregate is cast to
-DECIMAL per row *before* summing (cents arithmetic — exact in any fold
-order); averages divide the exact decimal sum cast to double by the
-count (one IEEE division, bit-identical across engines).
+Float discipline (SCALE.md): every money aggregate runs in exact BIGINT
+integer units — cents for prices, ten-thousandths for discounted prices,
+millionths for tax-charged prices (price is cents-valued and
+discount/tax are percent-valued, so ``round(x*100)`` recovers the exact
+integer both engines agree on; integer sums are exact in any fold
+order). No DECIMAL ever reaches an output schema: driver decimal
+hashing proved unstable in r2/r3 despite value-perfect results.
+Averages divide the exact integer sum cast to double by the count (IEEE
+operations in a fixed order, bit-identical across engines).
 """
 
 from __future__ import annotations
@@ -23,20 +28,21 @@ from udacity_data_engineer_capstone_spark.catalog import load_table, register_vi
 from udacity_data_engineer_capstone_spark.registry import query
 
 # shared money expressions (Spark SQL and DuckDB accept the same text)
-_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
-)
-_CHARGE = f"{_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+_PRICE_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DISC_PCT = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_TAX_PCT = "CAST(ROUND(l_tax * 100) AS BIGINT)"
+# price*(1-discount) in 1/10000 units; *(1+tax) in 1/1000000 units
+_DISC_PRICE = f"{_PRICE_CENTS} * (100 - {_DISC_PCT})"
+_CHARGE = f"{_DISC_PRICE} * (100 + {_TAX_PCT})"
 
 _Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_base_price,
-       CAST(SUM({_DISC_PRICE}) AS DECIMAL(33,4)) AS sum_disc_price,
-       SUM({_CHARGE}) AS sum_charge,
+       CAST(SUM({_PRICE_CENTS}) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM({_DISC_PRICE}) AS BIGINT) AS sum_disc_price_ten_thousandths,
+       CAST(SUM({_CHARGE}) AS BIGINT) AS sum_charge_millionths,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+       CAST(SUM({_PRICE_CENTS}) AS DOUBLE) / COUNT(*) / 100.0
          AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
@@ -57,7 +63,8 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3 = f"""
 SELECT l.l_orderkey,
        CAST(SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
-                       .replace('l_discount', 'l.l_discount')}) AS DECIMAL(33,4)) AS revenue,
+                       .replace('l_discount', 'l.l_discount')}) AS BIGINT)
+         AS revenue_ten_thousandths,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -66,7 +73,7 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
   AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
 GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l.l_orderkey
+ORDER BY revenue_ten_thousandths DESC, l.l_orderkey
 LIMIT 10
 """
 
@@ -102,9 +109,9 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q4)
 
 
-_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(32,4)) AS revenue,
+_Q6 = f"""
+SELECT CAST(SUM({_PRICE_CENTS} * {_DISC_PCT}) AS BIGINT)
+         AS revenue_ten_thousandths,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -126,7 +133,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10 = f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
        CAST(SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
-                       .replace('l_discount', 'l.l_discount')}) AS DECIMAL(33,4)) AS revenue,
+                       .replace('l_discount', 'l.l_discount')}) AS BIGINT)
+         AS revenue_ten_thousandths,
        COUNT(*) AS n_items
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -136,7 +144,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c.c_custkey
+ORDER BY revenue_ten_thousandths DESC, c.c_custkey
 LIMIT 20
 """
 

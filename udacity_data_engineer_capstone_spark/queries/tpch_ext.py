@@ -12,11 +12,14 @@ IN/EXISTS (Q18/Q20/Q21), OR-of-ANDs pushdown (Q19), anti-join (Q16/Q22)
 — which is what matters for engine coverage.
 
 Each query is one SQL text executed verbatim by BOTH Spark and DuckDB
-(oracle) so semantics can't drift. Type discipline (SCALE.md): money is
-summed as DECIMAL (exact in any fold order) and finally cast to a fixed
-DECIMAL/DOUBLE; counts and integer sums cast to BIGINT (DuckDB would
-return HUGEINT); EXTRACT(YEAR ...) cast to INTEGER (DuckDB returns
-BIGINT); averages = exact decimal sum cast to DOUBLE, one IEEE divide.
+(oracle) so semantics can't drift. Type discipline (SCALE.md): money
+runs in exact BIGINT integer units — cents for prices, ten-thousandths
+for discounted prices (``round(x*100)`` recovers the exact integer both
+engines agree on; integer sums are exact in any fold order, and no
+DECIMAL reaches an output schema — driver decimal hashing proved
+unstable in r2/r3). All sums cast to BIGINT (DuckDB would return
+HUGEINT); EXTRACT(YEAR ...) cast to INTEGER (DuckDB returns BIGINT);
+averages = exact integer sum cast to DOUBLE, one IEEE divide.
 
 Reference parity: the reference (``/root/reference/etl.py``) has no
 analytic suite at all — this module is extension surface demonstrating
@@ -33,25 +36,25 @@ from udacity_data_engineer_capstone_spark.registry import query
 from udacity_data_engineer_capstone_spark.queries.tpch import _DISC_PRICE
 
 # lineitem-derived stand-in for partsupp: cheapest observed price per
-# (part, supplier). MIN(DECIMAL) is exact — no fold-order hazard.
+# (part, supplier). MIN(BIGINT cents) is exact — no fold-order hazard.
 _SUPPLY = """
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost_cents
   FROM lineitem GROUP BY l_partkey, l_suppkey
 """
 
 _Q2 = f"""
 WITH supply AS ({_SUPPLY})
 SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
-       sp.ps_supplycost
+       sp.ps_supplycost_cents
 FROM part p
 JOIN supply sp ON sp.ps_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = sp.ps_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'ASIA'
-  AND sp.ps_supplycost = (
-    SELECT MIN(sp2.ps_supplycost)
+  AND sp.ps_supplycost_cents = (
+    SELECT MIN(sp2.ps_supplycost_cents)
     FROM supply sp2
     JOIN supplier s2 ON s2.s_suppkey = sp2.ps_suppkey
     JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
@@ -78,7 +81,7 @@ _Q5 = f"""
 SELECT n.n_name,
        CAST(SUM({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice')
                              .replace('l_discount', 'l.l_discount')})
-            AS DECIMAL(33,4)) AS revenue
+            AS BIGINT) AS revenue_ten_thousandths
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -90,7 +93,7 @@ WHERE r.r_name = 'EUROPE'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n.n_name
-ORDER BY revenue DESC, n.n_name
+ORDER BY revenue_ten_thousandths DESC, n.n_name
 """
 
 
@@ -106,7 +109,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _Q7 = f"""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(volume) AS DECIMAL(33,4)) AS revenue
+       CAST(SUM(volume) AS BIGINT) AS revenue_ten_thousandths
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
@@ -142,7 +145,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8 = f"""
 SELECT o_year,
        CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
-                     ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                     ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
          / CAST(SUM(volume) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
@@ -176,18 +179,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q9 profit: revenue minus a quantity-scaled cost proxy (p_retailprice at
-# a 0.6 margin — testdata has no ps_supplycost). Narrow decimal widths
-# keep every intermediate well under precision 38 in both engines:
-# (4,1)*(6,2)*(2,1) -> at most (14,4); minus (22,4) -> (23,4).
+# a 0.6 margin — testdata has no ps_supplycost). All BIGINT in 1/10000
+# dollar units: disc_price is already ten-thousandths; the cost term is
+# qty_tenths * retail_cents * 6 (= 0.6*qty*retail*10000 exactly, since
+# quantity is tenths-valued and retailprice cents-valued).
 _AMOUNT = (
     f"{_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}"
-    " - CAST(l.l_quantity AS DECIMAL(4,1))"
-    " * CAST(p.p_retailprice AS DECIMAL(6,2))"
-    " * CAST(0.6 AS DECIMAL(2,1))"
+    " - CAST(ROUND(l.l_quantity * 10) AS BIGINT)"
+    " * CAST(ROUND(p.p_retailprice * 100) AS BIGINT)"
+    " * 6"
 )
 
 _Q9 = f"""
-SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(33,4)) AS sum_profit
+SELECT nation, o_year,
+       CAST(SUM(amount) AS BIGINT) AS sum_profit_ten_thousandths
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
@@ -207,7 +212,7 @@ ORDER BY nation, o_year DESC
 @query("tpch_q9_product_profit", oracle=_Q9, tags=("tpch", "join"))
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 product-type profit: LIKE-filtered part dim drives a 5-way
-    join; profit is exact decimal arithmetic per row then an exact sum.
+    join; profit is exact integer arithmetic per row then an exact sum.
     The part filter prunes before the fact join (predicate pushdown +
     broadcast of the filtered dim)."""
     register_views(spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"))
@@ -225,11 +230,11 @@ WITH supply_value AS (
   WHERE n.n_name = 'NATION_5'
   GROUP BY l.l_partkey
 )
-SELECT ps_partkey, CAST(value AS DECIMAL(33,4)) AS value
+SELECT ps_partkey, CAST(value AS BIGINT) AS value_ten_thousandths
 FROM supply_value
 WHERE CAST(value AS DOUBLE) > (
   SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM supply_value)
-ORDER BY value DESC, ps_partkey
+ORDER BY value_ten_thousandths DESC, ps_partkey
 """
 
 
@@ -282,7 +287,7 @@ _PROMO_DISC = _DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replac
 _Q14 = f"""
 SELECT CAST(100 AS DOUBLE)
        * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_PROMO_DISC}
-                       ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+                       ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
        / CAST(SUM({_PROMO_DISC}) AS DOUBLE) AS promo_revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -310,7 +315,7 @@ WITH revenue AS (
   GROUP BY l_suppkey
 )
 SELECT s.s_suppkey, s.s_name,
-       CAST(r.total_revenue AS DECIMAL(33,4)) AS total_revenue
+       CAST(r.total_revenue AS BIGINT) AS total_revenue_ten_thousandths
 FROM supplier s
 JOIN revenue r ON r.supplier_no = s.s_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -401,7 +406,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _Q19 = f"""
-SELECT CAST(SUM({_PROMO_DISC}) AS DECIMAL(33,4)) AS revenue
+SELECT CAST(SUM({_PROMO_DISC}) AS BIGINT) AS revenue_ten_thousandths
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -484,8 +489,8 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22 = """
 SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(33,2))
-         AS totacctbal
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
 FROM (
   SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode, c_acctbal
   FROM customer c

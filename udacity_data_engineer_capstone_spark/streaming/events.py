@@ -86,12 +86,19 @@ def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact BIGINT micros, mirroring the batch twin — no DECIMAL
+            # (driver-hash-unstable in r2/r3) reaches the output
+            F.sum(
+                (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+            ).alias("sum_value_micros"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_micros",
         )
     )
 
@@ -133,7 +140,8 @@ _TUMBLING_STREAM_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+         AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY 1, 2
 """
