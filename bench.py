@@ -2,18 +2,28 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>, "runs": N}
 
 Each query is executed to completion (collect) — not just planned — so
 the timings include scan, shuffle, and result materialization. A warmup
-run of the flagship query first amortizes JVM/codegen startup out of the
-numbers, matching how a long-lived cluster session behaves.
+run of every headline query first amortizes JVM/codegen startup out of
+the numbers, matching how a long-lived cluster session behaves.
+
+Stability: the host carries background tenant load and single runs vary
+up to ~3x between sessions (BASELINE.md's caveat; r3 vs its clean rerun
+differed 21% on identical code). Each query is therefore timed
+SPARK_GRAFT_BENCH_RUNS times (default 3) interleaved round-robin — so a
+transient load spike hits one *round*, not one query's whole sample —
+and the reported per-query number is the MEDIAN; "value" is the sum of
+medians. Round-over-round comparisons should still prefer totals over
+single queries.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -96,14 +106,19 @@ def main() -> None:
     for name in HEADLINE:
         fns[name](spark, "/root/testdata/sf0.001").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = fns[name](spark, sf_dir)
-        n = df.count() if name != "sim_topk_bruteforce" else len(df.collect())
-        _ = n
-        timings[name] = round(time.perf_counter() - t0, 3)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _round in range(runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = fns[name](spark, sf_dir)
+            n = df.count() if name != "sim_topk_bruteforce" else len(df.collect())
+            _ = n
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
             }
         )
     )

@@ -349,6 +349,15 @@ def test_model_score_is_map_only(spark, sf_dir):
     assert "Exchange" not in text, text
 
 
+def test_cosine_histogram_equi_join(spark, sf_dir):
+    """emb_cosine_histogram's mod-97 pair gate must be an equi-join key
+    (pmod(-31*a,97) == pmod(b,97)) so the pair space hash-partitions 97
+    ways — an all-pairs CartesianProduct/BNLJ evaluating n² pairs and
+    filtering after would be the scale-killer the key exists to avoid."""
+    df = Q["emb_cosine_histogram"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_glove_cooccur_equi_join(spark, sf_dir):
     """text_glove_cooccur's positional self-join must hash-join on
     doc_id (range residual as filter), not nested-loop the token

@@ -56,13 +56,21 @@ _MIN_ROWS_TO_NORMALIZE = 50_000
 _TARGET_ROW_GROUPS = 32
 
 
-def _layout_cache_dir() -> str:
+def _layout_cache_dir() -> str | None:
+    import stat
     import tempfile
 
     d = os.path.join(
         tempfile.gettempdir(), f"engine_layout_cache_{os.getuid()}"
     )
     os.makedirs(d, mode=0o700, exist_ok=True)
+    # mode=0o700 applies only on creation: verify ownership and perms so
+    # a directory pre-created by another local user can't feed us
+    # substituted parquet (cache poisoning). On mismatch, disable the
+    # cache rather than read attacker-controllable files.
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or stat.S_IMODE(st.st_mode) & 0o077:
+        return None
     return d
 
 
@@ -79,13 +87,16 @@ def _normalized_path(sf_dir: str, name: str) -> str:
             4, _TARGET_ROW_GROUPS // 2
         ):
             return src
+        cache_dir = _layout_cache_dir()
+        if cache_dir is None:  # untrusted cache dir — serve the original
+            return src
         st = os.stat(src)
         # no leading "_"/"." — Spark skips those as hidden/metadata files
         key = (
             os.path.abspath(src).replace("/", "_").strip("_")
             + f"-{st.st_mtime_ns}-{st.st_size}"
         )
-        dst = os.path.join(_layout_cache_dir(), f"{key}.parquet")
+        dst = os.path.join(cache_dir, f"{key}.parquet")
         if not os.path.exists(dst):
             tbl = meta.read()
             tmp = f"{dst}.tmp.{os.getpid()}"

@@ -128,7 +128,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_copies",
             "n_docs",
-            (F.col("k") / 100000).cast("long").alias("keep_doc"),
+            # integer DIV, matching the oracle's // exactly (float
+            # division drifts once doc_id approaches 2^53/1e5)
+            F.expr("k DIV 100000").alias("keep_doc"),
             (F.col("k") % 100000).alias("keep_pos"),
         )
     )
@@ -554,7 +556,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate is alphabet²-bounded with map-side combine, and the
     final top-20 is a tie-broken total order."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
+    # length >= 2 pre-filter guards single-char docs: Spark's
+    # sequence(1, 0) defaults to step -1 (descending) and would emit a
+    # spurious i=0 self-pair where the oracle's range(1, length) is empty
+    chars = docs.where(F.length("text") >= 2).select(
         F.posexplode(
             F.expr("sequence(1, CAST(length(text) AS INT) - 1)")
         ).alias("j", "i"),

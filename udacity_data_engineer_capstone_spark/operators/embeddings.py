@@ -330,18 +330,24 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of pairwise cosines over a deterministic ~1% pair
     sample — the calibration curve that tells you where to set dedup /
     retrieval thresholds for THIS embedding model. The sampled pair
-    join is id-arithmetic-gated (same subset in both engines); at
-    corpus scale the sample rate drops with n² so the work stays
-    bounded while the histogram converges."""
+    join is id-arithmetic-gated (same subset in both engines).
+
+    Scale shape: the mod-97 gate ``(a*31 + b) % 97 == 0`` is expressed
+    as an *equi-join key* — ``pmod(-31*a, 97) == pmod(b, 97)`` is the
+    same congruence — so Spark hash-partitions the pair space 97 ways
+    (sort-merge/shuffled-hash join, plan-pinned no-cartesian in
+    tests/test_plans.py) instead of running a broadcast-nested-loop
+    over all n² pairs and filtering after. The ``a < b`` dedup stays a
+    join residual."""
     emb = load_table_scaled(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    a = emb.withColumn("ra", F.pmod(F.col("vec_id") * -31, F.lit(97))).alias("a")
+    b = emb.withColumn("rb", F.pmod(F.col("vec_id"), F.lit(97))).alias("b")
     pairs = a.join(
         b,
-        (F.col("a.vec_id") < F.col("b.vec_id"))
-        & ((F.col("a.vec_id") * 31 + F.col("b.vec_id")) % 97 == 0),
+        (F.col("a.ra") == F.col("b.rb"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"

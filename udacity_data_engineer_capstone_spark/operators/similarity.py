@@ -546,9 +546,18 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ≤ (k+slack)·B candidates per query using the same widened
     left-fold dot product as the oracle, so the emitted cos_sim is
     bit-identical to DuckDB's and ranking is deterministic (tie-break on
-    neighbor_id). The n² cost is intrinsic to *exact* kNN — at corpus
-    scale you switch to ``sim_ann_{{lsh,ivf,pq}}``; this operator is the
-    ground-truth those are measured against.
+    neighbor_id). The n² cost is intrinsic to *exact* kNN — this
+    operator is the ground-truth the ANN operators are measured against.
+
+    **Exact→ANN cutover**: the matmul does n²·d multiply-adds, so at
+    d=64 a 1M-vector corpus is ~6.4e13 FLOPs (minutes across a big
+    cluster, already marginal) and 10M vectors is ~6.4e15 (hours —
+    unaffordable as a routine job). Treat **~1M vectors as the ceiling**
+    for this exact path; beyond it, callers must switch to
+    ``sim_ann_{{lsh,ivf,pq}}`` (sub-quadratic candidate generation,
+    recall ≥ 0.8 pinned in tests) and reserve this operator for sampled
+    ground-truth evaluation — e.g. rerank a 10-100k query sample, never
+    all-pairs.
     """
     emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
     nb = _KNN_BLOCKS

@@ -568,6 +568,7 @@ def src_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUARANTINE_ORACLE = """
 WITH feed AS (
   SELECT o_orderkey AS k,
+         o_orderstatus AS status,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
          (o_orderkey % 5 = 0 OR o_orderkey % 7 = 0) AS is_corrupt
   FROM orders WHERE o_orderkey % 13 = 0
@@ -576,6 +577,7 @@ SELECT is_corrupt,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MIN(k) AS BIGINT) AS min_key,
        CAST(MAX(k) AS BIGINT) AS max_key,
+       MAX(status) AS max_status,
        CAST(SUM(CASE WHEN is_corrupt THEN 0 ELSE cents END) AS BIGINT)
          AS sum_good_cents
 FROM feed GROUP BY is_corrupt
@@ -639,13 +641,13 @@ def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("_corrupt_record", T.StringType(), True),
         ]
     )
-    # CSV column pruning changes _corrupt_record semantics: when a query
-    # doesn't reference every data column, the pruned parse no longer
-    # flags short rows (missing tokens for unreferenced columns) as
-    # corrupt — the classification would then depend on which columns
-    # the downstream aggregate happens to touch. Disable pruning for
-    # this read so quarantine classification is query-independent.
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    # CSV column pruning changes _corrupt_record semantics: a pruned
+    # parse only flags missing tokens for *referenced* columns, so the
+    # classification would depend on which columns the downstream
+    # aggregate happens to touch. Rather than flipping the session-wide
+    # columnPruning conf (which would silently change later CSV reads in
+    # a shared session), the aggregate references EVERY data column
+    # (k, status, cents) — pruning then never drops a parse.
     parsed = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -658,6 +660,7 @@ def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("min_key"),
             F.max("k").alias("max_key"),
+            F.max("status").alias("max_status"),
             F.sum(
                 F.when(
                     F.col("_corrupt_record").isNull(), F.coalesce(F.col("cents"), F.lit(0))

@@ -555,6 +555,15 @@ def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D_t = |n·S_t − t·S_n| is exact int64 (counts ≤ 1e12 safe). The
 # change-point is argmax_t D_t with min-t tie-break, encoded as
 # MAX(D_t * 100000 + (100000 - 1 - t)) so it rides one aggregate.
+#
+# Encoding headroom (cf. the markov/pca operators' documented bounds):
+# the tie-break field assumes t < 100000 hourly buckets (≈ 11.4 years of
+# hourly data per event type) and the packed value d*100000 + … needs
+# d < ~9.2e13 to stay inside int64 — with n·S_t ≤ n·S_n that means
+# n_buckets · total_events per type must stay below ~9.2e13 (e.g. 1e5
+# buckets × 9e8 events). Past either bound, non-ANSI Spark wraps int64
+# while DuckDB raises — widen the 100000 radix and the d bound together
+# if a deployment ever approaches them.
 _CUSUM_SQL = """
 WITH buckets AS (
   SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
