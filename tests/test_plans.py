@@ -349,6 +349,15 @@ def test_model_score_is_map_only(spark, sf_dir):
     assert "Exchange" not in text, text
 
 
+def test_interval_overlap_equi_join(spark, sf_dir):
+    """join_interval_overlap must equi-join on the week-bucket id (the
+    overlap test and once-per-pair gate are residuals) — an all-pairs
+    CartesianProduct/BNLJ over the interval sets would be the quadratic
+    plan the bucket decomposition exists to avoid."""
+    df = Q["join_interval_overlap"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_cosine_histogram_equi_join(spark, sf_dir):
     """emb_cosine_histogram's mod-97 pair gate must be an equi-join key
     (pmod(-31*a,97) == pmod(b,97)) so the pair space hash-partitions 97

@@ -53,6 +53,7 @@ def load_all() -> None:
         dedup,
         events,
         graph,
+        intervals,
         multimodal,
         python_udfs,
         retrieval,

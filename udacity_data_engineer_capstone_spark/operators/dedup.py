@@ -527,3 +527,153 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _COS_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (sub-document / prefix duplication)
+# ---------------------------------------------------------------------------
+
+# Containment C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| is the
+# asymmetric cousin of Jaccard: a short document wholly contained in a
+# longer one scores C ≈ 1 while its Jaccard can be arbitrarily low —
+# which is why quote-expansion and prefix-truncation dups slip through
+# symmetric near-dup passes. The corpus plants exactly that case: a
+# first-half prefix of every doc_id % 50 == 21 document (Jaccard ≈ 0.5,
+# under the 0.6 jaccard gate; containment 1.0).
+_CONTAIN_THRESHOLD = 0.9
+
+_CONTAIN_CORPUS_CTE = f"""
+{CORPUS_CTE},
+ccorpus AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+           list_slice(regexp_split_to_array(lower(text), '\\s+'), 1,
+                      len(regexp_split_to_array(lower(text), '\\s+')) // 2),
+           ' ') AS text
+  FROM documents WHERE doc_id % 50 = 21
+)
+"""
+
+_CONTAIN_ORACLE = f"""
+WITH {_CONTAIN_CORPUS_CTE},
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM ccorpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [array_to_string(toks, ' ')] END) AS gram
+  FROM toks
+),
+rare AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {_DF_CAP}
+),
+g AS (
+  SELECT grams.doc_id, grams.gram FROM grams JOIN rare USING (gram)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.a_id, p.b_id, p.common, sa.n AS na, sb.n AS nb
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.a_id
+  JOIN sizes sb ON sb.doc_id = p.b_id
+)
+SELECT a_id AS contained_id, b_id AS container_id,
+       CAST(common AS DOUBLE) / na AS containment
+FROM scored WHERE CAST(common AS DOUBLE) / na >= {_CONTAIN_THRESHOLD}
+UNION ALL
+SELECT b_id, a_id, CAST(common AS DOUBLE) / nb
+FROM scored WHERE CAST(common AS DOUBLE) / nb >= {_CONTAIN_THRESHOLD}
+"""
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus ∪ planted first-half-prefix docs (SQL twin above)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = docs.filter(F.col("doc_id") % 50 == 21).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(lower(text), '\\\\s+'), 1, "
+            "size(split(lower(text), '\\\\s+')) DIV 2), ' ')"
+        ).alias("text"),
+    )
+    return corpus(spark, sf_dir).unionAll(prefix)
+
+
+@query("dedup_containment_ngram", oracle=_CONTAIN_ORACLE, tags=("dedup",))
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed sub-document detection: (contained, container) pairs
+    with word-bigram containment >= 0.9 over the same df-capped
+    inverted index as ``dedup_ngram_jaccard`` — one extra projection,
+    zero extra shuffles, but it catches the prefix/quote-expansion dup
+    class the symmetric metric misses. Same 100 TB posture as the
+    jaccard pass: the df cap bounds per-gram join fan-out, so the
+    candidate join stays linear in corpus size."""
+    toks = _containment_corpus(spark, sf_dir).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN array_distinct(transform("
+                "sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])))"
+                " ELSE array(concat_ws(' ', toks)) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _DF_CAP
+    )
+    g = grams.join(rare.select("gram"), "gram")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "common",
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+    )
+    c_ab = F.col("common").cast("double") / F.col("na")
+    c_ba = F.col("common").cast("double") / F.col("nb")
+    fwd = scored.filter(c_ab >= _CONTAIN_THRESHOLD).select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        c_ab.alias("containment"),
+    )
+    rev = scored.filter(c_ba >= _CONTAIN_THRESHOLD).select(
+        F.col("b_id").alias("contained_id"),
+        F.col("a_id").alias("container_id"),
+        c_ba.alias("containment"),
+    )
+    return fwd.unionAll(rev)

@@ -817,3 +817,84 @@ def src_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, row_group_id long, rg_rows long, n_values long, "
         "compressed_bytes long, uncompressed_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# real SAS7BDAT binary ingestion (reference etl.py:103-107 connector slot)
+# ---------------------------------------------------------------------------
+
+# The staged .sas7bdat carries the orders subset o_orderkey % 3 = 0 with
+# SAS-faithful types (all numerics stored as 8-byte doubles, exactly how
+# SAS stores the reference's i94 numerics — SURVEY §1.2); the oracle
+# recomputes the same aggregate from the parquet ground truth, so what's
+# verified is the full binary round-trip: engine writer → real SAS7BDAT
+# page/subheader layout → pandas' independent parser → parquet stage →
+# distributed Spark scan.
+_SAS7BDAT_BIN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "src_sas7bdat_binary",
+    oracle=_SAS7BDAT_BIN_ORACLE,
+    tags=("source", "format"),
+)
+def src_sas7bdat_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest an actual ``.sas7bdat`` binary file (not the parquet slot
+    ``src_sas7bdat`` uses): stage an orders subset as a real SAS7BDAT
+    via :mod:`..sources.sas7bdat`'s minimal writer, then read it back
+    with :func:`read_sas7bdat` — a chunked driver-side binary parse
+    (pandas' independent SAS reader) staged to parquet for the
+    distributed scan. Demonstrates the reference's saurfang-connector
+    slot (etl.py:103-107,227) as a working DataSource detail rather
+    than a documented substitution."""
+    import os
+    import tempfile
+
+    from udacity_data_engineer_capstone_spark.sources.sas7bdat import (
+        read_sas7bdat,
+        write_sas7bdat,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    stage_dir = tempfile.gettempdir()
+    sas_path = os.path.join(
+        stage_dir,
+        f"engine_orders_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}.sas7bdat",
+    )
+    if not os.path.exists(sas_path):
+        subset = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 3 == 0)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .collect()
+        )
+        write_sas7bdat(
+            sas_path,
+            [
+                ("o_orderkey", "num", 8),
+                ("o_totalprice", "num", 8),
+                ("o_orderstatus", "str", 1),
+            ],
+            [(r.o_orderkey, r.o_totalprice, r.o_orderstatus) for r in subset],
+            dataset_name="ORDERS",
+        )
+    df = read_sas7bdat(spark, sas_path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )

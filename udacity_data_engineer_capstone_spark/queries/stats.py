@@ -700,3 +700,198 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank via sampled splitters), then a single-row aggregate."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_MWU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# population-stability drift between time halves (PSI)
+# ---------------------------------------------------------------------------
+
+# Corpus-refresh drift monitoring: split events at the midpoint of the
+# observed time range and compare the event-type mix of the two halves
+# with the Population Stability Index, PSI = sum (p-q) * ln(p/q).
+# Shares use Laplace smoothing (+1 / +k) so ln never sees zero. All
+# counts are exact integers; each per-type PSI term is a fixed tree of
+# IEEE double ops quantized to integer nanos (floor(term*1e9 + 0.5))
+# before the cross-type total, so the sum is fold-order-free (the same
+# quantize-then-sum discipline as the chi-square test above).
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+),
+bounds AS (
+  SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev
+),
+tagged AS (
+  SELECT event_type,
+         CASE WHEN us > lo + (hi - lo) // 2 THEN 1 ELSE 0 END AS late
+  FROM ev, bounds
+),
+counts AS (
+  SELECT event_type,
+         CAST(SUM(1 - late) AS BIGINT) AS n_early,
+         CAST(SUM(late) AS BIGINT) AS n_late
+  FROM tagged GROUP BY event_type
+),
+shares AS (
+  SELECT event_type, n_early, n_late,
+         CAST(n_early + 1 AS DOUBLE)
+           / (SUM(n_early) OVER () + COUNT(*) OVER ()) AS p_early,
+         CAST(n_late + 1 AS DOUBLE)
+           / (SUM(n_late) OVER () + COUNT(*) OVER ()) AS p_late
+  FROM counts
+),
+terms AS (
+  SELECT event_type, n_early, n_late, p_early, p_late,
+         CAST(floor((p_early - p_late) * ln(p_early / p_late) * 1000000000
+                    + 0.5) AS BIGINT) AS psi_term_nano
+  FROM shares
+)
+SELECT event_type, n_early, n_late, p_early, p_late, psi_term_nano,
+       CAST(SUM(psi_term_nano) OVER () AS BIGINT) AS psi_total_nano
+FROM terms
+"""
+
+
+@query("stat_psi_drift", oracle=_PSI_ORACLE, tags=("stats", "drift"))
+def stat_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the event-type mix between the first and second half
+    of the time range — the pre-ship gate a corpus refresh runs ("did
+    the source mix move?"). One scan + one tiny aggregate per half;
+    the scalar time bounds ride a 1-row broadcast (the same
+    constant-size combine the graph operators use), so nothing about
+    the shape changes at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("us") > F.col("lo") + F.expr("(hi - lo) DIV 2"), 1
+        ).otherwise(0).alias("late"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum(1 - F.col("late")).cast("long").alias("n_early"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p_early = (F.col("n_early") + 1).cast("double") / (
+        F.sum("n_early").over(w) + F.count(F.lit(1)).over(w)
+    )
+    p_late = (F.col("n_late") + 1).cast("double") / (
+        F.sum("n_late").over(w) + F.count(F.lit(1)).over(w)
+    )
+    shares = counts.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        p_early.alias("p_early"),
+        p_late.alias("p_late"),
+    )
+    term_nano = F.floor(
+        (F.col("p_early") - F.col("p_late"))
+        * F.log(F.col("p_early") / F.col("p_late"))
+        * 1000000000
+        + 0.5
+    ).cast("long")
+    terms = shares.withColumn("psi_term_nano", term_nano)
+    return terms.withColumn(
+        "psi_total_nano", F.sum("psi_term_nano").over(w).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Bootstrap the mean order price with B=50 replicates. Replicate weights
+# are a deterministic Poisson(1) surrogate: a Knuth multiplicative hash
+# of (orderkey, replicate) mapped through the exact integer thresholds
+# of the Poisson(1) inverse CDF (the classic "Poisson bootstrap" that
+# makes resampling-with-replacement embarrassingly parallel — each row
+# decides its own replicate multiplicities, no global sampling state).
+# Weighted sums are exact BIGINT (weight 0-5 x cents); each replicate
+# mean is one double divide; the CI is rank-selection over the 50
+# replicate means (no float accumulation anywhere).
+_BOOT_THRESHOLDS = (790015083, 1580030167, 1975037709, 2106706890, 2139624185)
+_BOOT_B = 50
+
+_BOOT_CASE = (
+    "CASE WHEN h < 790015083 THEN 0 WHEN h < 1580030167 THEN 1 "
+    "WHEN h < 1975037709 THEN 2 WHEN h < 2106706890 THEN 3 "
+    "WHEN h < 2139624185 THEN 4 ELSE 5 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH cents AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+hashed AS (
+  SELECT b.range AS b, c,
+         (k * 2654435761 + b.range * 40503 + 7919) % 2147483647 AS h
+  FROM cents CROSS JOIN range({_BOOT_B}) b
+),
+weighted AS (
+  SELECT b, c, {_BOOT_CASE} AS w FROM hashed
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_cents
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT b, n_eff, mean_cents,
+         row_number() OVER (ORDER BY mean_cents, b) AS rk
+  FROM reps
+)
+SELECT CASE rk WHEN 3 THEN 'p05' WHEN 25 THEN 'p50' WHEN 48 THEN 'p95' END
+         AS stat,
+       mean_cents, CAST(b AS BIGINT) AS replicate, n_eff
+FROM ranked WHERE rk IN (3, 25, 48)
+"""
+
+
+@query("stat_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("stats",))
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI for the mean order price (p05/p50/p95 of
+    50 replicate means). The replicate fan-out is a map-side explode
+    (x50 rows, no shuffle until the per-replicate aggregate, which
+    map-side-combines down to 50 partials per partition); weights are
+    per-row deterministic hashes, so the whole resample is one pass and
+    reproducible anywhere. At 100 TB the same plan holds — the only
+    growth is the x B explode, which partial aggregation absorbs."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    hashed = cents.select(
+        "k", "c", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b")
+    ).withColumn(
+        "h", F.expr("(k * 2654435761 + b * 40503 + 7919) % 2147483647")
+    )
+    weighted = hashed.withColumn("w", F.expr(_BOOT_CASE))
+    reps = weighted.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        (
+            F.sum(F.col("w") * F.col("c")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_cents"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy("mean_cents", "b"))
+    ranked = reps.withColumn("rk", rk).filter(F.col("rk").isin(3, 25, 48))
+    return ranked.select(
+        F.when(F.col("rk") == 3, "p05")
+        .when(F.col("rk") == 25, "p50")
+        .otherwise("p95")
+        .alias("stat"),
+        "mean_cents",
+        F.col("b").cast("long").alias("replicate"),
+        "n_eff",
+    )
