@@ -72,6 +72,12 @@ HEADLINE = [
     "join_spatial_grid",          # 3x3 grid-stamped radius join
     "emb_pca_power_iteration",    # int64 Gram power iteration
     "pipe_event_360",             # sessionize + funnel + RFM composite
+    # round-4 wave: containment dedup, interval join, binary ingest,
+    # bootstrap resampling
+    "dedup_containment_ngram",    # directed sub-document containment
+    "join_interval_overlap",      # week-bucketed interval-overlap join
+    "src_sas7bdat_binary",        # real SAS7BDAT binary ingest round-trip
+    "stat_bootstrap_ci",          # 50-replicate Poisson bootstrap
 ]
 
 

@@ -444,3 +444,141 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's epoch micros builtin is unix_micros; the rest of the SQL
     # text is shared verbatim with the DuckDB oracle.
     return spark.sql(_RFM_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite (the warehouse refresh primitive)
+# ---------------------------------------------------------------------------
+
+# Refreshing one partition of a partitioned table must not clobber its
+# siblings — Spark's static overwrite mode truncates the whole table,
+# dynamic mode replaces only the partitions present in the written
+# frame. The query stages orders partitioned by status, overwrites JUST
+# the 'O' partition with a deterministically modified refresh (prices
+# +1), and reads the table back; the oracle reproduces "O refreshed,
+# F/P untouched" relationally. Getting this wrong (static mode) loses
+# every untouched partition and the oracle mismatch catches it.
+_DYN_OVERWRITE_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         o_orderstatus,
+         CASE WHEN o_orderstatus = 'O'
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "snk_dynamic_partition_overwrite",
+    oracle=_DYN_OVERWRITE_ORACLE,
+    tags=("sink", "warehouse"),
+)
+def snk_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write → dynamic-mode overwrite of ONE partition →
+    read-back audit. The overwrite frame repartitions on the partition
+    key first (one file set per partition, the same discipline as
+    snk_parquet_part2); `partitionOverwriteMode=dynamic` is set on the
+    WRITER (per-operation, not session-wide — the conf-leak lesson from
+    src_csv_quarantine applies to sinks too)."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="engine_dyn_overwrite_")
+    (
+        orders.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(d)
+    )
+    refresh = orders.where(F.col("o_orderstatus") == "O").withColumn(
+        "cents", F.col("cents") + 100
+    )
+    (
+        refresh.repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(d)
+    )
+    return (
+        spark.read.parquet(d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy gate before a data release)
+# ---------------------------------------------------------------------------
+
+# Quasi-identifier = (nation, market segment, acctbal band). A release
+# is k-anonymous when every occupied QI cell holds >= k individuals;
+# the audit reports per-cell sizes for violating cells plus the overall
+# k (min cell size) so the gate is one boolean away. Pure hash
+# aggregate — the 100 TB shape is a single shuffle on the QI key.
+_K_ANON_K = 5
+
+_K_ANON_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS cell_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT nation, segment, bal_band, cell_size,
+       CAST(MIN(cell_size) OVER () AS BIGINT) AS k_overall,
+       cell_size < {_K_ANON_K} AS violates_k{_K_ANON_K}
+FROM cells
+WHERE cell_size < {_K_ANON_K}
+"""
+
+
+@query("curate_k_anonymity", oracle=_K_ANON_ORACLE, tags=("curation", "privacy"))
+def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (nation, segment, balance-band) quasi-
+    identifiers: emit every cell smaller than k=5 plus the
+    overall minimum cell size (equal to the min violating cell size
+    whenever violations exist, which is what the oracle's post-filter
+    window computes). The release gate a privacy review runs
+    before shipping customer-derived training data; violating cells are
+    the rows to suppress or generalize."""
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("k_overall", F.min("cell_size").over(w).cast("long"))
+        .where(F.col("cell_size") < _K_ANON_K)
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "cell_size",
+            "k_overall",
+            (F.col("cell_size") < _K_ANON_K).alias(f"violates_k{_K_ANON_K}"),
+        )
+    )
