@@ -349,6 +349,14 @@ def test_model_score_is_map_only(spark, sf_dir):
     assert "Exchange" not in text, text
 
 
+def test_containment_dedup_no_cartesian(spark, sf_dir):
+    """dedup_containment_ngram candidates must come from the df-capped
+    gram equi-join (same inverted index as the jaccard pass) — never an
+    all-pairs document product."""
+    df = Q["dedup_containment_ngram"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_interval_overlap_equi_join(spark, sf_dir):
     """join_interval_overlap must equi-join on the week-bucket id (the
     overlap test and once-per-pair gate are residuals) — an all-pairs
