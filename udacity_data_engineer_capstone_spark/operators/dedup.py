@@ -677,3 +677,156 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_ba.alias("containment"),
     )
     return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation: sketch recall/precision vs inverted-index truth
+# ---------------------------------------------------------------------------
+
+# The completeness critic for the dedup pillar, as data: how much of the
+# true near-dup mass does the 12-hash/6-band MinHash config actually
+# recover? Ground truth = the same shingle-Jaccard >= 0.5 pair set,
+# generated exhaustively through a df-capped inverted index on the SAME
+# 3-word shingles and verified with the SAME exact array-intersect
+# Jaccard as the LSH pass (a pair all of whose shared shingles exceed
+# the df cap can escape the truth side; the cap is mirrored in the
+# oracle and is the standard hot-shingle bound). Recall/precision are
+# emitted as exact integer ppm — no float accumulation.
+_EVAL_DF_CAP = 150
+
+_LSH_EVAL_ORACLE = f"""
+WITH {CORPUS_CTE},
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM corpus)
+),
+shx AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+rare AS (SELECT g FROM shx GROUP BY g HAVING COUNT(*) <= {_EVAL_DF_CAP}),
+gi AS (SELECT shx.doc_id, shx.g FROM shx JOIN rare USING (g)),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM gi a JOIN gi b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT c.a_id, c.b_id
+  FROM tcand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+        >= {JACCARD_THRESHOLD}
+),
+sigs AS (SELECT doc_id, {_SIG_DUCK} AS sig FROM sh),
+bands2 AS (SELECT doc_id, {_band_exprs_duck()} FROM sigs),
+stacked AS (
+  { " UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands2"
+      for b in range(N_BANDS)
+  ) }
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM stacked a JOIN stacked b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+lsh AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+        >= {JACCARD_THRESHOLD}
+),
+joined AS (
+  SELECT COALESCE(t.a_id, l.a_id) AS a_id,
+         t.a_id IS NOT NULL AS in_truth,
+         l.a_id IS NOT NULL AS in_lsh
+  FROM truth t
+  FULL JOIN lsh l ON l.a_id = t.a_id AND l.b_id = t.b_id
+)
+SELECT CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       CAST(SUM(CASE WHEN in_truth AND in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(SUM(CASE WHEN in_truth AND in_lsh THEN 1 ELSE 0 END) * 1000000
+            // SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT)
+         AS recall_ppm,
+       CAST(SUM(CASE WHEN in_truth AND in_lsh THEN 1 ELSE 0 END) * 1000000
+            // SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+         AS precision_ppm
+FROM joined
+"""
+
+
+@query("dedup_lsh_eval", oracle=_LSH_EVAL_ORACLE, tags=("dedup", "eval"))
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH near-dup pass against the
+    (df-capped) exhaustive shingle-Jaccard ground truth — the audit
+    that justifies a sketch config before it gates a corpus. Both pair
+    sets verify with the identical exact Jaccard, so the delta is pure
+    candidate-generation loss (bands that never collide). One full
+    outer join of two pair sets; all ratios exact integer ppm."""
+    c = corpus(spark, sf_dir, scaled=True).withColumn(
+        "toks", F.split(F.lower("text"), r"\s+")
+    )
+    sh = c.select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")
+    ).localCheckpoint(eager=False)
+
+    gi = (
+        sh.select("doc_id", F.explode("shingles").alias("g"))
+        .join(
+            sh.select(F.explode("shingles").alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _EVAL_DF_CAP)
+            .select("g"),
+            "g",
+        )
+    )
+    tcand = (
+        gi.alias("a")
+        .join(
+            gi.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - common
+    jaccard = common.cast("double") / union
+    truth = (
+        tcand.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+
+    j = truth.withColumn("t", F.lit(1)).join(
+        lsh.withColumn("l", F.lit(1)), ["a_id", "b_id"], "full_outer"
+    )
+    in_truth = F.col("t").isNotNull()
+    in_lsh = F.col("l").isNotNull()
+    agg = j.agg(
+        F.sum(in_truth.cast("long")).alias("n_truth"),
+        F.sum(in_lsh.cast("long")).alias("n_lsh"),
+        F.sum((in_truth & in_lsh).cast("long")).alias("n_both"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_lsh",
+        "n_both",
+        F.expr("n_both * 1000000 DIV n_truth").alias("recall_ppm"),
+        F.expr("n_both * 1000000 DIV n_lsh").alias("precision_ppm"),
+    )
