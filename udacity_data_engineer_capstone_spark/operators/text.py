@@ -574,3 +574,72 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization audit
+# ---------------------------------------------------------------------------
+
+# Mixed-normalization corpora (NFD from macOS filenames, NFC from the
+# web) silently split token statistics and break exact dedup — 'á' and
+# 'a'+U+0301 hash differently while rendering identically. Spark has no
+# built-in normalizer, so this is the sanctioned Python boundary: an
+# Arrow-vectorized pandas UDF over pandas' .str.normalize (ICU-free,
+# stdlib unicodedata under the hood). The corpus plants NFD-style
+# decomposed accents ('a' -> 'a'+combining-acute) on doc_id % 17 == 0
+# so the audit is non-vacuous; the oracle replays the plant with
+# chr(769) and DuckDB's nfc_normalize — two independent Unicode
+# implementations agreeing is the point of the test.
+_NFC_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 17 = 0
+              THEN replace(text, 'a', 'a' || chr(769))
+              ELSE text END AS raw
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, source, raw, nfc_normalize(raw) AS nfc FROM planted
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN raw <> nfc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_denormalized,
+       CAST(SUM(length(raw) - length(nfc)) AS BIGINT) AS codepoints_saved
+FROM norm
+GROUP BY source
+"""
+
+
+@query("text_unicode_nfc", oracle=_NFC_ORACLE, tags=("text", "quality"))
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NFC normalization audit: how many documents are not
+    NFC-normal and how many codepoints composition removes. The
+    normalizer is an Arrow-batched pandas UDF (the only Python in the
+    plan — narrow map, no shuffle); counts aggregate as exact integers.
+    At 100 TB the normalize pass is embarrassingly parallel and the
+    audit shuffle carries 3 numbers per source."""
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's signature inference can't resolve
+    nfc = F.pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    docs = load_table_scaled(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.regexp_replace("text", "a", "a\u0301"),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    norm = docs.withColumn("nfc", nfc("raw"))
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("raw") != F.col("nfc")).cast("long")).alias(
+            "n_denormalized"
+        ),
+        F.sum(F.length("raw") - F.length("nfc")).cast("long").alias(
+            "codepoints_saved"
+        ),
+    )
