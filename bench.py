@@ -78,6 +78,9 @@ HEADLINE = [
     "join_interval_overlap",      # week-bucketed interval-overlap join
     "src_sas7bdat_binary",        # real SAS7BDAT binary ingest round-trip
     "stat_bootstrap_ci",          # 50-replicate Poisson bootstrap
+    # round-4 second wave: multimodal dedup + late-interaction retrieval
+    "mm_phash_dedup",             # multi-index Hamming band join dedup
+    "sim_maxsim_multivector",     # ColBERT-style MaxSim scoring + top-k
 ]
 
 

@@ -390,3 +390,31 @@ def test_ewma_single_window_pass(spark, sf_dir):
     df = Q["ts_ewma"].fn(spark, sf_dir)
     text = plan_text(df)
     assert text.count("Exchange hashpartitioning(user_id") <= 1, text
+
+
+def test_phash_dedup_band_equi_join_no_cartesian(spark, sf_dir):
+    """mm_phash_dedup's candidate stage must be the multi-index band
+    equi-join — an all-pairs CartesianProduct/BNLJ over fingerprints is
+    exactly what the band decomposition exists to avoid."""
+    df = Q["mm_phash_dedup"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    """sim_maxsim_multivector: the query-token side is tiny and must be
+    broadcast so the document side never shuffles for scoring; both
+    aggregations must be partial+final (no corpus-sized exchange before
+    a partial agg)."""
+    df = Q["sim_maxsim_multivector"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+    assert "partial_" in text  # partial aggregation present
+
+
+def test_pca_returns_full_component(spark, sf_dir):
+    """emb_pca_power_iteration end-to-end smoke: the Arrow-batched Gram
+    partial + driver-local iteration must still produce the full 64-dim
+    component (value parity vs DuckDB is covered by the oracle gate)."""
+    out = Q["emb_pca_power_iteration"].fn(spark, sf_dir)
+    assert out.count() == 64

@@ -253,42 +253,77 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of integer power iteration over the exact int64 Gram matrix (see
     module comment for the quantization/headroom argument).
 
-    Scale shape: the Gram build is the only corpus-sized stage — one
-    explode to (vec, i, q) rows and a self-join on vec_id aggregated to
-    64×64 cells, i.e. a partial+final hash aggregate whose output is
-    CONSTANT-sized regardless of corpus size. Iterations then run on
-    4096-row × 64-row inputs (broadcast joins, sub-millisecond at any
-    scale); lineage stays flat because each round's frames are tiny."""
+    Scale shape: the Gram build is the ONLY corpus-sized stage — an
+    Arrow-batched ``mapInPandas`` that computes each batch's exact
+    int64 ``QᵀQ`` as ONE vectorized numpy matmul and emits a single
+    4096-cell partial per batch (the map-side-combine shape: the
+    shuffle carries #batches × 4096 rows, never the corpus), summed by
+    a final hash aggregate whose output is CONSTANT-sized regardless
+    of corpus size. The naive alternative — explode to (vec, i, q) and
+    self-join on vec_id — pushes n·d² rows through the aggregator;
+    the matmul does the same multiply-adds inside BLAS and ships only
+    partials, the classic distributed-covariance pattern. That matrix is
+    then collected and the 8 power-iteration rounds run driver-local in
+    exact integer arithmetic (the same bounded-fit pattern as the
+    IVF/PQ samplers, except this collect is d² = constant, not even
+    sampled): iterating a 64×64 matrix through distributed joins buys
+    nothing at ANY corpus size — every round's input is the same
+    constant-size frame — and costs a full job round-trip per step.
+    This is how MLlib's PCA treats its covariance matrix too: cluster
+    for the O(n·d²) moment build, driver for the O(d³) eigensolve.
+
+    Exactness: Python ints are arbitrary-precision, and the documented
+    headroom keeps every intermediate inside int64, so the driver-side
+    fold computes bit-identical values to DuckDB's int64 CTE chain;
+    truncation-toward-zero division is spelled out sign-split exactly
+    as the oracle does."""
     emb = load_table_scaled(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("i0", "x"),
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        F.floor(F.col("x").cast("double") * 1000 + 0.5).cast("long").alias("qx"),
+
+    def _partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((_PCA_DIM, _PCA_DIM), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # identical quantization to the oracle: floor(x*1000 + 0.5)
+            qm = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            acc += qm.T @ qm  # exact: |q|≤~1500 ⇒ batch sums ≪ 2^63
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(
+                np.arange(1, _PCA_DIM + 1), np.arange(1, _PCA_DIM + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p_ij": acc.ravel()}
+            )
+
+    gram_rows = (
+        emb.select("embedding")
+        .mapInPandas(_partial_gram, schema="i int, j int, p_ij long")
+        .groupBy("i", "j")
+        .agg(F.sum("p_ij").alias("a_ij"))
+        .collect()  # constant 64×64 = 4096 rows at any corpus size
     )
-    gram = (
-        q.alias("a")
-        .join(q.alias("b"), "vec_id")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.qx") * F.col("b.qx")).alias("a_ij"))
-        .localCheckpoint(eager=False)  # constant 4096 rows; computed once
-    )
-    v = spark.range(1, _PCA_DIM + 1).select(
-        F.col("id").alias("i"), F.lit(1000).cast("long").alias("vx")
-    )
+    a = {(r["i"], r["j"]): r["a_ij"] for r in gram_rows}
+    v = [1000] * _PCA_DIM  # v[k] is component for dim k+1
     for _ in range(_PCA_ITERS):
-        mv = (
-            gram.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("a_ij") * F.col("vx")).alias("mx"))
-        )
-        mm = mv.agg(F.max(F.abs(F.col("mx"))).alias("mm"))
-        v = mv.crossJoin(F.broadcast(mm)).selectExpr(
-            "i", "(mx * 1000) DIV mm AS vx"  # DIV truncates toward zero
-        )
-    return v.select(F.col("i").cast("int").alias("dim"), F.col("vx").alias("component_milli"))
+        mv = [
+            sum(a.get((i, j), 0) * v[j - 1] for j in range(1, _PCA_DIM + 1))
+            for i in range(1, _PCA_DIM + 1)
+        ]
+        mm = max(abs(m) for m in mv)
+        # truncation toward zero, matching Spark DIV / the oracle's CASE
+        v = [
+            (m * 1000) // mm if m >= 0 else -((-m * 1000) // mm)
+            for m in mv
+        ]
+    return spark.createDataFrame(
+        [(i + 1, vx) for i, vx in enumerate(v)], schema="dim int, component_milli long"
+    )
 
 
 # ---------------------------------------------------------------------------

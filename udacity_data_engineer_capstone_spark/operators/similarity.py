@@ -624,3 +624,113 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT-style MaxSim) multi-vector retrieval
+# ---------------------------------------------------------------------------
+#
+# Modern neural retrieval increasingly keeps ONE VECTOR PER TOKEN instead
+# of one per document (ColBERT; Khattab & Zaharia, SIGIR 2020) and scores
+# score(q, d) = Σ_{t∈q} max_{v∈d} cos(t, v) — "late interaction". The
+# engine models multi-vector documents by grouping the flat embeddings
+# table into pseudo-documents of TOKS_PER_DOC consecutive vectors
+# (doc = vec_id DIV 8, token = vec_id MOD 8), exactly reproducible in SQL.
+#
+# Cross-engine determinism: each (q-token, d-token) cosine is the same
+# widened double left-fold both engines use everywhere; MAX over doubles
+# is selection (exact); the per-token max is then floor-quantized to
+# integer MICRO-units BEFORE the per-document sum, so the final score is
+# an exact BIGINT sum (fold-order-free) — the house pattern for summing
+# double contributions (cf. queries/stats.py module docstring).
+
+TOKS_PER_DOC = 8
+N_QDOCS = 2  # doc_id < 2 are the multi-vector "queries" (16 token vectors)
+MAXSIM_K = 10
+
+_MAXSIM_ORACLE = f"""
+WITH tok AS (
+  SELECT vec_id // {TOKS_PER_DOC} AS doc_id,
+         vec_id % {TOKS_PER_DOC} AS tok,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qtok AS (SELECT * FROM tok WHERE doc_id < {N_QDOCS}),
+dtok AS (SELECT * FROM tok WHERE doc_id >= {N_QDOCS}),
+scored AS (
+  SELECT q.doc_id AS query_doc, d.doc_id AS cand_doc, q.tok AS qt,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * d.v[i]))
+         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(d.v, x -> x * x)))) AS c
+  FROM qtok q, dtok d
+),
+best AS (
+  SELECT query_doc, cand_doc, qt,
+         CAST(FLOOR(1000000 * MAX(c)) AS BIGINT) AS best_e6
+  FROM scored GROUP BY 1, 2, 3
+),
+sums AS (
+  SELECT query_doc, cand_doc,
+         CAST(SUM(best_e6) AS BIGINT) AS maxsim_e6
+  FROM best GROUP BY 1, 2
+)
+SELECT CAST(query_doc AS BIGINT) AS query_doc,
+       CAST(cand_doc AS BIGINT) AS cand_doc,
+       maxsim_e6
+FROM sums
+QUALIFY row_number() OVER (PARTITION BY query_doc
+                           ORDER BY maxsim_e6 DESC, cand_doc) <= {MAXSIM_K}
+"""
+
+
+@query("sim_maxsim_multivector", oracle=_MAXSIM_ORACLE, tags=("similarity", "retrieval"))
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: multi-vector documents
+    scored by MaxSim — for every query token, the best-matching document
+    token's cosine, summed over the query's tokens; top-k candidate
+    documents per query by that score.
+
+    Scale shape: the query side is a handful of token vectors —
+    broadcast — so the doc side NEVER shuffles for the scoring join (a
+    narrow map over the corpus). The two aggregations (per-query-token
+    max, then per-document sum) group by keys that extend the scoring
+    rows' natural grouping, so both run as partial+final hash aggregates;
+    the final top-k window benefits from partial WindowGroupLimit
+    pushdown like the other top-k operators. At production scale the
+    all-candidates scoring pass is the exact re-rank stage; candidate
+    generation for the full corpus belongs to ``sim_ann_*`` over pooled
+    per-document centroids (PLAID's strategy) — same composition, same
+    operators."""
+    emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
+    tok = emb.select(
+        F.expr(f"vec_id DIV {TOKS_PER_DOC}").alias("doc_id"),
+        F.expr(f"vec_id % {TOKS_PER_DOC}").alias("tok"),
+        "v",
+    )
+    qtok = tok.filter(F.col("doc_id") < N_QDOCS).alias("q")
+    dtok = tok.filter(F.col("doc_id") >= N_QDOCS).alias("d")
+    dot = F.expr("aggregate(zip_with(q.v, d.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    nq = F.sqrt(F.expr("aggregate(transform(q.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    nd = F.sqrt(F.expr("aggregate(transform(d.v, x -> x * x), 0D, (acc, x) -> acc + x)"))
+    best = (
+        dtok.join(F.broadcast(qtok))
+        .select(
+            F.col("q.doc_id").alias("query_doc"),
+            F.col("d.doc_id").alias("cand_doc"),
+            F.col("q.tok").alias("qt"),
+            (dot / (nq * nd)).alias("c"),
+        )
+        .groupBy("query_doc", "cand_doc", "qt")
+        .agg(F.floor(F.lit(1000000) * F.max("c")).cast("long").alias("best_e6"))
+    )
+    sums = best.groupBy("query_doc", "cand_doc").agg(
+        F.sum("best_e6").alias("maxsim_e6")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("maxsim_e6").desc(), F.col("cand_doc")
+    )
+    return (
+        sums.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_K)
+        .drop("rn")
+    )

@@ -10,7 +10,7 @@ shuffle except the final small aggregates, none here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
@@ -642,4 +642,164 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("raw") - F.length("nfc")).cast("long").alias(
             "codepoints_saved"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary scaling laws: Zipf rank-frequency and Heaps vocabulary growth
+# ---------------------------------------------------------------------------
+#
+# The two classical corpus-statistics curves every tokenizer/vocab
+# decision leans on: Zipf (freq ∝ 1/rank — is the corpus's head
+# natural-language-shaped or spam-degenerate?) and Heaps (vocab ∝ docsᵝ —
+# how fast does the vocabulary grow as the corpus scales, i.e. what will
+# a 100 TB crawl do to the tokenizer's OOV rate?). Both are emitted in
+# EXACT integer units (the law "fit" ships as per-rank products and
+# floor-quantized cumulative shares, not double log-log OLS, so the
+# engines agree bit-for-bit; the analyst's log-log plot is a client-side
+# rendering of these exact rows).
+
+ZIPF_TOP_K = 50
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq),
+top AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+  FROM freq
+  QUALIFY rnk <= {ZIPF_TOP_K}
+)
+SELECT CAST(rnk AS INT) AS rank, tok, n,
+       CAST(rnk * n AS BIGINT) AS zipf_product,
+       CAST(SUM(n) OVER (ORDER BY rnk) * 1000000 // t AS BIGINT)
+         AS cum_share_e6
+FROM top, tot
+"""
+
+
+@query("text_zipf_ranks", oracle=_ZIPF_ORACLE, tags=("text", "stats"))
+def text_zipf_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head profile: the top-50 tokens by corpus frequency with
+    their rank, the rank·frequency product (constant under an ideal
+    Zipf law), and the exact cumulative corpus share in parts-per-
+    million.
+
+    Scale shape: token counting is a partial+final hash aggregate
+    (vocabulary-width shuffle, never corpus-width); the global top-50
+    plans as TakeOrderedAndProject (per-partition top-k + driver merge
+    of k·partitions rows — no global sort); ranking and the running
+    share then run on a CONSTANT 50-row frame, where a single-partition
+    window is the right plan, not a skew bug. The corpus token total is
+    a broadcast scalar."""
+    toks = load_table_scaled(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    top = freq.orderBy(F.col("n").desc(), "tok").limit(ZIPF_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("zipf_product", (F.col("rank") * F.col("n")).cast("long"))
+        .withColumn(
+            "cum_share_e6",
+            F.expr(
+                "CAST(SUM(n) OVER (ORDER BY rank) * 1000000 DIV t AS BIGINT)"
+            ),
+        )
+        .select("rank", "tok", "n", "zipf_product", "cum_share_e6")
+    )
+
+
+HEAPS_BUCKETS = 10
+
+_HEAPS_ORACLE = f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+doc_buckets AS (
+  SELECT CAST(LEAST(doc_id * {HEAPS_BUCKETS} // n_docs,
+                    {HEAPS_BUCKETS} - 1) AS INT) AS bucket
+  FROM documents, nd
+),
+docs_per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS docs_in FROM doc_buckets GROUP BY bucket
+),
+first_seen AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+             regexp_split_to_array(lower(text), '\\s+'))) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+),
+tok_buckets AS (
+  SELECT CAST(LEAST(first_doc * {HEAPS_BUCKETS} // n_docs,
+                    {HEAPS_BUCKETS} - 1) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM first_seen, nd
+  GROUP BY 1
+)
+SELECT d.bucket,
+       CAST(SUM(d.docs_in) OVER (ORDER BY d.bucket) AS BIGINT) AS docs_seen,
+       COALESCE(t.new_tokens, 0) AS new_tokens,
+       CAST(SUM(COALESCE(t.new_tokens, 0)) OVER (ORDER BY d.bucket) AS BIGINT)
+         AS vocab_size
+FROM docs_per d LEFT JOIN tok_buckets t ON d.bucket = t.bucket
+"""
+
+
+@query("text_heaps_vocab_growth", oracle=_HEAPS_ORACLE, tags=("text", "stats"))
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: split the corpus into 10 equal
+    doc-id buckets and report, per bucket, cumulative documents seen,
+    tokens first appearing in that bucket, and the cumulative
+    vocabulary size — the curve whose flattening (or not) says what a
+    10× bigger crawl does to vocabulary coverage.
+
+    Scale shape: per-token first-occurrence is a partial+final MIN
+    aggregate over (token, doc_id) pairs — vocabulary-width shuffle;
+    bucket totals reduce to ``HEAPS_BUCKETS`` rows, so the running
+    sums run on a constant-size frame where a single-partition window
+    is correct by design."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    bucket_of = (
+        "CAST(LEAST({col} * %d DIV n_docs, %d) AS INT)"
+        % (HEAPS_BUCKETS, HEAPS_BUCKETS - 1)
+    )
+    docs_per = (
+        docs.crossJoin(F.broadcast(nd))
+        .select(F.expr(bucket_of.format(col="doc_id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_in"))
+    )
+    first_seen = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    tok_buckets = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .select(F.expr(bucket_of.format(col="first_doc")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket")
+    return (
+        docs_per.join(tok_buckets, "bucket", "left")
+        .withColumn("new_tokens", F.coalesce("new_tokens", F.lit(0)).cast("long"))
+        .select(
+            "bucket",
+            F.sum("docs_in").over(w).cast("long").alias("docs_seen"),
+            "new_tokens",
+            F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+        )
     )

@@ -188,3 +188,112 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
     )
+
+
+# --- Holt linear-trend smoothing -------------------------------------------
+#
+# Double exponential smoothing (Holt 1957): level + trend state folded
+# sequentially over each user's hourly series —
+#   l_t = α·x_t + (1-α)(l_{t-1} + b_{t-1})
+#   b_t = β(l_t - l_{t-1}) + (1-β)·b_{t-1}
+# with the gains as EXACT binary fractions (α=1/2, β=1/4), so each step
+# is two integer divisions: l = (x + l' + b') ÷ 2, b = (l - l' + 3b') ÷ 4
+# over integer cents. Division truncates toward zero on both engines
+# (Spark DIV natively; the oracle sign-splits DuckDB's floor //, the
+# same device as the PCA/markov operators) — bit-identical folds.
+#
+# Scale shape: hourly aggregation is a partial+final hash aggregate;
+# the fold itself is a per-user ``aggregate`` higher-order function over
+# the sorted hourly array — one shuffle on user_id, JVM-codegen'd, no
+# Python, no window re-sort. Per-user state arrays are bounded by the
+# TIME RANGE in hours, not corpus size, so memory per group is flat as
+# the corpus scales out. A genuinely sequential recurrence cannot be
+# parallelized inside a key without changing semantics; keying by user
+# is exactly how the work distributes.
+
+_HOLT_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  GROUP BY user_id, date_trunc('hour', ts)
+),
+series AS (
+  SELECT user_id,
+         list_transform(list(x ORDER BY h), v -> [v, CAST(0 AS BIGINT)])
+           AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM hourly
+  GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_points,
+         list_reduce(xs, (acc, e) -> [
+           CASE WHEN e[1] + acc[1] + acc[2] >= 0
+                THEN (e[1] + acc[1] + acc[2]) // 2
+                ELSE -((-(e[1] + acc[1] + acc[2])) // 2) END,
+           CASE WHEN (CASE WHEN e[1] + acc[1] + acc[2] >= 0
+                           THEN (e[1] + acc[1] + acc[2]) // 2
+                           ELSE -((-(e[1] + acc[1] + acc[2])) // 2) END)
+                     - acc[1] + 3 * acc[2] >= 0
+                THEN ((CASE WHEN e[1] + acc[1] + acc[2] >= 0
+                            THEN (e[1] + acc[1] + acc[2]) // 2
+                            ELSE -((-(e[1] + acc[1] + acc[2])) // 2) END)
+                      - acc[1] + 3 * acc[2]) // 4
+                ELSE -((-((CASE WHEN e[1] + acc[1] + acc[2] >= 0
+                                THEN (e[1] + acc[1] + acc[2]) // 2
+                                ELSE -((-(e[1] + acc[1] + acc[2])) // 2) END)
+                          - acc[1] + 3 * acc[2])) // 4) END
+         ]) AS st
+  FROM series
+)
+SELECT user_id, n_points,
+       st[1] AS level_cents,
+       st[2] AS trend_cents,
+       CAST(st[1] + st[2] AS BIGINT) AS forecast_next_cents
+FROM folded
+"""
+
+
+@query("ts_holt_linear", oracle=_HOLT_ORACLE, tags=("timeseries", "iterative"))
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user over hourly spend:
+    final level, trend, and one-step-ahead forecast, in exact integer
+    cents (see section comment for the binary-fraction gain argument).
+
+    The first hourly observation initializes the state (l₀ = x₀,
+    b₀ = 0), matching the oracle's fold whose accumulator starts at the
+    first element ``[x₀, 0]``."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("x")
+        )
+    )
+    series = hourly.groupBy("user_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(h, x))), s -> s.x)").alias(
+            "xs"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    # fold: acc = [l, b]; first element seeds [x0, 0]
+    fold = F.expr(
+        """aggregate(
+             slice(xs, 2, size(xs) - 1),
+             array(xs[0], 0L),
+             (acc, x) -> array(
+               (x + acc[0] + acc[1]) DIV 2,
+               ((x + acc[0] + acc[1]) DIV 2 - acc[0] + 3 * acc[1]) DIV 4
+             )
+           )"""
+    )
+    return series.select(
+        "user_id",
+        "n_points",
+        fold.getItem(0).alias("level_cents"),
+        fold.getItem(1).alias("trend_cents"),
+        (fold.getItem(0) + fold.getItem(1)).cast("long").alias("forecast_next_cents"),
+    )
