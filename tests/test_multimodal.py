@@ -43,3 +43,40 @@ def test_decode_features_contract():
     assert decode_features(b"\x0f\xf0")[15] == 1.0
     with pytest.raises(NotImplementedError):
         decode_features(None)  # the seam where a real decoder plugs in
+
+
+def test_phash_dedup_finds_planted_suffix_dups(spark, sf_dir):
+    """Recall check against ground truth the fingerprint never sees:
+    the corpus's planted near-dups are `<text> + " dup"` suffix pairs
+    (same 60-char prefix, different length). Every such pair must be
+    recovered by the band join + Hamming verify — the multi-index
+    decomposition is pigeonhole-exact for d <= PHASH_HAM_MAX, so a
+    miss is a bug, not tuning."""
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+    from udacity_data_engineer_capstone_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    from pyspark.sql import functions as F
+
+    planted = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.text") == F.concat(F.col("b.text"), F.lit(" dup")))
+                | (F.col("b.text") == F.concat(F.col("a.text"), F.lit(" dup")))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .collect()
+    )
+    assert planted, "testdata should contain planted ' dup' suffix pairs"
+    found = {
+        (r.a_id, r.b_id) for r in mm_phash_dedup(spark, sf_dir).collect()
+    }
+    missed = [p for p in planted if (p.a_id, p.b_id) not in found]
+    assert not missed, f"pHash missed planted near-dups: {missed}"

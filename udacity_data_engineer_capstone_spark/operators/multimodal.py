@@ -415,29 +415,50 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, bit_rows, band_rows = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                # bag-of-bigrams parity: bit_i = count((b1*31+b2) ≡ i mod 64) % 2
-                cls = (raw[:-1] * 31 + raw[1:]) % PHASH_BITS
-                bits = (
-                    np.bincount(cls, minlength=PHASH_BITS) % 2
-                ).astype(np.int32)
-                bit_s = "".join("1" if b else "0" for b in bits)
-                ids.append(doc_id)
-                bit_rows.append([int(b) for b in bits])
-                band_rows.append(
-                    [
-                        bit_s[b * PHASH_BAND_BITS : (b + 1) * PHASH_BAND_BITS]
-                        for b in range(PHASH_BANDS)
-                    ]
-                )
+            if len(pdf) == 0:
+                continue
+            # one flattened bincount per batch: bag-of-bigrams parity,
+            # bit_i = count((b1*31 + b2) ≡ i mod 64) % 2, all docs at once
+            payloads = [
+                np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                for p in pdf["media"]
+            ]
+            cls = [
+                (raw[:-1] * 31 + raw[1:]) % PHASH_BITS if len(raw) > 1
+                else np.empty(0, dtype=np.int64)
+                for raw in payloads
+            ]
+            doc_idx = np.repeat(np.arange(len(cls)), [len(c) for c in cls])
+            flat = np.concatenate(cls) if cls else np.empty(0, dtype=np.int64)
+            bits_mat = (
+                np.bincount(
+                    doc_idx * PHASH_BITS + flat,
+                    minlength=len(cls) * PHASH_BITS,
+                ).reshape(len(cls), PHASH_BITS)
+                % 2
+            ).astype(np.int32)
+            bit_strs = ["".join("1" if b else "0" for b in row) for row in bits_mat]
             yield pd.DataFrame(
-                {"doc_id": ids, "bits": bit_rows, "bands": band_rows}
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "bits": list(bits_mat),
+                    "bands": [
+                        [
+                            s[b * PHASH_BAND_BITS : (b + 1) * PHASH_BAND_BITS]
+                            for b in range(PHASH_BANDS)
+                        ]
+                        for s in bit_strs
+                    ],
+                }
             )
 
-    ph = media_table(spark, sf_dir).mapInPandas(
-        phash, "doc_id long, bits array<int>, bands array<string>"
+    # the fingerprint frame feeds BOTH sides of the self-join below;
+    # localCheckpoint materializes the Python stage once instead of
+    # re-running it per join side (same device as dedup_minhash_lsh)
+    ph = (
+        media_table(spark, sf_dir)
+        .mapInPandas(phash, "doc_id long, bits array<int>, bands array<string>")
+        .localCheckpoint(eager=False)
     )
     bands = ph.select(
         "doc_id", "bits", F.posexplode("bands").alias("band_idx", "band_val")
@@ -465,4 +486,84 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("a_id", "b_id", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end multimodal curation pipeline
+# ---------------------------------------------------------------------------
+
+_MM_PIPE_ORACLE = f"""
+WITH ph AS (
+  SELECT doc_id, {_PHASH_BITS_SQL} AS bits
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, bits, b.b AS band_idx,
+         array_to_string(bits[b.b * 8 + 1 : b.b * 8 + 8], '') AS band_val
+  FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.bits AS a_bits, b.bits AS b_bits
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id,
+         CAST(list_sum(list_transform(range(1, {PHASH_BITS} + 1), i ->
+           CASE WHEN a_bits[i] = b_bits[i] THEN 0 ELSE 1 END)) AS INT)
+           AS hamming
+  FROM cand
+),
+drops AS (
+  SELECT DISTINCT b_id AS doc_id FROM verified WHERE hamming <= {PHASH_HAM_MAX}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL
+                     THEN octet_length(encode(d.text)) ELSE 0 END) AS BIGINT)
+         AS kept_bytes
+FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+"""
+
+
+@query("pipe_multimodal_curation", oracle=_MM_PIPE_ORACLE, tags=("pipeline", "multimodal"))
+def pipe_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation: binary media → perceptual-hash
+    near-dup pairs (``mm_phash_dedup``) → keep-first survivor policy
+    (the LOWER doc_id of every verified pair survives; any doc that is
+    the higher side of a pair is dropped) → per-source audit of
+    docs / dropped / kept / kept payload bytes.
+
+    Scale shape: composes the band-join dedup (no all-pairs stage) with
+    one broadcast-able anti-join of the (small) drop set against the
+    corpus and a partial+final audit aggregate. This is the exact
+    pipeline shape an image-corpus refresh runs before training — the
+    audit row is what lands in the data-lineage report."""
+    media = media_table(spark, sf_dir)
+    pairs = mm_phash_dedup(spark, sf_dir)
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    flagged = media.join(F.broadcast(drops), "doc_id", "left_semi").select(
+        "doc_id", F.lit(1).alias("dropped")
+    )
+    return (
+        media.join(F.broadcast(flagged), "doc_id", "left")
+        .groupBy(F.col("meta.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dropped").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("dropped")).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("dropped").isNull(), F.col("meta.n_bytes")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_bytes"),
+        )
     )
