@@ -418,3 +418,13 @@ def test_pca_returns_full_component(spark, sf_dir):
     component (value parity vs DuckDB is covered by the oracle gate)."""
     out = Q["emb_pca_power_iteration"].fn(spark, sf_dir)
     assert out.count() == 64
+
+
+def test_sql_scalar_udf_inlines_no_python(spark, sf_dir):
+    """sql_scalar_udf: the CREATE FUNCTION ... RETURN body must inline
+    into the aggregate at analysis time — no BatchEvalPython /
+    ArrowEvalPython boundary, partial aggregation preserved."""
+    df = Q["sql_scalar_udf"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "partial_" in text

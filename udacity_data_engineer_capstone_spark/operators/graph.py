@@ -100,6 +100,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         bidir.join(deg.withColumnRenamed("s", "node"), bidir["s"] == F.col("node"))
         .select("s", "d", "deg")
+        # hash-partition the static edge list by its join key ONCE: each
+        # round's join then reuses this distribution instead of
+        # re-exchanging the (big) adjacency — the Pregel shape: edges
+        # stay put, only the rank vector moves. The rank vector itself
+        # arrives hash-partitioned on node from the previous round's
+        # groupBy, so the per-round shuffle is the message aggregation
+        # only.
+        .repartition(F.col("s"))
         .localCheckpoint(eager=False)  # static across rounds: scan once
     )
     ranks = deg.select(

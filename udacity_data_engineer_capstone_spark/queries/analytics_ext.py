@@ -521,3 +521,115 @@ def agg_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per column instead — exact distincts here keep the oracle strict."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_PROFILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# model-score decile gains / lift table
+# ---------------------------------------------------------------------------
+
+# The classic campaign-targeting artifact: rank users by a model score
+# (here: engagement count as the predictor), cut into score deciles, and
+# report per-decile response rate, cumulative capture, and lift vs the
+# base rate. All ratios are EXACT integer ppm via the same two-step
+# division on both engines (rate first — bounded 1e6 — then scaled by
+# totals), so no int64 headroom issue below ~9e12 users and the hash
+# gate is safe.
+_LIFT_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score,
+         CAST(MAX(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS responded
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT score, responded,
+         ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+  FROM u
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(responded) AS BIGINT) AS n_responders
+  FROM d GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS tu,
+         CAST(SUM(n_responders) AS BIGINT) AS tr
+  FROM per
+)
+SELECT CAST(decile AS INT) AS decile, n_users, n_responders,
+       CAST(n_responders * 1000000 // n_users AS BIGINT) AS response_ppm,
+       CAST(CAST(SUM(n_responders) OVER (ORDER BY decile) AS BIGINT)
+            * 1000000 // tr AS BIGINT) AS cum_capture_ppm,
+       CAST((n_responders * 1000000 // n_users) * tu // (tr * 1000000)
+            * 1000000
+            + ((n_responders * 1000000 // n_users) * tu % (tr * 1000000))
+              * 1000000 // (tr * 1000000) AS BIGINT) AS lift_ppm
+FROM per, tot
+"""
+
+
+@query("agg_decile_lift", oracle=_LIFT_ORACLE, tags=("agg", "analytics"))
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table: users ranked by engagement score, cut into
+    ntile(10) deciles (deterministic tie-break on user_id), with exact
+    integer-ppm response rate, cumulative responder capture, and lift
+    vs the overall base rate.
+
+    Scale shape: per-user scoring is a partial+final hash aggregate;
+    the global ntile needs a total order over USERS (not events) — fine
+    to ~1e8 rows in one sorted window pass; past that, swap the exact
+    ntile for broadcast percentile bounds exactly as
+    ``agg_percentile_threshold_bands`` demonstrates (same output
+    contract, no total sort). Decile totals and the running capture run
+    on a constant 10-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("responded"),
+    )
+    d = u.select(
+        "score",
+        "responded",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+    )
+    per = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("responded").cast("long").alias("n_responders"),
+    )
+    tot = per.agg(
+        F.sum("n_users").cast("long").alias("tu"),
+        F.sum("n_responders").cast("long").alias("tr"),
+    )
+    w = Window.orderBy("decile")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "n_responders",
+            F.expr("CAST(n_responders * 1000000 DIV n_users AS BIGINT)").alias(
+                "response_ppm"
+            ),
+            F.expr(
+                "CAST(CAST(SUM(n_responders) OVER (ORDER BY decile) AS BIGINT)"
+                " * 1000000 DIV tr AS BIGINT)"
+            ).alias("cum_capture_ppm"),
+            F.expr(
+                "CAST((n_responders * 1000000 DIV n_users) * tu DIV (tr * 1000000)"
+                " * 1000000"
+                " + ((n_responders * 1000000 DIV n_users) * tu % (tr * 1000000))"
+                "   * 1000000 DIV (tr * 1000000) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -698,3 +698,82 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic here because m is constant within each group."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_MAD_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-language surface: SQL scalar UDFs + pipe syntax
+# ---------------------------------------------------------------------------
+
+# Spark 4 adds ANSI SQL scalar functions (CREATE FUNCTION ... RETURN
+# expr) — reusable catalog-registered expressions that inline into the
+# plan at analysis time (no Python boundary, full codegen, pushdown
+# intact). The oracle expands the function body, proving the engine's
+# UDF inlining computes exactly the standard expression.
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS disc_revenue_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_scalar_udf", oracle=_SQL_UDF_ORACLE, tags=("sql", "udf"))
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN``): the
+    discounted-price-in-cents business rule registered ONCE as a
+    catalog function and reused by name. SQL UDFs inline at analysis
+    time — the physical plan is identical to writing the expression
+    inline (whole-stage codegen, aggregate pushdown), unlike a Python
+    UDF which would force a BatchEvalPython boundary. That inlining is
+    exactly what the oracle checks: DuckDB runs the expanded
+    expression, cent-exact."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS disc_revenue_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# Spark 4's SQL pipe syntax (|>) — linear dataflow SQL. Same logical
+# plan as the nested form; the oracle is the classic formulation.
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 10
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql",))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax: the filter → aggregate → having chain
+    written as a linear ``|>`` dataflow. Pipe stages desugar to the
+    identical logical plan as nested SQL — Catalyst sees no
+    difference — which the classic-form DuckDB oracle verifies
+    cent-exactly."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
