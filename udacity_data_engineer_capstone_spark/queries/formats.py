@@ -898,3 +898,51 @@ def src_sas7bdat_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# gzipped JSON-lines source (the web-crawl dump shape)
+# ---------------------------------------------------------------------------
+
+_JSONL_GZ_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query("src_jsonl_gz", oracle=_JSONL_GZ_ORACLE, tags=("source",))
+def src_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSON-lines ingestion — the shape crawl dumps
+    (Common-Crawl-style WET/WARC derivatives, API export logs) actually
+    arrive in. The corpus is round-tripped through ``.json.gz`` and
+    re-aggregated; the oracle aggregates the original table, so the
+    compressed text round-trip itself is what's verified.
+
+    Scale notes baked into the shape: explicit schema (no inference
+    pre-scan — at 100 TB that doubles the read), and gzip files are
+    NON-SPLITTABLE — one task per file regardless of size, so the
+    writer keeps files bounded (one per input partition here; a real
+    lake targets ~256 MB) rather than emitting one giant stream. For
+    splittable compressed text at rest, prefer zstd-in-parquet
+    (``snk_parquet_codecs``); gzip JSONL is the interchange format you
+    READ, not the layout you keep."""
+    d = tempfile.mkdtemp(prefix="engine_src_jsonl_gz_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text", "source").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(d)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    back = spark.read.schema(schema).json(d)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )

@@ -895,3 +895,66 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("long").alias("replicate"),
         "n_eff",
     )
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+# The standard quasi-experimental readout: treated vs control cohorts,
+# pre vs post periods, DiD = (T_post − T_pre) − (C_post − C_pre). Cohort
+# and period are derived deterministically (even/odd user_id; calendar
+# split at the corpus midpoint timestamp), spend is exact integer cents,
+# and every mean is a single double division of two exact BIGINTs — the
+# same shared-text IEEE-exact discipline as the t-test above.
+_DID_SQL = """
+WITH bounds AS (
+  SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+  FROM events
+),
+labeled AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'treated' ELSE 'control' END
+           AS cohort,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT) * 2 < lo + hi
+              THEN 'pre' ELSE 'post' END AS period,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events, bounds
+),
+cells AS (
+  SELECT cohort, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+  FROM labeled GROUP BY cohort, period
+)
+SELECT t_post.mean_cents - t_pre.mean_cents AS treated_delta,
+       c_post.mean_cents - c_pre.mean_cents AS control_delta,
+       (t_post.mean_cents - t_pre.mean_cents)
+         - (c_post.mean_cents - c_pre.mean_cents) AS did_cents,
+       t_pre.n AS n_treated_pre, t_post.n AS n_treated_post,
+       c_pre.n AS n_control_pre, c_post.n AS n_control_post
+FROM cells t_pre, cells t_post, cells c_pre, cells c_post
+WHERE t_pre.cohort = 'treated' AND t_pre.period = 'pre'
+  AND t_post.cohort = 'treated' AND t_post.period = 'post'
+  AND c_pre.cohort = 'control' AND c_pre.period = 'pre'
+  AND c_post.cohort = 'control' AND c_post.period = 'post'
+"""
+
+_DID_SPARK = _DID_SQL.replace("epoch_us(ts)", "unix_micros(ts)")
+
+
+@query("stat_did_estimator", oracle=_DID_SQL, tags=("stats", "causal"))
+def stat_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treated (even user_id) vs control,
+    pre vs post the corpus midpoint, on mean spend cents. One grouped
+    aggregate produces the four cells; the estimator is a fixed tree of
+    IEEE double ops over exact integer moments, so both engines agree
+    bitwise. The midpoint test uses ``2·ts < lo+hi`` — integer-exact,
+    no division.
+
+    Scale shape: bounds are one min/max aggregate (broadcast scalar);
+    the cell aggregate is partial+final over 4 groups; the final pivot
+    is a 4-row cross join. Nothing driver-side, nothing quadratic."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_DID_SPARK)

@@ -582,3 +582,66 @@ def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_size") < _K_ANON_K).alias(f"violates_k{_K_ANON_K}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# atomic manifest publish (no-partial-reads sink pattern)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = """
+SELECT CAST(4 AS INT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+"""
+
+
+@query("snk_manifest_publish", oracle=_MANIFEST_ORACLE, tags=("sink", "warehouse"))
+def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic publish via a manifest: write data files to a staging
+    prefix, then commit by atomically renaming a MANIFEST that lists
+    exactly the files (plus row counts) belonging to the snapshot.
+    Readers resolve the manifest first and read ONLY the listed files —
+    a half-written job is invisible because its manifest never landed.
+    This is the core correctness device of Iceberg/Delta commit
+    protocols, reduced to its primitive form; swapping in a real table
+    format changes the manifest codec, not the query shape.
+
+    The returned row re-reads the data THROUGH the manifest (file list
+    → parquet scan restricted to those paths) and re-aggregates, so the
+    oracle verifies the publish round-trip end to end. File count is
+    pinned by an explicit repartition(4) — layout is part of the
+    contract here, like the partitioned-write sinks."""
+    import json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="engine_snk_manifest_")
+    data_dir = os.path.join(d, "data")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    orders.repartition(4).write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = {"files": [os.path.basename(f) for f in files]}
+    tmp = os.path.join(d, "MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(d, "MANIFEST.json"))  # the atomic commit
+    with open(os.path.join(d, "MANIFEST.json")) as fh:
+        committed = json.load(fh)["files"]
+    listed = [os.path.join(data_dir, f) for f in committed]
+    back = spark.read.parquet(*listed)
+    return back.agg(
+        F.lit(len(listed)).cast("int").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
