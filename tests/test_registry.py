@@ -45,3 +45,16 @@ def test_survey_inventory_complete():
     # and all of them must carry an oracle (full correctness gate)
     unoracled = survey_ids - set(engine.get_oracles())
     assert not unoracled, f"SURVEY §2 IDs without an oracle: {unoracled}"
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must reference only registered queries —
+    a rename that orphans a bench entry should fail here, not in the
+    driver's bench run."""
+    import bench
+
+    import udacity_data_engineer_capstone_spark as engine
+
+    engine.load_all()
+    missing = [n for n in bench.HEADLINE if n not in engine.QUERIES]
+    assert not missing, missing

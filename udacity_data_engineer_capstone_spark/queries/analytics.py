@@ -67,10 +67,12 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
        SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                      l_partkey
                              ROWS UNBOUNDED PRECEDING) AS running_qty,
        lag(l_quantity) OVER (PARTITION BY l_suppkey
-                             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                      l_partkey)
          AS prev_qty
 FROM lineitem
 """
@@ -79,9 +81,18 @@ FROM lineitem
 @query("win_running_frame", oracle=_RUNNING_ORACLE, tags=("window",))
 def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum with an explicit ROWS frame + lag — analytic windows
-    over a total order (ties broken by unique keys so both engines agree)."""
+    over a total order. The tie-break includes l_partkey because
+    (orderkey, linenumber) is NOT unique in this testdata (sf0.1 carries
+    a duplicated line number within one order, caught by the full sf0.1
+    oracle sweep) — without a total order, lag()/ROWS frames are
+    engine-dependent on the tied rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+    ]
     w = Window.partitionBy("l_suppkey").orderBy(*order)
     return li.select(
         "l_suppkey",
