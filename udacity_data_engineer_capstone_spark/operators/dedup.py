@@ -830,3 +830,146 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_both * 1000000 DIV n_truth").alias("recall_ppm"),
         F.expr("n_both * 1000000 DIV n_lsh").alias("precision_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: probe a NEW batch against the persisted index
+# ---------------------------------------------------------------------------
+
+# Production dedup is INCREMENTAL: the historical corpus's band index is
+# a persisted (bucketed) table; each arriving batch probes that index
+# and self-joins only within itself, so per-batch cost is
+# O(batch·bands + collisions) — the historical corpus is never
+# re-shingled and never re-paired. The batch split here is the
+# deterministic hash gate doc_id % 5 = 4 (a 20% "arriving" slice), and
+# both engines derive index and batch identically from it.
+
+_INCR_ORACLE = f"""
+WITH {CORPUS_CTE},
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_SIG_DUCK} AS sig FROM sh
+),
+bands2 AS (
+  SELECT doc_id, {_band_exprs_duck()}
+  FROM sigs
+),
+stacked AS (
+  { " UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM bands2"
+      for b in range(N_BANDS)
+  ) }
+),
+inc AS (SELECT * FROM stacked WHERE doc_id % 5 = 4),
+hist AS (SELECT * FROM stacked WHERE doc_id % 5 <> 4),
+cand AS (
+  SELECT DISTINCT i.doc_id AS new_id, h.doc_id AS matched_id,
+         'historical' AS matched_side
+  FROM inc i JOIN hist h
+    ON i.band_id = h.band_id AND i.band_key = h.band_key
+  UNION
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS matched_id,
+         'batch' AS matched_side
+  FROM inc a JOIN inc b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND b.doc_id < a.doc_id
+)
+SELECT c.new_id, c.matched_id, c.matched_side,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.new_id
+JOIN sh sb ON sb.doc_id = c.matched_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)))
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INCR_ORACLE, tags=("dedup", "lsh"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the arriving 20% batch (hash gate
+    ``doc_id % 5 = 4``) probes the historical band index for near-dup
+    matches and self-joins only within itself — the historical corpus
+    contributes its (persisted) index rows and its shingles for
+    verification, but is never re-paired against itself.
+
+    Scale shape: per-batch work is batch·bands probe rows against an
+    equi-join on (band_id, band_key) — at rest the index is a table
+    BUCKETED on band_key (cf. tests/test_bucketing.py), which deletes
+    even that shuffle — plus exact-Jaccard verification on collisions
+    only. This is the operational form of ``dedup_minhash_lsh``: same
+    sketch, same bands, same verify, amortized over arrivals."""
+    c = corpus(spark, sf_dir, scaled=True).withColumn(
+        "toks", F.split(F.lower("text"), r"\s+")
+    )
+    sh = c.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).localCheckpoint(
+        eager=False
+    )
+    sigs = sh.select("doc_id", F.expr(_SIG_SPARK).alias("sig"))
+    bands = sigs.selectExpr("doc_id", *_band_exprs_spark())
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    inc = stacked.filter(F.col("doc_id") % 5 == 4)
+    hist = stacked.filter(F.col("doc_id") % 5 != 4)
+
+    i = inc.alias("i")
+    h = hist.alias("h")
+    from_hist = (
+        i.join(
+            h,
+            (F.col("i.band_id") == F.col("h.band_id"))
+            & (F.col("i.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col("i.doc_id").alias("new_id"),
+            F.col("h.doc_id").alias("matched_id"),
+            F.lit("historical").alias("matched_side"),
+        )
+        .distinct()
+    )
+    a2 = inc.alias("a2")
+    b2 = inc.alias("b2")
+    from_batch = (
+        a2.join(
+            b2,
+            (F.col("a2.band_id") == F.col("b2.band_id"))
+            & (F.col("a2.band_key") == F.col("b2.band_key"))
+            & (F.col("b2.doc_id") < F.col("a2.doc_id")),
+        )
+        .select(
+            F.col("a2.doc_id").alias("new_id"),
+            F.col("b2.doc_id").alias("matched_id"),
+            F.lit("batch").alias("matched_side"),
+        )
+        .distinct()
+    )
+    cand = from_hist.unionByName(from_batch).distinct()
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - common
+    jaccard = common.cast("double") / union
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("new_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("matched_id"))
+        .select("new_id", "matched_id", "matched_side", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
