@@ -428,3 +428,11 @@ def test_sql_scalar_udf_inlines_no_python(spark, sf_dir):
     text = plan_text(df)
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert "partial_" in text
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """dedup_incremental_minhash: both the index probe and the
+    within-batch join must be band equi-joins — no CartesianProduct /
+    BNLJ anywhere in the plan."""
+    df = Q["dedup_incremental_minhash"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
