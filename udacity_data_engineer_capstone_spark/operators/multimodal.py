@@ -567,3 +567,61 @@ def pipe_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# resize (block-average downsample to a fixed grid)
+# ---------------------------------------------------------------------------
+
+RESIZE_PIXELS = 16
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       list_transform(range(0, {RESIZE_PIXELS}), w ->
+         CAST(list_sum(list_transform(
+                range(w * length(text) // {RESIZE_PIXELS} + 1,
+                      (w + 1) * length(text) // {RESIZE_PIXELS} + 1),
+                j -> ord(substr(text, CAST(j AS INT), 1))))
+              // ((w + 1) * length(text) // {RESIZE_PIXELS}
+                  - w * length(text) // {RESIZE_PIXELS}) AS INT))
+         AS pixels
+FROM documents
+"""
+
+
+@query("mm_resize", oracle=_RESIZE_ORACLE, tags=("multimodal", "udf"))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over the binary media column: block-average downsample of
+    each payload onto a fixed 16-cell grid — cell w averages the
+    byte range [w·L/16, (w+1)·L/16), i.e. the 1-D form of exactly what
+    an image resize does per output pixel (area averaging over the
+    source window). Arrow-batched ``mapInPandas``, one vectorized
+    cumsum per batch row, integer mean (sum DIV count) so both engines
+    agree bit-for-bit. A real image resize (PIL ``Image.resize`` after
+    decode) replaces the cumsum body; schema, batching, and the
+    narrow-map plan are unchanged.
+
+    Scale shape: pure narrow map — no shuffle, no driver; output is
+    doc_id + 16 ints regardless of payload size, so downstream
+    operators (dedup, featurize) consume a constant-width frame."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, pix = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                bounds = (
+                    np.arange(RESIZE_PIXELS + 1, dtype=np.int64) * len(raw)
+                ) // RESIZE_PIXELS
+                csum = np.concatenate(([0], np.cumsum(raw, dtype=np.int64)))
+                counts = bounds[1:] - bounds[:-1]
+                sums = csum[bounds[1:]] - csum[bounds[:-1]]
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                pix.append((sums // counts).astype(np.int32))
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": sizes, "pixels": pix})
+
+    return media_table(spark, sf_dir).mapInPandas(
+        resize, "doc_id long, n_bytes long, pixels array<int>"
+    )
