@@ -118,7 +118,7 @@ def run_to_memory(
     name = f"mem_{uuid.uuid4().hex[:12]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = (
             df.writeStream.format("memory")
             .queryName(name)
