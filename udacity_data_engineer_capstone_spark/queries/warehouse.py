@@ -645,3 +645,54 @@ def snk_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed-table write + co-located join
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("snk_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("sink", "join"))
+def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table ingest + join: both fact tables written
+    ``bucketBy(8, order key)`` + ``sortBy`` at ingest, then joined as
+    catalog tables. At 100 TB this is THE shuffle-delete lever for the
+    dominant lineitem⋈orders exchange — bucketed layouts make every
+    subsequent equi-join on the bucket key co-located, which
+    tests/test_bucketing.py pins as a no-Exchange plan (with broadcast
+    disabled so the sort-merge path is what's proven). The aggregate
+    here re-reads THROUGH the bucketed tables, so the oracle verifies
+    the bucketed write+read round-trip, not just the plan shape."""
+    import tempfile
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tbl = f"bq_{name}_{suffix}"
+        d = tempfile.mkdtemp(prefix=f"engine_bucketed_{name}_")
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", d)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    li = spark.table(f"bq_lineitem_{suffix}")
+    orders = spark.table(f"bq_orders_{suffix}")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        )
+    )
