@@ -920,3 +920,57 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNull().alias("was_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (sweep-line over interval endpoints)
+# ---------------------------------------------------------------------------
+
+# Each event opens a fixed 5-minute activity interval; peak concurrency
+# per event type is the classic sweep-line: explode every interval into
+# a +1 (start) and a -1 (end) endpoint, order endpoints by time, take
+# the running sum's maximum. Ends sort BEFORE starts at the same
+# instant (endpoint kind 0 vs 1) so back-to-back intervals don't count
+# as overlapping — the convention both engines encode identically in
+# the ORDER BY. Exact integers end to end.
+
+_CONCURRENCY_SQL = """
+WITH endpoints AS (
+  SELECT event_type, unix_micros(ts) AS t, 1 AS kind, 1 AS delta
+  FROM events
+  UNION ALL
+  SELECT event_type, unix_micros(ts) + 300000000 AS t, 0 AS kind, -1 AS delta
+  FROM events
+),
+swept AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, kind, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM endpoints
+)
+SELECT event_type,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY event_type
+"""
+
+_CONCURRENCY_DUCK = _CONCURRENCY_SQL.replace("unix_micros(ts)", "epoch_us(ts)")
+
+
+@query("evt_peak_concurrency", oracle=_CONCURRENCY_DUCK, tags=("events", "window"))
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per event type: sweep-line over 5-minute
+    activity intervals (see section comment for the endpoint-ordering
+    convention). The question every capacity plan asks — "how many are
+    active AT ONCE at the worst moment" — which no plain windowed count
+    answers, because tumbling windows quantize the peak away.
+
+    Scale shape: the endpoint explode doubles rows (narrow map); the
+    running sum is one sorted window pass PARTITIONED BY event_type —
+    per-partition sort bounded by per-type event counts, the same
+    bound every other per-key window op here carries. The final MAX is
+    a partial+final aggregate. Duplicate timestamps are handled by the
+    deterministic (t, kind, delta) total order, ends first."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CONCURRENCY_SQL)
