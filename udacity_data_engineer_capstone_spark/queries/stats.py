@@ -958,3 +958,58 @@ def stat_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 4-row cross join. Nothing driver-side, nothing quadratic."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_DID_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# mutual information (event type × cohort)
+# ---------------------------------------------------------------------------
+
+# MI(X;Y) = Σ_ij (n_ij/N) · ln(n_ij·N / (n_i·n_j)) — the
+# feature-selection companion to the chi-square test above, over the
+# same contingency table. The ln argument is a ratio of exact BIGINT
+# products (ln is evaluated on the identical double in both engines),
+# each cell contribution is quantized to nano-nats BEFORE the sum, and
+# the sum is therefore an exact BIGINT — the chi2 operator's
+# quantize-then-sum discipline verbatim. n_ij ≥ 1 for present cells, so
+# the log argument is always positive.
+_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events
+  GROUP BY event_type, user_id % 2
+),
+tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells
+),
+margins AS (
+  SELECT c.event_type, c.cohort, c.obs,
+         CAST(SUM(c.obs) OVER (PARTITION BY c.event_type) AS BIGINT) AS row_tot,
+         CAST(SUM(c.obs) OVER (PARTITION BY c.cohort) AS BIGINT) AS col_tot
+  FROM cells c
+),
+contrib AS (
+  SELECT m.event_type, m.cohort,
+         CAST(floor(
+           CAST(m.obs AS DOUBLE) / t.n
+           * ln(CAST(m.obs AS DOUBLE) * t.n
+                / (CAST(m.row_tot AS DOUBLE) * m.col_tot))
+           * 1000000000) AS BIGINT) AS q_nano
+  FROM margins m CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(q_nano) AS BIGINT) AS mi_nano_nats
+FROM contrib
+"""
+
+
+@query("stat_mutual_information", oracle=_MI_SQL, tags=("stats",))
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and user-id-parity cohort
+    in nano-nats — near zero when the A/B hash split is healthy, which
+    makes it the continuous companion to ``stat_chi2_independence``'s
+    yes/no verdict (and the ranking criterion feature selection uses).
+    Same contingency shape, same quantize-then-sum exactness argument;
+    shared SQL text on both engines."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MI_SQL)
