@@ -803,3 +803,56 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (tokens per word, by language)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+SELECT lang,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS n_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+         AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+            * 1000000
+            // SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS fertility_ppm
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE, tags=("text", "stats"))
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word, in exact ppm — the standard metric for how
+    expensive a language is under a given tokenizer (fertility ≫ 1e6
+    means the vocabulary splits that language's words into many
+    pieces, inflating training/inference cost per word). Uses the same
+    pre-tokenizer regex as ``text_tokens``.
+
+    Scale shape: two counters per row (JVM regex expressions, no
+    Python), one partial+final aggregate per language — a
+    vocabulary-free map-side-combine pass at any corpus size."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", r"\s+"))).cast("long").alias("n_words"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
