@@ -779,3 +779,55 @@ def curate_validation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_train") > 0) & (F.col("n_val") > 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset datasheet (per source × language corpus card)
+# ---------------------------------------------------------------------------
+
+_DATASHEET_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS total_words,
+       CAST(SUM(length(text)) * 100 // COUNT(*) AS BIGINT)
+         AS mean_chars_e2,
+       CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@query("curate_datasheet", oracle=_DATASHEET_SQL, tags=("curation", "audit"))
+def curate_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: the per-(source, language) corpus card row —
+    document count, char/word volume, exact centichars mean, and
+    length extrema — the table every data release publishes
+    ("Datasheets for Datasets", Gebru et al.) and every mixture
+    decision starts from. One partial+final aggregate over the corpus;
+    all integer outputs (mean as scaled integer division)."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum(F.size(F.split("text", r"\s+"))).cast("long").alias("total_words"),
+            F.min(F.length("text")).cast("long").alias("min_chars"),
+            F.max(F.length("text")).cast("long").alias("max_chars"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_words",
+            F.expr("CAST(total_chars * 100 DIV n_docs AS BIGINT)").alias(
+                "mean_chars_e2"
+            ),
+            "min_chars",
+            "max_chars",
+        )
+    )
