@@ -297,3 +297,255 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getItem(1).alias("trend_cents"),
         (fold.getItem(0) + fold.getItem(1)).cast("long").alias("forecast_next_cents"),
     )
+
+
+# --- Theil–Sen robust trend ------------------------------------------------
+
+# Hour index relative to a fixed (data-independent) origin so both
+# engines derive identical integers; slopes only use differences, so the
+# origin choice is immaterial.
+_TS_ORIGIN = "TIMESTAMP '2000-01-01 00:00:00'"
+
+_THEIL_SEN_ORACLE = f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)
+           AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+pairs AS (
+  SELECT a.event_type,
+         (CAST(b.sum_cents AS DOUBLE) / b.n - CAST(a.sum_cents AS DOUBLE) / a.n)
+           / (b.h - a.h) AS slope
+  FROM buckets a
+  JOIN buckets b
+    ON a.event_type = b.event_type AND a.h < b.h
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS cp
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(cp) AS BIGINT) AS n_pairs,
+       CAST(floor(
+         (MAX(CASE WHEN rk = (cp + 1) // 2 THEN slope END)
+          + MAX(CASE WHEN rk = (cp + 2) // 2 THEN slope END)) / 2 * 1000000
+       ) AS BIGINT) AS slope_microcents_per_hour
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@query(
+    "ts_theil_sen",
+    oracle=_THEIL_SEN_ORACLE,
+    tags=("timeseries", "robust", "join"),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes of the
+    hourly mean series, per event type — the 29%-breakdown-point
+    alternative to OLS trend (cf. ``stat_ols_regression``), standard for
+    drift monitoring because single outlier hours cannot move it.
+
+    Determinism: bucket means are one exact-int division
+    ``sum_cents/n``; each slope is two more IEEE ops on those doubles;
+    the median reads values at fixed ranks (ties carry equal values, so
+    tie order cannot change the result) and the final ``floor(·*1e6)``
+    is exact in both engines.
+
+    Scale shape: the pairwise self-join runs over the *hourly-bucketed*
+    series, whose length is calendar-bounded (720 rows/month/type), not
+    data-bounded — at 100 TB the corpus-sized work is still just the
+    one partial+final hash aggregate that builds the buckets; the pair
+    join and median window operate on kilobytes per event type. For
+    multi-year series, cap the window (trailing N days) or pair-sample
+    with an equi-residue gate as in ``emb_cosine_histogram``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"CAST(timestampdiff(HOUR, {_TS_ORIGIN}, bucket) AS BIGINT)").alias(
+                "h"
+            ),
+            (F.col("sum_cents").cast("double") / F.col("n")).alias("m"),
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.m") - F.col("a.m")) / (F.col("b.h") - F.col("a.h"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("cp"),
+    )
+    lo = F.max(F.when(F.col("rk") == F.expr("(cp + 1) DIV 2"), F.col("slope")))
+    hi = F.max(F.when(F.col("rk") == F.expr("(cp + 2) DIV 2"), F.col("slope")))
+    return ranked.groupBy("event_type").agg(
+        F.max("cp").cast("long").alias("n_pairs"),
+        F.floor((lo + hi) / 2 * 1000000)
+        .cast("long")
+        .alias("slope_microcents_per_hour"),
+    )
+
+
+# --- SAX symbolization -----------------------------------------------------
+
+_SAX_FRAME = 6  # hourly buckets per PAA frame (6 h frames, 4 symbols)
+
+# Gaussian breakpoints for a 4-symbol alphabet (a|b|c|d at -0.6745, 0,
+# +0.6745 — the N(0,1) quartiles). Literal doubles, identical text in
+# both engines.
+_SAX_CASE = (
+    "CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b' "
+    "WHEN z < 0.6745 THEN 'c' ELSE 'd' END"
+)
+
+_SAX_ORACLE = f"""
+WITH buckets AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+idx AS (
+  SELECT event_type, sum_cents, n,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1)
+           // {_SAX_FRAME} AS frame
+  FROM buckets
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(sum_cents) AS BIGINT) AS s,
+         CAST(SUM(sum_cents * sum_cents // n) AS DOUBLE) AS sq_scaled,
+         CAST(SUM(n) AS BIGINT) AS tot_n,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM idx
+  GROUP BY event_type
+),
+frames AS (
+  SELECT event_type, frame,
+         CAST(SUM(sum_cents) AS BIGINT) AS fs,
+         CAST(SUM(n) AS BIGINT) AS fn
+  FROM idx
+  GROUP BY event_type, frame
+),
+z AS (
+  SELECT f.event_type, f.frame,
+         (CAST(f.fs AS DOUBLE) / f.fn - CAST(s.s AS DOUBLE) / s.tot_n)
+           / sqrt(1e-12 + s.sq_scaled / s.nb
+                  - (CAST(s.s AS DOUBLE) / s.tot_n)
+                    * (CAST(s.s AS DOUBLE) / s.tot_n)) AS z
+  FROM frames f
+  JOIN stats s ON s.event_type = f.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       string_agg({_SAX_CASE}, '' ORDER BY frame) AS sax
+FROM z
+GROUP BY event_type
+"""
+
+
+@query("ts_sax_symbolic", oracle=_SAX_ORACLE, tags=("timeseries", "window"))
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al.): z-normalize each event type's
+    hourly mean series, average it down with PAA (6-hour frames), and
+    map each frame to a 4-letter alphabet at the N(0,1) quartile
+    breakpoints — the standard discretization for motif mining and
+    similarity search over long telemetry series.
+
+    Determinism: all series statistics are derived from exact BIGINT
+    sums (``sum_cents``, ``n``) — every double is the result of the
+    same casts/divisions in both engines, and the symbol CASE compares
+    against literal breakpoints, so the strings match bit-for-bit.
+    *Caveat inherited from the exact-int discipline:* the variance term
+    uses per-bucket mean-square ``sum_cents²/n`` (integer div, exact),
+    an hour-weighted population variance — documented, deterministic,
+    and the z-scores it feeds are scale-normalized either way.
+    Headroom (same discipline as ``stat_cusum_changepoint``): the int64
+    product ``sum_cents²`` needs ``sum_cents < ~3.0e9`` per
+    (type, hour) bucket — ≈ 60 k max-priced events per bucket per type;
+    past that, pre-divide by a fixed power of two on both sides.
+
+    Scale shape: one corpus-sized hash aggregate builds the hourly
+    buckets; everything after (frame index, stats join, listagg) runs
+    on the calendar-bounded bucket table. The ``listagg`` cannot
+    partial-aggregate, but it concatenates ≤ buckets/frame_size symbols
+    per group — bytes, not data volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    idx = buckets.select(
+        "event_type",
+        "sum_cents",
+        "n",
+        F.expr(f"(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1) DIV {_SAX_FRAME}").alias(
+            "frame"
+        ),
+    )
+    stats = idx.groupBy("event_type").agg(
+        F.sum("sum_cents").alias("s"),
+        F.sum(F.expr("sum_cents * sum_cents DIV n")).cast("double").alias("sq_scaled"),
+        F.sum("n").alias("tot_n"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    frames = idx.groupBy("event_type", "frame").agg(
+        F.sum("sum_cents").alias("fs"), F.sum("n").alias("fn")
+    )
+    mean = F.col("s").cast("double") / F.col("tot_n")
+    z = (
+        frames.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "frame",
+            (
+                (F.col("fs").cast("double") / F.col("fn") - mean)
+                / F.sqrt(
+                    F.lit(1e-12)
+                    + F.col("sq_scaled") / F.col("nb")
+                    - mean * mean
+                )
+            ).alias("z"),
+        )
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.expr(f"listagg({_SAX_CASE}, '') WITHIN GROUP (ORDER BY frame)").alias("sax"),
+    )

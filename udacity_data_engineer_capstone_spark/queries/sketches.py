@@ -390,3 +390,122 @@ def agg_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# theta-sketch set operations (union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+# The KMV estimator above answers "how many distinct"; the theta sketch
+# extends it to SET ALGEBRA: cut both bottom-k samples at a common
+# threshold theta = min(theta_A, theta_B), and any set expression over
+# the *samples* estimates the same expression over the *sets*, scaled by
+# H/theta. Because the hash is md5 (engine-neutral), the estimates are
+# bit-identical in both engines, so the oracle checks them exactly —
+# alongside the exact ground truth (the exact/approximate contrast
+# mirrors `evt_audience_overlap`, the exact version of this question).
+
+_THETA_K = 256
+_THETA_HEX = 6  # 24-bit hash space, same lanes as the KMV sketch
+_THETA_H = 16**_THETA_HEX
+
+
+def _theta_hex_int(h: str, pos_fn: str) -> str:
+    terms = [
+        f"({pos_fn}('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_THETA_HEX - 1 - i)}"
+        for i in range(_THETA_HEX)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _theta_sql(pos_fn: str, div: str) -> str:
+    h = _theta_hex_int("md5(concat('th:', CAST(k AS STRING)))", pos_fn)
+    return f"""
+WITH keys_a AS (
+  SELECT DISTINCT user_id * 100 + day(ts) AS k
+  FROM events WHERE event_type = 'click'
+),
+keys_b AS (
+  SELECT DISTINCT user_id * 100 + day(ts) AS k
+  FROM events WHERE event_type = 'view'
+),
+hv_a AS (SELECT DISTINCT {h} AS hv FROM keys_a),
+hv_b AS (SELECT DISTINCT {h} AS hv FROM keys_b),
+th_a AS (
+  SELECT CASE WHEN MAX(cnt) >= {_THETA_K}
+              THEN MAX(CASE WHEN rk = {_THETA_K} THEN hv END)
+              ELSE {_THETA_H} END AS th
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+               COUNT(*) OVER () AS cnt FROM hv_a)
+),
+th_b AS (
+  SELECT CASE WHEN MAX(cnt) >= {_THETA_K}
+              THEN MAX(CASE WHEN rk = {_THETA_K} THEN hv END)
+              ELSE {_THETA_H} END AS th
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+               COUNT(*) OVER () AS cnt FROM hv_b)
+),
+theta AS (SELECT LEAST(a.th, b.th) AS th FROM th_a a CROSS JOIN th_b b),
+u_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM hv_a UNION SELECT hv FROM hv_b) u CROSS JOIN theta t
+  WHERE u.hv < t.th
+),
+i_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM hv_a INTERSECT SELECT hv FROM hv_b) i CROSS JOIN theta t
+  WHERE i.hv < t.th
+),
+exact AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM keys_a) AS BIGINT) AS n_a,
+    CAST((SELECT COUNT(*) FROM keys_b) AS BIGINT) AS n_b,
+    CAST((SELECT COUNT(*) FROM
+           (SELECT k FROM keys_a UNION SELECT k FROM keys_b)) AS BIGINT)
+      AS n_union,
+    CAST((SELECT COUNT(*) FROM
+           (SELECT k FROM keys_a INTERSECT SELECT k FROM keys_b)) AS BIGINT)
+      AS n_inter
+)
+SELECT e.n_a, e.n_b, e.n_union, e.n_inter,
+       CAST(u.c * {_THETA_H} {div} t.th AS BIGINT) AS est_union,
+       CAST(i.c * {_THETA_H} {div} t.th AS BIGINT) AS est_inter,
+       CAST(CASE WHEN u.c = 0 THEN 0
+                 ELSE i.c * 1000000 {div} u.c END AS BIGINT)
+         AS jaccard_ppm_est,
+       CAST(ABS(CAST(u.c * {_THETA_H} {div} t.th AS BIGINT) - e.n_union)
+              <= CAST(0.25 * e.n_union AS BIGINT) AS BOOLEAN) AS union_ok,
+       CAST(ABS(CAST(i.c * {_THETA_H} {div} t.th AS BIGINT) - e.n_inter)
+              <= CAST(0.25 * e.n_inter + 8 AS BIGINT) AS BOOLEAN) AS inter_ok
+FROM exact e
+CROSS JOIN theta t CROSS JOIN u_cnt u CROSS JOIN i_cnt i
+"""
+
+
+@query(
+    "agg_theta_sketch_setops",
+    oracle=_theta_sql("strpos", "//"),
+    tags=("agg", "sketch"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimate |A∪B|, |A∩B| and Jaccard of
+    two audience key sets (distinct (user, day) pairs for 'click' vs
+    'view') from bottom-k md5 sketches cut at a common threshold
+    theta = min(theta_A, theta_B) — the Apache DataSketches pattern for
+    composable audience overlap without ever shuffling raw keys.
+
+    Because the hash is md5, the ESTIMATES are bit-identical across
+    engines and the oracle checks them exactly, next to the exact
+    ground-truth counts and error-band booleans (k=256 → RSE ≈ 6%; the
+    intersection band carries a +8 absolute floor because resampling
+    error is relative to the *union*, not the intersection).
+
+    Scale shape: production keeps the per-set state at k 24-bit values
+    via per-partition bottom-k + merge (mergeable like HLL, but closed
+    under ∪/∩/∖). The SQL mirror here sorts the full distinct-hash set
+    per side — the same bounded shape as ``agg_kmv_distinct``; the
+    corpus-sized work is the DISTINCT, one hash-width shuffle with
+    map-side partials."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_theta_sql("instr", "DIV"))

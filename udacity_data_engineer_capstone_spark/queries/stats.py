@@ -1013,3 +1013,85 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared SQL text on both engines."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_MI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# higher-moment sketch: skewness / kurtosis from mergeable power sums
+# ---------------------------------------------------------------------------
+
+# The moment sketch: per group keep (n, Σx, Σx², Σx³, Σx⁴) — five exact
+# integers, associative + commutative, so Spark evaluates them as
+# partial+final hash aggregates with constant per-group state (the same
+# mergeability story as the HLL/KMV sketches, but for distribution
+# SHAPE). cents⁴ ≈ 5.8e18 per row exceeds int64 once summed, so the two
+# high power sums ride a wide integer lane: DECIMAL(38,0) in Spark,
+# HUGEINT in DuckDB — both exact, both cast-to-double *once* at the end,
+# so every derived double is the result of the identical IEEE op tree.
+# Headroom: Σcents⁴ at 1e12 rows ≈ 5.8e30 ≪ 1e38 — the lane survives
+# 100 TB with ~7 orders of magnitude to spare.
+
+
+def _moments_sql(wide_cast: str) -> str:
+    # central moments from raw power sums (m ≡ mean):
+    # m2 = S2/n − m²; m3 = S3/n − 3m·S2/n + 2m³;
+    # m4 = S4/n − 4m·S3/n + 6m²·S2/n − 3m⁴
+    return f"""
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(CAST(SUM(CAST(c AS {wide_cast}) * c * c) AS DOUBLE) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(c AS {wide_cast}) * c * c * c) AS DOUBLE) AS DOUBLE) AS s4
+  FROM vals
+  GROUP BY event_type
+),
+cm AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         CAST(s2 AS DOUBLE) / n
+           - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         s3 / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3,
+         s4 / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (s3 / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM sums
+)
+SELECT event_type, n,
+       CAST(floor(m * 1000) AS BIGINT) AS mean_millicents,
+       CAST(floor(sqrt(m2) * 1000) AS BIGINT) AS stddev_millicents,
+       CAST(floor(m3 / (m2 * sqrt(m2)) * 1000000) AS BIGINT) AS skew_ppm,
+       CAST(floor((m4 / (m2 * m2) - 3.0) * 1000000) AS BIGINT)
+         AS excess_kurtosis_ppm
+FROM cm
+"""
+
+
+@query(
+    "stat_skew_kurtosis",
+    oracle=_moments_sql("HUGEINT"),
+    tags=("stats", "sketch"),
+)
+def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: skewness g1 and excess
+    kurtosis g2 from the mergeable moment sketch (n, Σx … Σx⁴) — how a
+    100 TB pipeline detects heavy tails / bimodality in a metric without
+    a second pass or any quantile state. One hash aggregate with
+    map-side combine; per-group state is five wide integers.
+
+    Determinism: power sums are exact (BIGINT lanes for Σx, Σx²; a
+    DECIMAL(38,0)↔HUGEINT lane for Σx³, Σx⁴), cast to DOUBLE once; the
+    central-moment formulas are the same literal IEEE op tree in both
+    engines, and outputs land as floor-scaled BIGINTs."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_moments_sql("DECIMAL(38,0)"))
