@@ -856,3 +856,101 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap (Jaccard matrix over token sets)
+# ---------------------------------------------------------------------------
+
+_VOCAB_OVERLAP_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT source, t AS tok
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS u(t)
+  WHERE t <> ''
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS vocab_inter
+  FROM toks a
+  JOIN toks b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b,
+       sa.n AS vocab_a, sb.n AS vocab_b, i.vocab_inter,
+       sa.n + sb.n - i.vocab_inter AS vocab_union,
+       i.vocab_inter * 1000000 // (sa.n + sb.n - i.vocab_inter)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@query(
+    "text_vocab_overlap",
+    oracle=_VOCAB_OVERLAP_ORACLE,
+    tags=("text", "set", "join"),
+)
+def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixture
+    diagnostic ("how much does src2's wording overlap src0's?") that
+    decides whether two crawl snapshots are near-duplicates at the
+    *distribution* level before any per-document dedup runs.
+
+    Scale shape: the corpus-sized work is one DISTINCT over
+    (source, token) — vocabulary-bounded output (Heaps' law: sublinear
+    in corpus size; cf. ``text_heaps_vocab_growth``), with map-side
+    partials so the shuffle carries tokens once per source, not per
+    occurrence. The pair join is an equi-join on token whose fan-out is
+    ≤ n_sources² rows per token; with S sources the result is the
+    S·(S−1)/2 matrix — bytes. At very large vocabularies, swap the
+    exact DISTINCT for the KMV sketch (``agg_theta_sketch_setops``)
+    and estimate the same Jaccard from bottom-k hashes."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("vocab_inter"))
+    )
+    sa = F.broadcast(sizes).alias("sa")
+    sb = F.broadcast(sizes.alias("sb2")).alias("sb")
+    return (
+        inter.join(sa, F.col("sa.source") == F.col("source_a"))
+        .join(sb, F.col("sb.source") == F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("sa.n").alias("vocab_a"),
+            F.col("sb.n").alias("vocab_b"),
+            "vocab_inter",
+            (F.col("sa.n") + F.col("sb.n") - F.col("vocab_inter")).alias(
+                "vocab_union"
+            ),
+            F.expr("vocab_inter * 1000000 DIV (sa.n + sb.n - vocab_inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
