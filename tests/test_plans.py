@@ -436,3 +436,27 @@ def test_incremental_dedup_no_cartesian(spark, sf_dir):
     BNLJ anywhere in the plan."""
     df = Q["dedup_incremental_minhash"].fn(spark, sf_dir)
     assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_theil_sen_pair_join_no_cartesian(spark, sf_dir):
+    """ts_theil_sen's pairwise-slope self-join must hash on the
+    event_type equi-key (the h-range predicate rides as a join filter) —
+    never a cartesian/nested-loop over the bucket table."""
+    df = Q["ts_theil_sen"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_vocab_overlap_join_no_cartesian(spark, sf_dir):
+    """text_vocab_overlap pairs sources through the token equi-join;
+    a cartesian over the vocab tables would be the quadratic mistake."""
+    df = Q["text_vocab_overlap"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def test_moment_sketch_partial_aggregation(spark, sf_dir):
+    """stat_skew_kurtosis must partial-aggregate map-side: five wide
+    integer lanes per group cross the shuffle, never raw rows."""
+    df = Q["stat_skew_kurtosis"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "HashAggregate" in text, text
+    assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
