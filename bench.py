@@ -81,6 +81,11 @@ HEADLINE = [
     # round-4 second wave: multimodal dedup + late-interaction retrieval
     "mm_phash_dedup",             # multi-index Hamming band join dedup
     "sim_maxsim_multivector",     # ColBERT-style MaxSim scoring + top-k
+    # round-4 third wave: robust trend, theta set-ops, vocab overlap
+    "ts_theil_sen",               # median-of-pairwise-slopes trend
+    "agg_theta_sketch_setops",    # bottom-k theta union/intersect estimates
+    "text_vocab_overlap",         # source-pair vocabulary Jaccard matrix
+    "stat_skew_kurtosis",         # mergeable moment sketch (n..Σx⁴)
 ]
 
 

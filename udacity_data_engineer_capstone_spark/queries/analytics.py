@@ -563,3 +563,109 @@ def fn_array_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.4)").alias("has_large"),
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS back_ts,
+         min(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS fwd_ts
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN back_ts
+         WHEN back_ts IS NULL THEN fwd_ts
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+         ELSE fwd_ts
+       END AS nearest_click_ts,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN 'b'
+         WHEN back_ts IS NULL THEN 'f'
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts) THEN 'b'
+         ELSE 'f'
+       END AS direction,
+       CASE
+         WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL
+         WHEN fwd_ts IS NULL THEN epoch_us(ts) - epoch_us(back_ts)
+         WHEN back_ts IS NULL THEN epoch_us(fwd_ts) - epoch_us(ts)
+         WHEN epoch_us(ts) - epoch_us(back_ts)
+              <= epoch_us(fwd_ts) - epoch_us(ts)
+           THEN epoch_us(ts) - epoch_us(back_ts)
+         ELSE epoch_us(fwd_ts) - epoch_us(ts)
+       END AS gap_us
+FROM tagged
+WHERE event_type = 'purchase'
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join", "asof"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): for every purchase, the temporally closest click by
+    the same user — before OR after, ties to the earlier side.
+
+    Same scalable formulation as ``join_asof_event``: one running max
+    (backward candidate) and one running min (forward candidate) over
+    the interleaved per-user stream, then a pure-projection arbiter on
+    exact integer microseconds. One shuffle on user_id, no range
+    self-join, per-user sort bounded by user activity — the asymmetric
+    window pair is what keeps 'nearest' from becoming the naive
+    |t1−t2|-argmin quadratic join at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(wb).alias("back_ts"),
+        F.min(click_ts).over(wf).alias("fwd_ts"),
+    )
+    back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))
+    fwd_gap = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    prefer_back = back_gap <= fwd_gap
+    both_null = F.col("back_ts").isNull() & F.col("fwd_ts").isNull()
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(both_null, F.lit(None).cast("timestamp"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(prefer_back, F.col("back_ts"))
+        .otherwise(F.col("fwd_ts"))
+        .alias("nearest_click_ts"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(F.col("fwd_ts").isNull(), F.lit("b"))
+        .when(F.col("back_ts").isNull(), F.lit("f"))
+        .when(prefer_back, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("direction"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(F.col("fwd_ts").isNull(), back_gap)
+        .when(F.col("back_ts").isNull(), fwd_gap)
+        .when(prefer_back, back_gap)
+        .otherwise(fwd_gap)
+        .alias("gap_us"),
+    )
