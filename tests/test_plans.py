@@ -460,3 +460,47 @@ def test_moment_sketch_partial_aggregation(spark, sf_dir):
     text = plan_text(df)
     assert "HashAggregate" in text, text
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_zorder_layout_files_mostly_skippable(spark):
+    """The z-ordered rewrite must produce files whose per-file
+    (l_orderkey, l_partkey) min stats exclude the 2-D box for most
+    files — the min/max-stats file-skipping that makes the layout worth
+    the sort. Asserted at sf0.01, where the box is selective."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR_MED
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+    from udacity_data_engineer_capstone_spark.queries.formats import (
+        _ZLAYOUT_EXPR,
+    )
+
+    out = tempfile.mkdtemp(prefix="engine_zlayout_test_")
+    (
+        load_table(spark, SF_DIR_MED, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .withColumn("zvalue", F.expr(_ZLAYOUT_EXPR))
+        .repartitionByRange(16, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    skippable = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins = {"l_orderkey": [], "l_partkey": []}
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema in mins:
+                    mins[col.path_in_schema].append(col.statistics.min)
+        if min(mins["l_orderkey"]) > 2048 or min(mins["l_partkey"]) > 1024:
+            skippable += 1
+    assert len(files) >= 8, files
+    assert skippable >= len(files) // 2, (skippable, len(files))

@@ -946,3 +946,68 @@ def src_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z-ordered data layout sink (OPTIMIZE ZORDER shape)
+# ---------------------------------------------------------------------------
+
+# 21 bits per dimension (42-bit z-values): covers l_orderkey up to 2M —
+# wide enough for every test SF with headroom; at larger key domains,
+# widen bits or z-order on range-bucketed keys.
+_ZLAYOUT_EXPR = _interleave_expr("l_orderkey", "l_partkey", bits=21)
+
+_ZLAYOUT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_partkey
+FROM lineitem
+WHERE l_orderkey <= 2048 AND l_partkey <= 1024
+"""
+
+
+@query("snk_zorder_layout", oracle=_ZLAYOUT_ORACLE, tags=("sink", "layout"))
+def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered table rewrite + 2-D box read-back — the full OPTIMIZE
+    ZORDER story: range-partition the fact table by its Morton value
+    (``fn_zorder_curve``'s expression), sort within partitions, write
+    parquet, then answer a box query (l_orderkey ≤ 2048 AND
+    l_partkey ≤ 1024) from the files.
+
+    Why it scales: after the z-sort each output file covers a contiguous
+    z-range, hence a bounded rectangle in BOTH key dimensions, so the
+    parquet min/max column stats let the scan skip every file whose
+    rectangle misses the box — the multi-dimensional analogue of
+    partition pruning, with file count (not corpus size) driving planner
+    cost. tests/test_plans.py pins that most files are stats-skippable
+    for this box at sf0.01. The rewrite itself is one range shuffle
+    (sampled range boundaries) + a per-partition sort — the same cost
+    profile as any global sort, amortized over every future box query.
+    """
+    out = tempfile.mkdtemp(prefix="engine_zlayout_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    (
+        li.withColumn("zvalue", F.expr(_ZLAYOUT_EXPR))
+        .repartitionByRange(16, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        (F.col("l_orderkey") <= 2048) & (F.col("l_partkey") <= 1024)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("sum_price_cents"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.max("l_partkey").alias("max_partkey"),
+    )
