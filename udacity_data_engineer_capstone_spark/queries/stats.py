@@ -1095,3 +1095,84 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and outputs land as floor-scaled BIGINTs."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_moments_sql("DECIMAL(38,0)"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent fit: log-log OLS over the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_FIT_K = 256  # head ranks to fit over
+
+# Quantize each ln() term to integer micro-units BEFORE summing
+# (stat_chi2/token_entropy discipline): the per-term floor makes the
+# 256-term sums fold-order-exact; the OLS closed form then runs on
+# doubles cast from those exact integers. Headroom: |xq| ≤ ln(256)·1e6
+# ≈ 5.5e6, |yq| ≤ ln(1e12)·1e6 ≈ 2.8e7, so Σxq·yq ≤ 256·1.6e14 ≈ 4e16
+# — inside int64 with ~200× headroom.
+
+
+def _zipf_fit_sql(split_toks: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT t AS tok FROM {split_toks}
+  WHERE t <> ''
+),
+freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+  FROM freq
+),
+head AS (
+  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+  FROM ranked WHERE rk <= {_ZIPF_FIT_K}
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM head
+)
+SELECT m AS n_ranks,
+       CAST(floor(
+         -(CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * 1000000
+       ) AS BIGINT) AS alpha_ppm,
+       CAST(floor(
+         CAST(sy AS DOUBLE) / m
+         - (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           * (CAST(sx AS DOUBLE) / m)
+       ) AS BIGINT) AS ln_c_micro
+FROM sums
+"""
+
+
+_ZIPF_FIT_ORACLE = _zipf_fit_sql(
+    r"documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS u(t)"
+)
+
+
+@query("stat_zipf_alpha", oracle=_ZIPF_FIT_ORACLE, tags=("stats", "text"))
+def stat_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent fit: OLS of ln(freq) on ln(rank) over the top-256
+    token ranks — the one-number language-health check (natural text
+    sits near α ≈ 1; α drifting low flags boilerplate/templated
+    contamination; cf. the raw head profile in ``text_zipf_ranks``).
+
+    Scale shape: token counting is the vocabulary-width partial+final
+    aggregate; rank selection is a global top-k; the fit itself runs on
+    a CONSTANT 256-row frame with exact integer-quantized log terms, so
+    both the sums and the closed-form α are bit-identical cross-engine.
+    """
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _zipf_fit_sql(
+            r"(SELECT explode(split(lower(text), '\\s+')) AS t FROM documents)"
+        )
+    )
