@@ -21,7 +21,7 @@ engines' differing ``round()`` tie policies. The norm is reported as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table_scaled
@@ -398,4 +398,138 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").alias("min_cos"),
             F.max("c").alias("max_cos"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style centroid pruning
+# ---------------------------------------------------------------------------
+
+# All-integer cosine gate at tau = 0.3, compared as
+# 100·num² ≥ 9·|v|²·|c|²  (0.3² = 9/100) — exact rational, no sqrt.
+# (tau is one constant: the synthetic test embeddings are diffuse — max
+# centroid cosine ≈ 0.46 — so 0.3 exercises both branches; production
+# SemDeDup on L2-normalized model embeddings runs the same gate at
+# ≈0.95, i.e. 400·num² ≥ 361·|v|²·|c|², still inside int64.)
+# Quantization is milli-units (|xq| ≤ 1000 for unit-scale embeddings):
+# num ≤ 64e6, so 400·num² ≤ 1.6e18 and 361·|v|²·|c|² ≤ 1.5e18 — both
+# inside int64. The centroid element is floor(mean) in DOUBLE (exact
+# below 2^53, and floor — not DIV — because sums go negative and
+# truncation semantics differ between engines).
+
+_SEMDEDUP_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS xq,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+sums AS (
+  SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, dim
+),
+cent AS (
+  SELECT label, dim,
+         CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+  FROM sums
+),
+normc AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS nc FROM cent GROUP BY label),
+pv AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(e.xq * c.c) AS BIGINT) AS num,
+         CAST(SUM(e.xq * e.xq) AS BIGINT) AS nv
+  FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+  GROUP BY e.vec_id, e.label
+),
+flags AS (
+  SELECT p.vec_id, p.label, p.num,
+         CAST(p.num > 0 AND 100 * p.num * p.num >= 9 * p.nv * n2.nc
+              AS BOOLEAN) AS near
+  FROM pv p JOIN normc n2 ON n2.label = p.label
+),
+rep AS (
+  SELECT label, MIN(CASE WHEN near THEN vec_id END) AS min_near
+  FROM flags GROUP BY label
+)
+SELECT f.vec_id, f.label, f.num AS cos_num_q, f.near,
+       CAST((NOT f.near) OR f.vec_id = r.min_near AS BOOLEAN) AS keep
+FROM flags f JOIN rep r ON r.label = f.label
+"""
+
+
+@query(
+    "curate_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("curation", "embedding", "dedup"),
+)
+def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): inside each
+    embedding cluster (label), vectors whose cosine to the cluster
+    centroid clears τ (0.3 here; see gate note) are semantic near-duplicates of the cluster
+    core — keep one representative (min vec_id) and drop the rest;
+    peripheral vectors all survive. The cheap high-recall companion to
+    pairwise `dedup_embedding_cosine` when clusters are already known.
+
+    Scale shape: the centroid build is the `emb_label_centroids`
+    partial-aggregated (label, dim) shuffle; scoring joins each
+    exploded vector against the broadcast-sized centroid table
+    (|labels|·64 rows) and re-aggregates per vec_id — two map-side-
+    combining passes, no pairwise joins anywhere. The cosine gate is
+    exact integer arithmetic (milli-quantized, τ² as an integer rational), so
+    the keep/drop decisions are bit-identical cross-engine."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            )
+        ).alias("dim", "xq"),
+    ).select("vec_id", "label", F.col("dim").cast("long").alias("dim"), "xq")
+    sums = ex.groupBy("label", "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = sums.select(
+        "label",
+        "dim",
+        F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("c"),
+    )
+    normc = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("nc"))
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xq") * F.col("c")).alias("num"),
+            F.sum(F.col("xq") * F.col("xq")).alias("nv"),
+        )
+    )
+    flags = pv.join(F.broadcast(normc), "label").select(
+        "vec_id",
+        "label",
+        F.col("num").alias("cos_num_q"),
+        (
+            (F.col("num") > 0)
+            & (
+                F.lit(100) * F.col("num") * F.col("num")
+                >= F.lit(9) * F.col("nv") * F.col("nc")
+            )
+        ).alias("near"),
+    )
+    w = Window.partitionBy("label")
+    return flags.select(
+        "vec_id",
+        "label",
+        "cos_num_q",
+        "near",
+        (
+            (~F.col("near"))
+            | (
+                F.col("vec_id")
+                == F.min(F.when(F.col("near"), F.col("vec_id"))).over(w)
+            )
+        ).alias("keep"),
     )
