@@ -549,3 +549,70 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.expr(f"listagg({_SAX_CASE}, '') WITHIN GROUP (ORDER BY frame)").alias("sax"),
     )
+
+
+# --- rolling median smoother ----------------------------------------------
+
+_ROLLMED_ORACLE = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+framed AS (
+  SELECT event_type, bucket, sum_cents,
+         list_sort(array_agg(sum_cents)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+  FROM buckets
+)
+SELECT event_type, bucket, sum_cents,
+       CAST(arr[(len(arr) + 1) // 2] AS BIGINT) AS rolling_median_cents
+FROM framed
+"""
+
+
+@query("ts_rolling_median", oracle=_ROLLMED_ORACLE, tags=("timeseries", "window"))
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-bucket median of the hourly value series per event
+    type — the outlier-proof smoother (one wild hour cannot move it,
+    unlike the rolling mean) used to de-spike telemetry before
+    thresholding. Median = lower-middle element of the sorted frame
+    (odd interior frames have a true middle; the truncated edge frames
+    take the lower median) — pure integer selection, no averaging, so
+    both engines agree exactly.
+
+    Scale shape: one corpus-sized hash aggregate builds the buckets;
+    the window then slides over the calendar-bounded bucket table with
+    a constant 7-element frame — O(1) state per row, partitioned by
+    event_type. The collect-sort of 7 BIGINTs per row is constant work;
+    for wide frames swap in a treap/two-heap pandas UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "sum_cents"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-3, 3)
+    )
+    framed = buckets.select(
+        "event_type",
+        "bucket",
+        "sum_cents",
+        F.sort_array(F.collect_list("sum_cents").over(w)).alias("arr"),
+    )
+    return framed.select(
+        "event_type",
+        "bucket",
+        "sum_cents",
+        F.expr("CAST(arr[(size(arr) + 1) DIV 2 - 1] AS BIGINT)").alias(
+            "rolling_median_cents"
+        ),
+    )
