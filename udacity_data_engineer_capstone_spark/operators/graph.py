@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 ITERS = 6
@@ -642,3 +642,72 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# modularity of a labeled partition
+# ---------------------------------------------------------------------------
+
+# One SQL text for both engines: every quantity is an exact integer
+# count (m, within-community edges e_c, degree sums d_c); the Newman
+# modularity contribution q_c = e_c/m − (d_c/2m)² is evaluated once in
+# doubles from those exact integers, floor-scaled to ppm. Headroom: the
+# numerator products ride in DOUBLE (exact below 2^53 ≈ 9e15 for m up
+# to ~3e7 edges; beyond that, pre-reduce by gcd or emit the integer
+# numerator 4·m·e_c − d_c² and denominator 4·m² separately).
+_MODULARITY_SQL = """
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT cn.c_nationkey AS cnat, sn.s_nationkey AS snat
+  FROM raw r
+  JOIN customer cn ON cn.c_custkey = r.c
+  JOIN supplier sn ON sn.s_suppkey = r.s
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+within AS (
+  SELECT cnat AS nat, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM e WHERE cnat = snat GROUP BY cnat
+),
+deg AS (
+  SELECT nat, CAST(SUM(d) AS BIGINT) AS d_c
+  FROM (
+    SELECT cnat AS nat, COUNT(*) AS d FROM e GROUP BY cnat
+    UNION ALL
+    SELECT snat AS nat, COUNT(*) AS d FROM e GROUP BY snat
+  ) both_ends
+  GROUP BY nat
+)
+SELECT d.nat AS community,
+       COALESCE(w.e_c, 0) AS within_edges,
+       d.d_c AS degree_sum,
+       m.m AS m_edges,
+       CAST(floor(
+         (4.0 * m.m * COALESCE(w.e_c, 0) - CAST(d.d_c AS DOUBLE) * d.d_c)
+         / (4.0 * m.m * m.m) * 1000000
+       ) AS BIGINT) AS q_contrib_ppm
+FROM deg d CROSS JOIN m
+LEFT JOIN within w ON w.nat = d.nat
+"""
+
+
+@query("graph_modularity", oracle=_MODULARITY_SQL, tags=("graph", "agg"))
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the
+    customer–supplier order graph: per community, the within-community
+    edge share minus the degree-based null expectation — the standard
+    'is this community structure real?' score (Σ q_c > 0 means nations
+    trade internally more than a random degree-preserving rewiring
+    would). Evaluating a GIVEN labeling is the verification half of
+    community detection, and unlike Louvain it is fully distributive:
+    one edge-dedup shuffle, two hash aggregates, a broadcast scalar m.
+
+    Scale shape: the corpus-sized stage is the DISTINCT over
+    (custkey, suppkey) — one hash-width shuffle; everything after runs
+    on |nations| rows. No iteration, no driver collect."""
+    register_views(
+        spark, sf_dir, ("orders", "lineitem", "customer", "supplier")
+    )
+    return spark.sql(_MODULARITY_SQL)
