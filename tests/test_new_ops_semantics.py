@@ -1,0 +1,157 @@
+"""Hand-computed semantic checks for the seventh/eighth-wave operators.
+
+Oracle parity (test_oracle_parity) proves Spark ≡ DuckDB on the shared
+SQL; these pin the *intended semantics* on tiny crafted fixtures, so an
+equivalent bug written into both engine and oracle text cannot hide.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import udacity_data_engineer_capstone_spark as engine
+
+engine.load_all()
+
+_TS0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _mins(m):
+    return _TS0 + dt.timedelta(minutes=m)
+
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(spark):
+    """A tiny sf-dir with hand-written events + embeddings parquet."""
+    out = tempfile.mkdtemp(prefix="engine_crafted_")
+    events = [
+        # user 1: click @0, purchase @5, click @7  -> nearest is +2min fwd
+        Row(event_id=1, ts=_mins(0), user_id=1, event_type="click",
+            value=1.0, props="{}"),
+        Row(event_id=2, ts=_mins(5), user_id=1, event_type="purchase",
+            value=2.0, props="{}"),
+        Row(event_id=3, ts=_mins(7), user_id=1, event_type="click",
+            value=3.0, props="{}"),
+        # user 2: click @0, purchase @4, click @8 -> tie, prefer backward
+        Row(event_id=4, ts=_mins(0), user_id=2, event_type="click",
+            value=1.0, props="{}"),
+        Row(event_id=5, ts=_mins(4), user_id=2, event_type="purchase",
+            value=2.0, props="{}"),
+        Row(event_id=6, ts=_mins(8), user_id=2, event_type="click",
+            value=3.0, props="{}"),
+        # user 3: purchase with no clicks at all -> NULLs
+        Row(event_id=7, ts=_mins(1), user_id=3, event_type="purchase",
+            value=2.0, props="{}"),
+    ]
+    spark.createDataFrame(events, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.99, 0.01, 0.0, 0.0]   # near-duplicate of e1 direction
+    e3 = [0.0, 1.0, 0.0, 0.0]     # orthogonal
+    vecs = [
+        Row(vec_id=10, embedding=e1, label=0),
+        Row(vec_id=11, embedding=e2, label=0),
+        Row(vec_id=12, embedding=e3, label=0),
+    ]
+    spark.createDataFrame(vecs, emb_schema).coalesce(1).write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_asof_nearest_directions(spark, crafted_dir):
+    rows = {
+        r.purchase_id: r
+        for r in engine.QUERIES["join_asof_nearest"].fn(spark, crafted_dir).collect()
+    }
+    assert set(rows) == {2, 5, 7}
+    # user 1: forward click at +2min beats backward at -5min
+    assert rows[2].direction == "f"
+    assert rows[2].nearest_click_ts == _mins(7)
+    assert rows[2].gap_us == 2 * 60 * 1_000_000
+    # user 2: 4min both ways -> tie goes backward
+    assert rows[5].direction == "b"
+    assert rows[5].nearest_click_ts == _mins(0)
+    assert rows[5].gap_us == 4 * 60 * 1_000_000
+    # user 3: no clicks
+    assert rows[7].direction is None
+    assert rows[7].nearest_click_ts is None and rows[7].gap_us is None
+
+
+def test_semdedup_collapses_near_duplicates(spark, crafted_dir):
+    # centroid of {e1, e2, e3} points mostly along (x+y); e1/e2 sit
+    # ~45 deg away (cos ~ 0.72 > 0.3 gate) as does e3 -> all 'near',
+    # exactly one representative (min vec_id 10) kept.
+    rows = {
+        r.vec_id: r
+        for r in engine.QUERIES["curate_semdedup"].fn(spark, crafted_dir).collect()
+    }
+    assert set(rows) == {10, 11, 12}
+    near = {v for v, r in rows.items() if r.near}
+    kept = {v for v, r in rows.items() if r.keep}
+    assert near == {10, 11, 12}
+    assert kept == {10}
+
+
+def test_theil_sen_exact_slope_on_linear_series(spark, crafted_dir):
+    # user events across distinct hours with linearly increasing value:
+    # build a dedicated dir — value = 100 + 60*k cents at hour k.
+    out = tempfile.mkdtemp(prefix="engine_ts_lin_")
+    events = [
+        Row(event_id=k, ts=_TS0 + dt.timedelta(hours=k), user_id=1,
+            event_type="lin", value=1.0 + 0.6 * k, props="{}")
+        for k in range(6)
+    ]
+    spark.createDataFrame(events, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    [r] = engine.QUERIES["ts_theil_sen"].fn(spark, out).collect()
+    assert r.event_type == "lin"
+    assert r.n_pairs == 15
+    # exact slope 60 cents/hour -> 60_000_000 microcents/hour
+    assert r.slope_microcents_per_hour == 60_000_000
+
+
+def test_rolling_median_rejects_single_spike(spark, crafted_dir):
+    out = tempfile.mkdtemp(prefix="engine_ts_med_")
+    vals = [1.0, 1.0, 1.0, 99.0, 1.0, 1.0, 1.0]
+    events = [
+        Row(event_id=k, ts=_TS0 + dt.timedelta(hours=k), user_id=1,
+            event_type="spiky", value=vals[k], props="{}")
+        for k in range(7)
+    ]
+    spark.createDataFrame(events, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    rows = engine.QUERIES["ts_rolling_median"].fn(spark, out).collect()
+    # the spike hour's own rolling median must be the background level
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    assert by_bucket[3].sum_cents == 9900
+    assert all(r.rolling_median_cents == 100 for r in rows)
