@@ -632,3 +632,108 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("price_cents") / F.lit(100.0)).alias("o_totalprice"),
         F.col("last_seq").cast("int").alias("last_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator #2: per-user integer EWMA across micro-batches
+# ---------------------------------------------------------------------------
+
+# Infinite-horizon EWMA with alpha = 1/2 kept EXACT in integer cents:
+# level_0 = cents_0, level_k = (cents_k + level_{k-1}) DIV 2. The fold
+# is sequential by construction — precisely the thing the stateless
+# engine can't express and applyInPandasWithState exists for. The
+# DuckDB oracle replays the identical fold with list_reduce over the
+# per-user (ts, event_id)-ordered cents array; (user_id, ts) pairs are
+# unique in the testdata, so the fold order is total and both engines
+# agree bit-for-bit.
+
+_EWMA_STATE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+arr AS (
+  SELECT user_id,
+         array_agg(cents ORDER BY ts, event_id) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM seq GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(xs[len(xs)] AS BIGINT) AS last_cents,
+       CAST(list_reduce(xs, (acc, x) -> (x + acc) // 2) AS BIGINT)
+         AS level_cents
+FROM arr
+"""
+
+
+@query(
+    "stream_ewma_state",
+    oracle=_EWMA_STATE_ORACLE,
+    tags=("streaming", "stateful", "timeseries"),
+)
+def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EWMA maintained as custom streaming state: each
+    micro-batch folds its (ts, event_id)-sorted cents into the user's
+    level with exact integer halving — the always-hot smoothed metric a
+    fraud/anomaly consumer reads between batches. Second
+    ``applyInPandasWithState`` operator beside ``stream_cdc_apply``,
+    showing cross-batch *numeric* state, not just last-writer-wins.
+
+    Scale shape: state is three integers per user (bounded by user
+    cardinality); each micro-batch shuffles only its own users. The
+    event-time-ordered file staging (see ``stage_events_dir``) is what
+    makes the sequential fold well-defined across batches — the same
+    append-ordered-log contract the CDC stream relies on. The memory
+    sink + max_by collapse is the test drain; production would emit
+    update-mode rows straight to a keyed store."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, level, last_cents = state.get
+        else:
+            n, level, last_cents = 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            import numpy as np
+
+            cents_arr = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+            ).astype("int64")
+            for c in cents_arr:
+                c = int(c)
+                level = c if n == 0 else (c + level) // 2
+                n += 1
+                last_cents = c
+        state.update((n, level, last_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_cents": [last_cents],
+                "level_cents": [level],
+            }
+        )
+
+    src = stage_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    folded = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, last_cents long, level_cents long"
+        ),
+        stateStructType="n long, level long, last_cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(folded, output_mode="update")
+    # n_events strictly increases per update; max_by picks the final fold
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("last_cents", "n_events").alias("last_cents"),
+        F.max_by("level_cents", "n_events").alias("level_cents"),
+    )
