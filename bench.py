@@ -86,6 +86,8 @@ HEADLINE = [
     "agg_theta_sketch_setops",    # bottom-k theta union/intersect estimates
     "text_vocab_overlap",         # source-pair vocabulary Jaccard matrix
     "stat_skew_kurtosis",         # mergeable moment sketch (n..Σx⁴)
+    "curate_semdedup",            # SemDeDup centroid pruning
+    "stream_ewma_state",          # cross-batch stateful integer EWMA
 ]
 
 
