@@ -504,3 +504,19 @@ def test_zorder_layout_files_mostly_skippable(spark):
             skippable += 1
     assert len(files) >= 8, files
     assert skippable >= len(files) // 2, (skippable, len(files))
+
+
+def test_semdedup_broadcasts_centroids_no_python(spark, sf_dir):
+    """curate_semdedup scores via the broadcast centroid table and
+    stays entirely JVM-side — no pairwise joins, no Python eval."""
+    df = Q["curate_semdedup"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert_not_in_plan(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_modularity_single_edge_dedup_shuffle(spark, sf_dir):
+    """graph_modularity's corpus-sized stage is the DISTINCT edge
+    dedup; the community math must not add Python eval or cartesians."""
+    df = Q["graph_modularity"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
