@@ -5,6 +5,7 @@ statistics. Registered with oracles like everything else.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1010,4 +1011,59 @@ def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_orderkey"),
         F.max("l_orderkey").alias("max_orderkey"),
         F.max("l_partkey").alias("max_partkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# raw binary-file source (spark.read.format("binaryFile"))
+# ---------------------------------------------------------------------------
+
+# SF-independent committed fixture blobs (chained-md5 byte streams, not
+# valid UTF-8 — generated by the loop documented in
+# tests/test_reference_artifacts.py's sibling docstring): the raw-bytes
+# ingestion path a multimodal corpus starts from, before any parquet
+# exists. Digest is md5(hex(content)) because DuckDB's md5 takes
+# VARCHAR only — hex() of BLOB/BINARY is uppercase in both engines, so
+# the digest text matches bit-for-bit.
+_BIN_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sources",
+    "fixtures",
+    "bin",
+)
+
+_BINARY_FILES_ORACLE = f"""
+SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+       CAST(octet_length(content) AS BIGINT) AS n_bytes,
+       md5(hex(content)) AS digest
+FROM read_blob('{_BIN_FIXTURE_DIR}/*.bin')
+"""
+
+
+@query("src_binary_files", oracle=_BINARY_FILES_ORACLE, tags=("source", "multimodal"))
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-file ingestion via Spark's ``binaryFile`` data source
+    — the step zero of a multimodal pipeline: crawl output (images,
+    audio, arbitrary blobs) lands as files; this source turns a
+    directory into (path, length, content) rows that the ``mm_*``
+    operators then process as binary columns. Excludes
+    ``modificationTime`` (host-dependent); emits the stable identity
+    (basename, byte length, content digest).
+
+    Scale shape: binaryFile is a standard FileScan — file listing
+    parallelizes, each file is one row in one task, and
+    ``spark.sql.files.maxPartitionBytes`` packs small blobs into
+    shared tasks. For billions of small objects, the production move is
+    exactly what the rest of the repo demonstrates: one pass through
+    this source into parquet binary columns (``mm_binary_meta``), then
+    all downstream work reads the columnar form."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(_BIN_FIXTURE_DIR)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("digest"),
     )
