@@ -974,3 +974,72 @@ def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (t, kind, delta) total order, ends first."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CONCURRENCY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU rolling active users
+# ---------------------------------------------------------------------------
+
+_ACTIVES_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+bounds AS (SELECT MAX(d) AS max_d FROM days),
+expanded AS (
+  SELECT dy.user_id, dy.d + CAST(o AS INT) AS wend, CAST(o AS INT) AS o
+  FROM days dy, unnest(range(0, 28)) AS u(o)
+)
+SELECT e.wend AS day,
+       CAST(COUNT(DISTINCT CASE WHEN e.o = 0 THEN e.user_id END) AS BIGINT)
+         AS dau,
+       CAST(COUNT(DISTINCT CASE WHEN e.o <= 6 THEN e.user_id END) AS BIGINT)
+         AS wau,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau
+FROM expanded e CROSS JOIN bounds b
+WHERE e.wend <= b.max_d
+GROUP BY e.wend
+"""
+
+
+@query("evt_dau_wau_mau", oracle=_ACTIVES_ORACLE, tags=("events", "agg"))
+def evt_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts — DAU, trailing-7-day WAU and
+    trailing-28-day MAU per calendar day, the canonical engagement
+    dashboard triple, computed EXACTLY (no sketch) by the offset-
+    expansion trick: each distinct (user, day) activity contributes to
+    the 28 window-ends it falls inside, and one conditional
+    COUNT(DISTINCT) per horizon reads all three off a single expansion.
+
+    Scale shape: the corpus-sized stage is the DISTINCT down to
+    (user, active-day) — the standard activity compression, shuffling
+    id-width rows with map-side partials. The ×28 expansion then grows
+    with |active pairs|, not events, and the final aggregate shuffles
+    per (day, user) once. For ad-hoc horizons or sketch-sized state,
+    swap the exact distinct for the theta/HLL sketches
+    (`agg_theta_sketch_setops`, `agg_hll_partitioned`) — same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    max_d = days.agg(F.max("d").alias("max_d"))
+    expanded = days.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+    ).select(
+        "user_id", F.expr("date_add(d, o)").alias("wend"), "o"
+    )
+    return (
+        expanded.join(F.broadcast(max_d), F.col("wend") <= F.col("max_d"))
+        .groupBy(F.col("wend").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("o") <= 6, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+    )
