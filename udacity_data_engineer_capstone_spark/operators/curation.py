@@ -831,3 +831,83 @@ def curate_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled token-budget allocation (largest-remainder rounding)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_TEMP = 0.7  # weight = tokens^0.7 — upsamples the tail like mT5/ROOTS
+
+_TOKEN_BUDGET_ORACLE = rf"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+           AS tokens_s
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, tokens_s,
+         CAST(floor(pow(CAST(tokens_s AS DOUBLE), {_BUDGET_TEMP}) * 1000000)
+              AS BIGINT) AS wq
+  FROM tok
+),
+tw AS (SELECT CAST(SUM(wq) AS BIGINT) AS sw FROM w),
+quota AS (
+  SELECT w.source, w.tokens_s, w.wq,
+         CAST({_BUDGET_TOKENS} AS DOUBLE) * w.wq / t.sw AS q
+  FROM w CROSS JOIN tw t
+),
+base AS (
+  SELECT source, tokens_s, wq, q,
+         CAST(floor(q) AS BIGINT) AS base_alloc,
+         q - floor(q) AS rem
+  FROM quota
+),
+leftover AS (
+  SELECT CAST({_BUDGET_TOKENS} - SUM(base_alloc) AS BIGINT) AS l FROM base
+),
+ranked AS (
+  SELECT b.*, l.l,
+         ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source) AS rk
+  FROM base b CROSS JOIN leftover l
+)
+SELECT source, tokens_s,
+       CAST(base_alloc + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens,
+       CAST(floor(
+         CAST(base_alloc + CASE WHEN rk <= l THEN 1 ELSE 0 END AS DOUBLE)
+         * 1000000 / tokens_s
+       ) AS BIGINT) AS sample_rate_ppm
+FROM ranked
+"""
+
+
+@query(
+    "curate_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("curation", "pipeline"),
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled token-budget allocation across sources: each
+    source gets budget ∝ tokens^0.7 (the mT5/ROOTS-style tail upsample;
+    contrast the explicit target shares of ``curate_mixture_weights``),
+    rounded to integers by the largest-remainder method so allocations
+    sum EXACTLY to the budget — the arithmetic a mixture config
+    generator runs before a training-data build.
+
+    Determinism: per-source token counts are exact BIGINTs; the
+    temperature weight is floor-quantized to micro-units before the
+    (exact) weight sum, so every later double is the same op tree in
+    both engines; the +1 bonuses follow a total order (remainder desc,
+    source asc). Scale shape: one corpus-sized token-count aggregate;
+    everything after runs on |sources| rows with a broadcast scalar
+    total."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _TOKEN_BUDGET_ORACLE.replace(
+            "len(regexp_split_to_array(text, '\\s+'))",
+            "size(split(text, '\\\\s+'))",
+        )
+    )
