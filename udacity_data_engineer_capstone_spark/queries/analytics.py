@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -668,4 +668,102 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(prefer_back, back_gap)
         .otherwise(fwd_gap)
         .alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyset (seek) pagination
+# ---------------------------------------------------------------------------
+
+# Cursor = the last row of the previous page in (o_orderdate, o_orderkey)
+# order — a constant here, exactly how a real API passes it back.
+_PAGE_SIZE = 50
+_CURSOR_DATE = "TIMESTAMP '1995-06-01 00:00:00'"
+_CURSOR_KEY = 0
+
+_KEYSET_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents
+FROM orders
+WHERE (o_orderdate > {_CURSOR_DATE})
+   OR (o_orderdate = {_CURSOR_DATE} AND o_orderkey > {_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_SIZE}
+"""
+
+
+@query("ord_keyset_pagination", oracle=_KEYSET_SQL, tags=("order", "limit"))
+def ord_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: the next page after a cursor in total
+    (o_orderdate, o_orderkey) order — the ONLY pagination pattern that
+    survives scale. OFFSET n walks and discards n rows on every page
+    (O(pages²) total work and unstable under concurrent inserts);
+    the keyset predicate instead prunes at the scan (min/max row-group
+    stats on o_orderdate skip everything before the cursor) and the
+    ORDER BY + LIMIT plans as TakeOrderedAndProject — per-partition
+    top-k, driver merge of k·partitions rows, no global sort.
+    One SQL text, both engines; price rides as exact integer cents."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_KEYSET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join
+# ---------------------------------------------------------------------------
+
+# A nullable join key: clerk badge number goes NULL for one cohort
+# (deterministic o_orderkey gate). Plain `=` drops every NULL pair;
+# `<=>` / IS NOT DISTINCT FROM matches NULL with NULL — the semantic a
+# dedup on nullable business keys needs.
+_NULLSAFE_ORACLE = """
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE o_custkey % 100 END AS badge
+  FROM orders
+),
+dim AS (
+  SELECT DISTINCT badge FROM keyed
+)
+SELECT COALESCE(CAST(d.badge AS BIGINT), -1) AS badge_or_null,
+       CAST(COUNT(k.o_orderkey) AS BIGINT) AS n_orders
+FROM dim d
+JOIN keyed k ON k.badge IS NOT DISTINCT FROM d.badge
+GROUP BY d.badge
+"""
+
+
+@query("join_null_safe_eq", oracle=_NULLSAFE_ORACLE, tags=("join",))
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ≙ IS NOT DISTINCT FROM): the NULL
+    badge cohort joins to the NULL dim row instead of vanishing — the
+    correct behavior when the join key is a nullable business attribute
+    (plain `=` silently drops those rows; an unnoticed row-loss bug in
+    real pipelines). Spark plans `<=>` as a hash join on the
+    null-tolerant key (NULL hashes to one bucket), so this stays an
+    equi-join, not a nested loop; with a skewed NULL cohort, salt the
+    NULL bucket like any hot key (`join_salted_skew`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("badge"),
+    )
+    dim = keyed.select("badge").distinct()
+    return (
+        dim.alias("d")
+        .join(
+            keyed.alias("k"),
+            F.col("k.badge").eqNullSafe(F.col("d.badge")),
+        )
+        .groupBy(F.col("d.badge").alias("badge"))
+        .agg(F.count("k.o_orderkey").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("badge").cast("long"), F.lit(-1)).alias(
+                "badge_or_null"
+            ),
+            "n_orders",
+        )
     )
