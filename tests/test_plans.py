@@ -520,3 +520,19 @@ def test_modularity_single_edge_dedup_shuffle(spark, sf_dir):
     dedup; the community math must not add Python eval or cartesians."""
     df = Q["graph_modularity"].fn(spark, sf_dir)
     assert_not_in_plan(df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_keyset_pagination_take_ordered_and_pushed(spark, sf_dir):
+    """ord_keyset_pagination must plan as TakeOrderedAndProject (no
+    global sort) with the cursor predicate pushed to the parquet scan."""
+    df = Q["ord_keyset_pagination"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "TakeOrderedAndProject" in text, text
+    assert "PushedFilters: [" in text and "o_orderdate" in text.split("PushedFilters")[1][:300], text
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """join_null_safe_eq's <=> key must plan as a hash/sort-merge
+    equi-join — NULL-tolerant hashing, never a nested loop."""
+    df = Q["join_null_safe_eq"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
