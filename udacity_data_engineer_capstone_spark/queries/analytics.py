@@ -767,3 +767,42 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic surrogate-key minting
+# ---------------------------------------------------------------------------
+
+# UUID-shaped key from the md5 of the pipe-joined natural key — the
+# idempotent alternative to monotonically_increasing_id()/sequences:
+# re-running the pipeline (or running it on two clusters) mints the
+# SAME key for the same business row, which is what makes incremental
+# MERGEs and cross-system joins stable. One SQL text, both engines.
+_SURROGATE_SQL = """
+SELECT c_custkey,
+       concat(
+         substring(h, 1, 8), '-', substring(h, 9, 4), '-',
+         substring(h, 13, 4), '-', substring(h, 17, 4), '-',
+         substring(h, 21, 12)
+       ) AS customer_sk,
+       h AS key_md5
+FROM (
+  SELECT c_custkey,
+         md5(concat(CAST(c_custkey AS STRING), '|', c_name, '|',
+                    CAST(c_nationkey AS STRING))) AS h
+  FROM customer
+) hashed
+"""
+
+
+@query("fn_surrogate_key", oracle=_SURROGATE_SQL, tags=("scalar", "warehouse"))
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic UUID-shaped surrogate keys minted from the natural
+    key (md5 of the pipe-joined business columns). Unlike
+    ``monotonically_increasing_id()`` (partition-layout-dependent) or a
+    sequence (single point of coordination), content-derived keys are
+    idempotent across reruns and clusters — a pure codegen'd projection
+    with zero shuffle and zero state at any scale. The '|' delimiter
+    prevents ('ab','c') / ('a','bc') collisions."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SURROGATE_SQL)
