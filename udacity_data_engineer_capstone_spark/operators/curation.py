@@ -911,3 +911,167 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(split(text, '\\\\s+'))",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# raw document by how much its hashed unigram features look like a
+# TARGET distribution (here: the English slice) vs the RAW corpus, then
+# keep the top-scoring docs. Features hash into _DSIR_BUCKETS buckets
+# via md5 (engine-neutral, like the KMV/theta sketches); the per-bucket
+# log-likelihood ratio is quantized to micro-units BEFORE the per-doc
+# sum (the suite's quantize-then-sum discipline), so doc scores are
+# exact fold-order-independent BIGINTs. Headroom: |lr_micro| <= ~3.5e7,
+# tf per doc <= doc length, so doc sums stay < 1e12 — int64-safe.
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket(pos_fn: str) -> str:
+    h = "md5(concat('dsir:', term))"
+    hv1 = f"({pos_fn}('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    hv2 = f"({pos_fn}('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    return f"CAST({hv1} * 16 + {hv2} AS BIGINT)"
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, u.term
+  FROM (SELECT doc_id, lang,
+               string_split_regex(lower(text), '\\s+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS term) u
+  WHERE u.term <> ''
+),
+bmap AS (
+  SELECT term, {_dsir_bucket("strpos")} AS bucket
+  FROM (SELECT DISTINCT term FROM toks)
+),
+feats AS (
+  SELECT t.doc_id, t.lang, b.bucket, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN bmap b USING (term)
+  GROUP BY t.doc_id, t.lang, b.bucket
+),
+bucket_counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN tf ELSE 0 END)
+           AS BIGINT) AS tgt_b,
+         CAST(SUM(tf) AS BIGINT) AS raw_b
+  FROM feats GROUP BY bucket
+),
+totals AS (
+  SELECT CAST(SUM(tgt_b) AS BIGINT) AS tgt_tot,
+         CAST(SUM(raw_b) AS BIGINT) AS raw_tot
+  FROM bucket_counts
+),
+lr AS (
+  SELECT bucket,
+         CAST(floor((ln(CAST(tgt_b + 1 AS DOUBLE))
+                     - ln(CAST(tgt_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                     - ln(CAST(raw_b + 1 AS DOUBLE))
+                     + ln(CAST(raw_tot + {_DSIR_BUCKETS} AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS lr_micro
+  FROM bucket_counts CROSS JOIN totals
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.tf * lr.lr_micro) AS BIGINT) AS dsir_score_micro
+  FROM feats f JOIN lr USING (bucket)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, dsir_score_micro,
+       CAST(rk AS INT) AS dsir_rank,
+       rk <= {_DSIR_TOPK} AS selected
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score_micro DESC, doc_id)
+                  AS rk
+      FROM scored)
+"""
+
+
+@query("curate_dsir", oracle=_DSIR_ORACLE, tags=("pipeline", "text", "sketch"))
+def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score each document by the hashed-unigram
+    log-likelihood ratio between the target slice (lang = 'en') and the
+    raw corpus, rank, and mark the top selection — the published recipe
+    for "give me web data that looks like my high-quality target" at
+    pretraining scale.
+
+    Scale shape: the corpus-sized stages are the token explode and one
+    (doc, bucket) hash aggregate whose fan-in is bounded by 256 buckets
+    per doc; the bucket model is 256 rows (broadcast back onto the
+    stream), totals are one scalar. The global selection window is the
+    only stage that is corpus-ranked — at 100 TB replace it with a
+    score THRESHOLD chosen from a sampled quantile (same selection, no
+    global sort), which this operator's rank output calibrates.
+
+    Determinism: md5 feature hashing (no engine-private hash), exact
+    integer tf lanes, per-bucket micro-quantized ln ratios summed as
+    BIGINTs (headroom note above)."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    bmap = (
+        toks.select("term")
+        .distinct()
+        .select("term", F.expr(_dsir_bucket("instr")).alias("bucket"))
+    )
+    feats = (
+        toks.join(F.broadcast(bmap), "term")
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bucket_counts = feats.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tgt_b"),
+        F.sum("tf").alias("raw_b"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("tgt_b").alias("tgt_tot"), F.sum("raw_b").alias("raw_tot")
+    )
+    lr = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("tgt_b") + 1).cast("double"))
+                - F.log((F.col("tgt_tot") + _DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("raw_b") + 1).cast("double"))
+                + F.log((F.col("raw_tot") + _DSIR_BUCKETS).cast("double"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro")).alias("dsir_score_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_score_micro",
+            F.col("rk").cast("int").alias("dsir_rank"),
+            (F.col("rk") <= _DSIR_TOPK).alias("selected"),
+        )
+    )

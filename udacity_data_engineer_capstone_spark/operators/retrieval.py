@@ -433,3 +433,142 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.levenshtein("w1", "w2") == 1)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+# RRF (Cormack et al.): fused(d) = sum over rankers of 1/(60 + rank_d).
+# Contributions are exact integers (1e6 // (60+rank)) so the fusion is
+# fold-order-independent; candidate lists only contain docs matching a
+# query term, so every stage past the token scan is query-bounded.
+_RRF_K = 60
+_RRF_TOPN = 20
+
+_RRF_ORACLE = f"""
+WITH bm AS (
+  SELECT * FROM ({_BM25_ORACLE}) _bm
+),
+ti AS (
+  WITH {_TOKENS_CTE},
+  tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tokens WHERE term IN {_BM25_TERMS!r}
+    GROUP BY doc_id, term
+  ),
+  df AS (
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tokens WHERE term IN {_BM25_TERMS!r}
+    GROUP BY term
+  ),
+  n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tokens)
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                             * {_MICRO}) AS BIGINT)) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+),
+ra AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+  FROM bm
+),
+rb AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY tfidf_micro DESC, doc_id) AS rk
+  FROM ti
+),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE({_MICRO} // ({_RRF_K} + a.rk), 0)
+              + COALESCE({_MICRO} // ({_RRF_K} + b.rk), 0) AS BIGINT)
+           AS rrf_micro,
+         CAST(a.rk AS INT) AS bm25_rank,
+         CAST(b.rk AS INT) AS tfidf_rank
+  FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rrf_micro, bm25_rank, tfidf_rank, rk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT)
+              AS rk
+  FROM fused
+) WHERE rk <= {_RRF_TOPN}
+"""
+
+
+@query("text_rrf_fusion", oracle=_RRF_ORACLE, tags=("text", "retrieval"))
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 ranking and the query-restricted
+    TF-IDF ranking for the fixed query {spark, query, join} — the
+    standard way hybrid retrieval combines incommensurable scores
+    without calibration (only RANKS cross lists, never raw scores).
+    Reuses :func:`text_bm25_search` verbatim as ranker A so the BM25
+    definition lives in exactly one place.
+
+    Scale shape: candidate lists are query-bounded (docs containing a
+    query term), so the global ranking windows and the full-outer merge
+    run over result-set-sized frames; the only corpus-sized stage is
+    the token scan already inside the rankers. At 100 TB with broad
+    queries, swap ROW_NUMBER for per-shard top-k + merge (the
+    ``ord_global_topk`` pattern) before fusing."""
+    bm = text_bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    qtoks = tokens.filter(F.col("term").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tokens.select(F.countDistinct("doc_id").alias("n"))
+    ti = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+                * _MICRO
+            ).alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("tfidf_micro"))
+    )
+    from pyspark.sql.window import Window
+
+    ra = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id")))
+        .alias("rk"),
+    )
+    rb = ti.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tfidf_micro").desc(), F.col("doc_id")))
+        .alias("rk"),
+    )
+    a = ra.alias("a")
+    b = rb.alias("b")
+    fused = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        (
+            F.coalesce(F.expr(f"{_MICRO} DIV ({_RRF_K} + a.rk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_MICRO} DIV ({_RRF_K} + b.rk)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+        F.col("a.rk").cast("int").alias("bm25_rank"),
+        F.col("b.rk").cast("int").alias("tfidf_rank"),
+    )
+    return (
+        fused.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id")))
+            .cast("int"),
+        )
+        .filter(F.col("rk") <= _RRF_TOPN)
+        .select("doc_id", "rrf_micro", "bm25_rank", "tfidf_rank", "rk")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 _SPAN = 1_000_000  # coordinate space [0, 1e6)^2, micro-units
@@ -120,3 +120,78 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
         .where(F.col("dist2") <= _RADIUS * _RADIUS)
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash-style cell encoding (bit interleave -> base32 string)
+# ---------------------------------------------------------------------------
+
+# Same deterministic point cloud as join_spatial_grid; each point's
+# (x, y) micro-coordinates quantize to 15 bits per axis, interleave to a
+# 30-bit cell id (x on the odd/high bit of each pair, geohash-style), and
+# render as 6 base32 characters. Everything is integer arithmetic over
+# non-negative operands, so truncating division is identical in Spark
+# (DIV) and DuckDB (//); the bit extraction is an unrolled 30-term sum —
+# verbose SQL, but one codegen'd projection with no Python and no joins.
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_BITS = 15
+
+
+def _interleave_sql(div: str) -> str:
+    terms = []
+    for i in range(_GEOHASH_BITS):
+        terms.append(f"((xb {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((yb {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _geohash_chars_sql(div: str) -> str:
+    parts = []
+    for j in range(6):
+        shift = 1 << (25 - 5 * j)
+        parts.append(
+            f"substr('{_GEOHASH_B32}', CAST((cell {div} {shift}) % 32 AS INT)"
+            " + 1, 1)"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _geohash_sql(div: str) -> str:
+    return f"""
+WITH {_POINTS_CTE},
+quant AS (
+  SELECT user_id, x, y,
+         (x * {1 << _GEOHASH_BITS}) {div} {_SPAN} AS xb,
+         (y * {1 << _GEOHASH_BITS}) {div} {_SPAN} AS yb
+  FROM points
+),
+cells AS (
+  SELECT user_id, x, y, CAST({_interleave_sql(div)} AS BIGINT) AS cell
+  FROM quant
+)
+SELECT user_id, x, y, cell,
+       {_geohash_chars_sql(div)} AS geohash6,
+       substr({_geohash_chars_sql(div)}, 1, 4) AS cell4
+FROM cells
+"""
+
+
+@query(
+    "fn_geohash_encode",
+    oracle=_geohash_sql("//"),
+    tags=("function", "spatial"),
+)
+def fn_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-style cell encoding of the deterministic point cloud:
+    15-bit quantization per axis, bit interleave to a 30-bit Morton
+    cell (cf. ``fn_zorder_curve``, which uses the same curve for file
+    LAYOUT; this renders it as the prefix-searchable base32 STRING that
+    geo APIs expose). Truncating a geohash string right-to-left widens
+    the cell — the property radius queries and cache keys rely on.
+
+    Map-only projection: no shuffle, no Python, one whole-stage-codegen
+    span at any scale."""
+    register_views(spark, sf_dir, ("events",))
+    # _POINTS_CTE carries DuckDB's MATERIALIZED hint; Spark's parser
+    # doesn't take it (and Spark has no equivalent inline hint to need)
+    return spark.sql(_geohash_sql("DIV").replace("AS MATERIALIZED (", "AS ("))

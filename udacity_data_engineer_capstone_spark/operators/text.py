@@ -954,3 +954,96 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease, integer heuristic)
+# ---------------------------------------------------------------------------
+
+# All three structural counts are exact integers from the same lambda
+# trees in both engines; the Flesch formula then runs entirely in scaled
+# integer arithmetic (milli-units, truncating DIV on non-negative
+# operands — identical in Spark `DIV` and DuckDB `//`), so no float ever
+# appears. Syllables use the standard cheap heuristic: one syllable per
+# maximal vowel run (split on '[aeiou]+' yields runs+1 pieces).
+_READABILITY_ORACLE = """
+WITH counts AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(
+           list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+           x -> x <> '')) AS BIGINT) AS n_sentences,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(string_split_regex(lower(text), '[aeiou]+')) - 1 AS BIGINT)
+           AS n_syllables
+  FROM documents
+),
+scaled AS (
+  SELECT doc_id, lang, n_sentences, n_words, n_syllables,
+         n_words * 1000 // greatest(n_sentences, 1) AS wps_milli,
+         n_syllables * 1000 // greatest(n_words, 1) AS spw_milli
+  FROM counts
+)
+SELECT doc_id, lang, n_sentences, n_words, n_syllables,
+       CAST(206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000
+         AS BIGINT) AS flesch_milli,
+       CASE
+         WHEN 206835 - (1015 * wps_milli) // 1000
+              - (84600 * spw_milli) // 1000 >= 60000 THEN 'easy'
+         WHEN 206835 - (1015 * wps_milli) // 1000
+              - (84600 * spw_milli) // 1000 >= 30000 THEN 'standard'
+         ELSE 'hard'
+       END AS band
+FROM scaled
+"""
+
+
+@query("text_readability", oracle=_READABILITY_ORACLE, tags=("text", "quality"))
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from integer structural counts
+    (sentences = non-empty terminal-punctuation segments, words =
+    non-empty whitespace tokens, syllables = maximal vowel runs) — the
+    classic readability gate a pretraining quality mix uses alongside
+    ``text_quality``'s ratio features. Non-Latin scripts degrade
+    gracefully (zero vowel runs -> the syllable term vanishes).
+
+    Scale shape: pure per-row column expressions (lambda HOFs, no
+    explode, no shuffle, no Python) — a map-only operator that pipelines
+    with the scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(filter(transform(split(text, '[.!?]+'), x -> trim(x)),"
+            " x -> x <> '')) AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            r"CAST(size(filter(split(lower(text), '\\s+'), x -> x <> ''))"
+            " AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(size(split(lower(text), '[aeiou]+')) - 1 AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    scaled = counts.select(
+        "*",
+        F.expr("n_words * 1000 DIV greatest(n_sentences, 1)").alias("wps_milli"),
+        F.expr("n_syllables * 1000 DIV greatest(n_words, 1)").alias("spw_milli"),
+    )
+    fre = F.expr(
+        "CAST(206835 - (1015 * wps_milli) DIV 1000"
+        " - (84600 * spw_milli) DIV 1000 AS BIGINT)"
+    )
+    return scaled.select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        fre.alias("flesch_milli"),
+        F.when(fre >= 60000, F.lit("easy"))
+        .when(fre >= 30000, F.lit("standard"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )

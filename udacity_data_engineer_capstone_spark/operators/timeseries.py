@@ -616,3 +616,295 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median_cents"
         ),
     )
+
+
+# --- STL-style decomposition: trend + seasonal + residual ------------------
+
+_STL_HALF = 12  # centered moving-average half-width (25-hour window)
+
+# All lanes are exact integers until one floor(double) per division;
+# divisions go through floor(CAST(x AS DOUBLE) / n) because operands can
+# be negative and floor-division is the one semantics both engines spell
+# identically (Spark DIV / DuckDB // truncation differs on negatives).
+_STL_ORACLE = f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)
+           AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+trend AS (
+  SELECT event_type, h, v_cents,
+         CASE WHEN COUNT(*) OVER w = {2 * _STL_HALF + 1} THEN
+           CAST(floor(CAST(SUM(v_cents) OVER w AS DOUBLE) * 1000
+                      / {2 * _STL_HALF + 1}) AS BIGINT)
+         END AS trend_millicents
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+),
+seasonal AS (
+  SELECT event_type, h % 24 AS hod,
+         CAST(floor(CAST(SUM(v_cents * 1000 - trend_millicents) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS seasonal_millicents
+  FROM trend
+  WHERE trend_millicents IS NOT NULL
+  GROUP BY event_type, h % 24
+)
+SELECT t.event_type, t.h, t.v_cents, t.trend_millicents,
+       s.seasonal_millicents,
+       CAST(t.v_cents * 1000 - t.trend_millicents - s.seasonal_millicents
+         AS BIGINT) AS residual_millicents
+FROM trend t
+LEFT JOIN seasonal s
+  ON s.event_type = t.event_type AND s.hod = t.h % 24
+"""
+
+
+@query("ts_stl_decompose", oracle=_STL_ORACLE, tags=("timeseries", "window"))
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-style decomposition of the hourly series per event
+    type: trend = centered 25-hour moving average (full windows only),
+    seasonal = hour-of-day mean of the detrended series, residual =
+    observed - trend - seasonal. The standard pre-processing for
+    anomaly detection on seasonal metrics (cf. ``evt_anomaly_zscore``,
+    which this refines by removing trend+seasonality first).
+
+    Scale shape: the only corpus-sized stage is the hourly partial+final
+    hash aggregate; trend is one ROWS-frame window over the
+    calendar-bounded bucket table (720 rows/month/type), seasonal is a
+    24-row-per-type aggregate that re-enters via a broadcast equi-join.
+    At 100 TB nothing after the first aggregate grows with data volume.
+
+    Determinism: exact integer cent/millicent lanes; each division is a
+    single floor(double) on a <2^53 numerator (see comment above)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "v_cents"
+            )
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST(timestampdiff(HOUR, {_TS_ORIGIN}, bucket) AS BIGINT)"
+            ).alias("h"),
+            "v_cents",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    full = 2 * _STL_HALF + 1
+    trend = buckets.select(
+        "event_type",
+        "h",
+        "v_cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == full,
+            F.floor(F.sum("v_cents").over(w).cast("double") * 1000 / full).cast(
+                "long"
+            ),
+        ).alias("trend_millicents"),
+    )
+    seasonal = (
+        trend.filter(F.col("trend_millicents").isNotNull())
+        .groupBy("event_type", (F.col("h") % 24).alias("hod"))
+        .agg(
+            F.floor(
+                F.sum(
+                    F.col("v_cents") * 1000 - F.col("trend_millicents")
+                ).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("seasonal_millicents")
+        )
+    )
+    t = trend.alias("t")
+    s = F.broadcast(seasonal).alias("s")
+    return t.join(
+        s,
+        (F.col("s.event_type") == F.col("t.event_type"))
+        & (F.col("s.hod") == F.col("t.h") % 24),
+        "left",
+    ).select(
+        F.col("t.event_type").alias("event_type"),
+        F.col("t.h").alias("h"),
+        F.col("t.v_cents").alias("v_cents"),
+        F.col("t.trend_millicents").alias("trend_millicents"),
+        F.col("s.seasonal_millicents").alias("seasonal_millicents"),
+        (
+            F.col("t.v_cents") * 1000
+            - F.col("t.trend_millicents")
+            - F.col("s.seasonal_millicents")
+        )
+        .cast("long")
+        .alias("residual_millicents"),
+    )
+
+
+# --- linear interpolation over hourly gaps ---------------------------------
+
+# Gap filling by LINEAR INTERPOLATION (vs ``evt_gap_fill``'s zero-fill):
+# the segment index trick makes it portable without IGNORE NULLS window
+# syntax (which the two engines spell differently): a running count of
+# non-null observations maps every grid row to its preceding non-null
+# (seg) and following non-null (seg+1) by plain equi-joins.
+_INTERP_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)
+           AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM obs),
+spine AS (
+  SELECT t.event_type, u.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds b,
+       LATERAL (SELECT unnest(generate_series(b.lo, b.hi)) AS h) u
+),
+grid AS (
+  SELECT s.event_type, s.h, o.v_cents,
+         COUNT(o.v_cents) OVER (PARTITION BY s.event_type ORDER BY s.h)
+           AS seg
+  FROM spine s
+  LEFT JOIN obs o ON o.event_type = s.event_type AND o.h = s.h
+),
+nn AS (
+  SELECT event_type, h, v_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS k
+  FROM grid WHERE v_cents IS NOT NULL
+)
+SELECT g.event_type, g.h, g.v_cents,
+       CAST(CASE
+         WHEN g.v_cents IS NOT NULL THEN g.v_cents * 1000
+         WHEN p.h IS NULL THEN n.v_cents * 1000
+         WHEN n.h IS NULL THEN p.v_cents * 1000
+         ELSE p.v_cents * 1000
+              + CAST(floor(CAST((n.v_cents - p.v_cents) * 1000 AS DOUBLE)
+                           * (g.h - p.h) / (n.h - p.h)) AS BIGINT)
+       END AS BIGINT) AS interp_millicents,
+       g.v_cents IS NULL AS was_gap
+FROM grid g
+LEFT JOIN nn p ON p.event_type = g.event_type AND p.k = g.seg
+LEFT JOIN nn n ON n.event_type = g.event_type AND n.k = g.seg + 1
+"""
+
+
+@query(
+    "ts_interpolate_linear", oracle=_INTERP_ORACLE, tags=("timeseries", "window")
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with LINEAR interpolation
+    across gaps (edges clamp to the nearest observation) — the
+    materialization a forecasting/anomaly stage wants when zero-filling
+    (``evt_gap_fill``) would fabricate drops. ``was_gap`` flags
+    fabricated points for downstream weighting.
+
+    Scale shape: the corpus-sized work is one hash aggregate to hourly
+    buckets; the spine is calendar-bounded (hours x types), the segment
+    index is one window over it, and both neighbor lookups are
+    broadcast equi-joins against the bucket-sized non-null table. The
+    interpolation itself is a map-only expression.
+
+    Determinism: exact integer lanes; the one division runs as a single
+    floor(double) with a <2^53 numerator, identical both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "v_cents"
+            )
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST(timestampdiff(HOUR, {_TS_ORIGIN}, bucket) AS BIGINT)"
+            ).alias("h"),
+            "v_cents",
+        )
+    )
+    bounds = obs.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.expr("sequence(lo, hi)")).alias("h")
+    )
+    o = obs.alias("o")
+    grid = (
+        spine.alias("s")
+        .join(
+            o,
+            (F.col("o.event_type") == F.col("s.event_type"))
+            & (F.col("o.h") == F.col("s.h")),
+            "left",
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.h").alias("h"),
+            F.col("o.v_cents").alias("v_cents"),
+        )
+        .withColumn(
+            "seg",
+            F.count("v_cents").over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+    )
+    nn = (
+        grid.filter(F.col("v_cents").isNotNull())
+        .select(
+            "event_type",
+            "h",
+            "v_cents",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("h"))
+            .alias("k"),
+        )
+    )
+    g = grid.alias("g")
+    p = F.broadcast(nn).alias("p")
+    n = F.broadcast(nn).alias("n")
+    lerp = F.col("p.v_cents") * 1000 + F.floor(
+        ((F.col("n.v_cents") - F.col("p.v_cents")) * 1000).cast("double")
+        * (F.col("g.h") - F.col("p.h"))
+        / (F.col("n.h") - F.col("p.h"))
+    ).cast("long")
+    return (
+        g.join(
+            p,
+            (F.col("p.event_type") == F.col("g.event_type"))
+            & (F.col("p.k") == F.col("g.seg")),
+            "left",
+        )
+        .join(
+            n,
+            (F.col("n.event_type") == F.col("g.event_type"))
+            & (F.col("n.k") == F.col("g.seg") + 1),
+            "left",
+        )
+        .select(
+            F.col("g.event_type").alias("event_type"),
+            F.col("g.h").alias("h"),
+            F.col("g.v_cents").alias("v_cents"),
+            F.when(F.col("g.v_cents").isNotNull(), F.col("g.v_cents") * 1000)
+            .when(F.col("p.h").isNull(), F.col("n.v_cents") * 1000)
+            .when(F.col("n.h").isNull(), F.col("p.v_cents") * 1000)
+            .otherwise(lerp)
+            .cast("long")
+            .alias("interp_millicents"),
+            F.col("g.v_cents").isNull().alias("was_gap"),
+        )
+    )

@@ -1098,6 +1098,70 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation: monotone-association profile per group
+# ---------------------------------------------------------------------------
+
+# Ranks use RANK() (min-rank on ties) over the bare value — no tie-break
+# columns needed, because tied values receive the SAME rank in both
+# engines by definition; Pearson-on-ranks is then a pure function of the
+# multiset of (rx, ry) pairs. Headroom: with per-group n rows, rank
+# sums obey Σr ≤ n², Σr² and Σrx·ry ≤ n³ — int64-safe through n ≈ 2.1M
+# rows per group (sf≈3); beyond that, widen the three quadratic lanes to
+# DECIMAL(38,0)/HUGEINT like ``stat_skew_kurtosis``. The closed form
+# runs on doubles cast once from those exact integers (identical IEEE op
+# tree both engines) and lands as a floor-scaled ppm BIGINT.
+_SPEARMAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag AS flag,
+         CAST(RANK() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity) AS BIGINT) AS rx,
+         CAST(RANK() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice) AS BIGINT) AS ry
+  FROM lineitem
+),
+sums AS (
+  SELECT flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx,
+         CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sx2,
+         CAST(SUM(ry * ry) AS BIGINT) AS sy2
+  FROM ranked
+  GROUP BY flag
+)
+SELECT flag, n,
+       CAST(floor(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+         * 1000000) AS BIGINT) AS spearman_ppm
+FROM sums
+"""
+
+
+@query("stat_spearman", oracle=_SPEARMAN_SQL, tags=("stats", "window"))
+def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag — the robust (monotone, outlier-insensitive) companion
+    to ``agg_corr_stddev``'s Pearson. Drift monitors prefer it because a
+    single corrupted extreme row cannot move a rank more than one slot.
+
+    Scale shape: two ranking windows partitioned by the group key (one
+    shuffle on l_returnflag; within-partition sorts are Tungsten
+    spillable), then one partial+final hash aggregate down to one row
+    per group. At 100 TB the windows dominate — they parallelize per
+    group, so skewed group sizes are the thing to watch (salt-rank via
+    two-level aggregation if one flag carries most rows).
+
+    Determinism: min-rank ties, exact int64 rank sums, one cast to
+    DOUBLE, identical closed-form op tree both engines (see lane
+    headroom note above)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SPEARMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Zipf exponent fit: log-log OLS over the token rank-frequency curve
 # ---------------------------------------------------------------------------
 
