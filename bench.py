@@ -88,6 +88,13 @@ HEADLINE = [
     "stat_skew_kurtosis",         # mergeable moment sketch (n..Σx⁴)
     "curate_semdedup",            # SemDeDup centroid pruning
     "stream_ewma_state",          # cross-batch stateful integer EWMA
+    # round-4 continuation waves: importance resampling, hybrid retrieval,
+    # decomposition, rank stats, communities
+    "curate_dsir",                # hashed-ngram importance resampling
+    "text_rrf_fusion",            # BM25 + TF-IDF reciprocal-rank fusion
+    "ts_stl_decompose",           # trend/seasonal/residual decomposition
+    "stat_spearman",              # rank-correlation windows + exact sums
+    "graph_label_propagation",    # synchronous mode-label communities
 ]
 
 

@@ -1075,3 +1075,61 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") <= _DSIR_TOPK).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch shard/shuffle plan: deterministic training-order assignment
+# ---------------------------------------------------------------------------
+
+# A training run wants every epoch's read order to be (a) shuffled, (b)
+# reproducible, (c) shardable across data-loader workers WITHOUT a
+# global sort. Multiplicative-hash mixing gives each doc a pseudo-random
+# sort key; sharding on the mix's low bits splits the corpus evenly; the
+# within-shard rank is the loader's read position. hash-mix < 2^31 so
+# mix*1 stays far inside int64; identical arithmetic both engines.
+_SHARDS = 8
+_SHARD_MIX = "({key} * 2654435761) % 2147483647"
+
+_SHARD_ORACLE = f"""
+WITH mixed AS (
+  SELECT doc_id, {_SHARD_MIX.format(key="doc_id")} AS mix
+  FROM documents
+)
+SELECT doc_id,
+       CAST(mix % {_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY mix % {_SHARDS}
+                               ORDER BY mix, doc_id) AS BIGINT) AS position,
+       CAST(COUNT(*) OVER (PARTITION BY mix % {_SHARDS}) AS BIGINT)
+         AS n_in_shard
+FROM mixed
+"""
+
+
+@query("curate_shard_shuffle", oracle=_SHARD_ORACLE, tags=("pipeline",))
+def curate_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle plan: hash-mix each document, assign
+    it to one of {n} loader shards, and rank it inside its shard — the
+    (shard, position) pair IS the training read order, reproducible
+    across runs and engines with no RNG state. Vary the epoch by adding
+    the epoch number into the mix constant's salt.
+
+    Scale shape: one shuffle on the shard key + per-shard sorts (a
+    range-partitioned sort at cluster scale — no global order anywhere);
+    the window never crosses shards. At 100 TB this is exactly the
+    layout job that materializes webdataset/arrow shards.""".replace(
+        "{n}", str(_SHARDS)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id", F.expr(_SHARD_MIX.format(key="doc_id")).alias("mix")
+    )
+    wp = Window.partitionBy(F.col("mix") % _SHARDS)
+    return mixed.select(
+        "doc_id",
+        (F.col("mix") % _SHARDS).cast("long").alias("shard"),
+        F.row_number()
+        .over(wp.orderBy("mix", "doc_id"))
+        .cast("long")
+        .alias("position"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_in_shard"),
+    )

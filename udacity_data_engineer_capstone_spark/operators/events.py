@@ -1043,3 +1043,89 @@ def evt_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("mau"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curves: cumulative value by signup cohort x age week
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+spend AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+wk AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, s.day) // 7 AS BIGINT) AS age_week,
+         CAST(SUM(s.cents) AS BIGINT) AS week_cents
+  FROM spend s JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_day, date_diff('day', f.cohort_day, s.day) // 7
+),
+sz AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM firsts GROUP BY cohort_day
+)
+SELECT w.cohort_day, w.age_week, z.n_users, w.week_cents,
+       CAST(SUM(w.week_cents) OVER (PARTITION BY w.cohort_day
+                                    ORDER BY w.age_week) AS BIGINT)
+         AS cum_cents,
+       CAST(SUM(w.week_cents) OVER (PARTITION BY w.cohort_day
+                                    ORDER BY w.age_week)
+            * 1000 // z.n_users AS BIGINT) AS cum_per_user_milli
+FROM wk w JOIN sz z USING (cohort_day)
+"""
+
+
+@query("evt_ltv_cohort", oracle=_LTV_ORACLE, tags=("events", "window"))
+def evt_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    day, spend accumulated by week-of-life, normalized per cohort
+    member — the retention-economics readout that pairs with
+    ``evt_retention``'s activity triangles (this one follows the money,
+    that one the presence).
+
+    Scale shape: two user-keyed hash aggregates (first-touch, daily
+    spend) and one broadcast-sized cohort join; the cumulative window
+    runs over cohorts x weeks (calendar-bounded). All value lanes are
+    exact integer cents; division is truncating on non-negative
+    operands (values are >= 0 in this event stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    spend = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents")
+    )
+    wk = (
+        spend.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("age_week"),
+        )
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    sz = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = Window.partitionBy("cohort_day").orderBy("age_week")
+    return (
+        wk.join(F.broadcast(sz), "cohort_day")
+        .withColumn("cum_cents", F.sum("week_cents").over(w).cast("long"))
+        .select(
+            "cohort_day",
+            "age_week",
+            "n_users",
+            "week_cents",
+            "cum_cents",
+            F.expr("cum_cents * 1000 DIV n_users").alias("cum_per_user_milli"),
+        )
+    )

@@ -711,3 +711,94 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("orders", "lineitem", "customer", "supplier")
     )
     return spark.sql(_MODULARITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# label propagation: mode-label communities in K synchronous rounds
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+# Each round every node adopts the most frequent label among its
+# neighbors (ties -> smallest label): deterministic synchronous LPA.
+# Contrast dedup_cluster_cc's MIN-label propagation (connectivity):
+# mode-label finds DENSE regions, not connected components.
+_LPA_STEP = """
+lp{i} AS (
+  SELECT node, label FROM (
+    SELECT b.d AS node, p.label AS label,
+           ROW_NUMBER() OVER (PARTITION BY b.d
+                              ORDER BY COUNT(*) DESC, p.label) AS rn
+    FROM bidir b JOIN lp{prev} p ON p.node = b.s
+    GROUP BY b.d, p.label
+  ) t WHERE rn = 1
+)
+"""
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        _GRAPH_CTES.format(scale=SCALE),
+        "lp0 AS (SELECT DISTINCT s AS node, s AS label FROM bidir)",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        ctes.append(_LPA_STEP.format(i=i, prev=i - 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"SELECT node AS node_id, label AS community FROM lp{_LPA_ITERS}"
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the purchase graph: every
+    node repeatedly adopts its neighborhood's mode label (ties break to
+    the smallest label), {n} rounds — the classic near-linear community
+    detection whose output ``graph_modularity`` can score. Fixed
+    round count keeps the result engine-independent (LPA run to
+    "convergence" is famously order-dependent; synchronous fixed-K is
+    the deterministic variant).
+
+    Scale shape: per round, one equi-join of the static adjacency with
+    the label vector and one (node, label) hash aggregate topped by a
+    WindowGroupLimit rank — the Pregel message shape, like
+    ``graph_pagerank``. The adjacency is hash-partitioned once and
+    reused every round; labels are node-sized, never edge-sized, on
+    the shuffle.""".replace("{n}", str(_LPA_ITERS))
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).repartition("s")
+    bidir = bidir.localCheckpoint(eager=True)
+    labels = bidir.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(_LPA_ITERS):
+        counted = (
+            bidir.join(labels, bidir["s"] == labels["node"])
+            .groupBy(F.col("d").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rn = W.partitionBy("nd").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(rn))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "label")
+        )
+        # O(1) lineage per round: each label frame is node-sized
+        labels = labels.localCheckpoint(eager=False)
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("community")
+    )

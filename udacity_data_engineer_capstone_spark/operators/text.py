@@ -1047,3 +1047,103 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("hard"))
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose detection (structural symbol densities)
+# ---------------------------------------------------------------------------
+
+# The fast pre-filter a pretraining mix runs before routing documents to
+# code-specific processing (different dedup granularity, different
+# quality gates): pure density features — symbol characters, braces,
+# semicolons per char — computed as length-difference counts (the same
+# trick ``curate_model_score`` uses), thresholded into a verdict. All
+# integer ppm arithmetic on non-negative operands.
+_CODE_SYMBOLS = r"[{}();=<>\[\]]"
+_CODE_SYMBOL_PPM = 30_000  # >=3% symbol chars
+_CODE_SEMI_PPM = 10_000    # or braces present and >=1% semicolons
+
+
+@query(
+    "text_code_detect",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '{_CODE_SYMBOLS}', '', 'g'))
+           AS BIGINT) AS n_symbols,
+         CAST(length(text) - length(regexp_replace(text, '[{{}}]', '', 'g'))
+           AS BIGINT) AS n_braces,
+         CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)
+           AS n_semicolons
+  FROM documents
+),
+ppm AS (
+  SELECT doc_id, n_chars, n_symbols, n_braces, n_semicolons,
+         n_symbols * 1000000 // greatest(n_chars, 1) AS symbol_ppm,
+         n_semicolons * 1000000 // greatest(n_chars, 1) AS semicolon_ppm
+  FROM feats
+)
+SELECT doc_id, n_chars, n_symbols, n_braces, n_semicolons,
+       CAST(symbol_ppm AS BIGINT) AS symbol_ppm,
+       CAST(semicolon_ppm AS BIGINT) AS semicolon_ppm,
+       CASE WHEN symbol_ppm >= {_CODE_SYMBOL_PPM}
+              OR (n_braces > 0 AND semicolon_ppm >= {_CODE_SEMI_PPM})
+            THEN 'code' ELSE 'prose' END AS verdict
+FROM ppm
+""",
+    tags=("text", "quality"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing verdict per document from symbol/brace/
+    semicolon densities — the cheap structural screen that decides which
+    dedup and quality pipeline a document enters. Map-only projection
+    (length-difference counting, no explode, no Python): pipelines with
+    the scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", _CODE_SYMBOLS, ""))
+    ).cast("bigint")
+    n_braces = (
+        F.length("text") - F.length(F.regexp_replace("text", "[{}]", ""))
+    ).cast("bigint")
+    n_semi = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(";")))
+    ).cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_braces.alias("n_braces"),
+        n_semi.alias("n_semicolons"),
+    )
+    ppm = feats.select(
+        "*",
+        F.expr("n_symbols * 1000000 DIV greatest(n_chars, 1)").alias(
+            "symbol_ppm"
+        ),
+        F.expr("n_semicolons * 1000000 DIV greatest(n_chars, 1)").alias(
+            "semicolon_ppm"
+        ),
+    )
+    return ppm.select(
+        "doc_id",
+        "n_chars",
+        "n_symbols",
+        "n_braces",
+        "n_semicolons",
+        "symbol_ppm",
+        "semicolon_ppm",
+        F.when(
+            (F.col("symbol_ppm") >= _CODE_SYMBOL_PPM)
+            | (
+                (F.col("n_braces") > 0)
+                & (F.col("semicolon_ppm") >= _CODE_SEMI_PPM)
+            ),
+            F.lit("code"),
+        )
+        .otherwise(F.lit("prose"))
+        .alias("verdict"),
+    )

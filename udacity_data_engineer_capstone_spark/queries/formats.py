@@ -1067,3 +1067,61 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.hex(F.col("content"))).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width text source (mainframe/SAS-adjacent record layout)
+# ---------------------------------------------------------------------------
+
+# The reference's data lineage is SAS-flavored (cf. src_sas_labels /
+# src_sas7bdat); fixed-width records are the other classic layout that
+# world ships in. Parsing is pure 1-based substr slicing — identical in
+# both engines — over a committed deterministic fixture (generated by a
+# chained-md5 loop; see tests/test_reference_artifacts.py's sibling
+# docstring pattern). Spark side reads with spark.read.text (one record
+# per row, whole line in `value`); DuckDB reads the same file via
+# read_csv with a delimiter that cannot occur (\x07) so each line lands
+# whole in one VARCHAR column.
+_FW_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sources",
+    "fixtures",
+    "fixedwidth",
+    "ledger.dat",
+)
+
+_FW_FIELDS_SQL = """
+  CAST(substr({line}, 1, 6) AS BIGINT) AS record_id,
+  trim(substr({line}, 7, 12)) AS name,
+  CAST(substr({line}, 19, 10) AS BIGINT) AS amount_cents,
+  trim(substr({line}, 29, 2)) AS flag,
+  CAST(substr({line}, 31, 10) AS DATE) AS entry_date
+"""
+
+_FW_ORACLE = f"""
+SELECT {_FW_FIELDS_SQL.format(line="column0")}
+FROM read_csv('{_FW_FIXTURE}', delim='{chr(7)}', header=false,
+              columns={{'column0': 'VARCHAR'}})
+"""
+
+
+@query("src_fixed_width", oracle=_FW_ORACLE, tags=("source",))
+def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record ingestion: ``spark.read.text`` delivers one
+    line per row; typed columns come from 1-based ``substr`` slices +
+    trim + cast — the layout-driven parse a COBOL/SAS extract needs.
+    Spark has no fixed-width reader; this IS the idiomatic recipe (the
+    text scan splits and parallelizes like any FileScan, the slicing is
+    a codegen'd projection, and a malformed line surfaces as NULLs from
+    the casts rather than killing the scan).
+
+    Scale shape: map-only over the scan; for 100 TB of fixed-width
+    extracts the same plan applies unchanged — the text source splits
+    on line boundaries regardless of file count."""
+    lines = spark.read.text(_FW_FIXTURE)
+    return lines.selectExpr(
+        *[
+            e.strip()
+            for e in _FW_FIELDS_SQL.format(line="value").split(",\n")
+        ]
+    )
