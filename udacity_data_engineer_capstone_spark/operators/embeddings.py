@@ -533,3 +533,97 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (signed ±1, md5-derived)
+# ---------------------------------------------------------------------------
+
+# 64-dim -> 16-dim sign-matrix projection (Achlioptas: ±1 entries
+# preserve pairwise distances in expectation like Gaussians do, at
+# integer cost). Signs derive from md5 parity — engine-neutral and
+# reproducible — and are baked identically into the Spark-side numpy
+# matrix and the generated oracle SQL, so the projected integers match
+# bit-for-bit. Quantization first (milli-units), then exact int64
+# accumulation: |q| <= ~1500 ⇒ |p_j| <= 64·1500 ≪ 2^63.
+_RP_DIM = 64
+_RP_OUT = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[-1], 16) % 2
+            == 0
+            else -1
+            for j in range(_RP_OUT)
+        ]
+        for i in range(_RP_DIM)
+    ]
+
+
+_RP_SIGN_MATRIX = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j in range(_RP_OUT):
+        terms = " ".join(
+            ("+" if _RP_SIGN_MATRIX[i][j] > 0 else "-") + f" q[{i + 1}]"
+            for i in range(_RP_DIM)
+        )
+        cols.append(f"CAST(0 {terms} AS BIGINT) AS p{j:02d}")
+    col_sql = ",\n       ".join(cols)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+)
+SELECT vec_id,
+       {col_sql}
+FROM q
+"""
+
+
+@query("emb_random_projection", oracle=_rp_oracle(), tags=("embedding",))
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims with a deterministic ±1 sign
+    matrix — the dimensionality-reduction step a 100 TB embedding lake
+    runs before indexing/clustering when 4x less vector IO matters more
+    than the last few recall points (cf. ``emb_matryoshka_energy`` for
+    the learned-truncation alternative).
+
+    Scale shape: ONE Arrow-batched pandas matmul per batch (the
+    ``sim_ann_lsh`` bucketing shape) — narrow map, no shuffle, no
+    driver participation; output is 17 integer columns per vector.
+
+    Determinism: milli-quantize then exact int64 matmul against the
+    md5-parity sign matrix; the oracle unrolls the identical +/- sums
+    per output dim."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+
+    def _project(batches):
+        import numpy as np
+        import pandas as pd
+
+        s = np.array(_RP_SIGN_MATRIX, dtype=np.int64)  # (dim, out)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+            p = q @ s  # exact int64
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for j in range(_RP_OUT):
+                out[f"p{j:02d}"] = p[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"p{j:02d} long" for j in range(_RP_OUT)
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(_project, schema=schema)

@@ -625,3 +625,131 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).mapInPandas(
         resize, "doc_id long, n_bytes long, pixels array<int>"
     )
+
+
+# ---------------------------------------------------------------------------
+# frame-energy VAD: voice-activity segmentation over binary payloads
+# ---------------------------------------------------------------------------
+
+# The audio-side twin of mm_frame_sample: treat the payload as a PCM-ish
+# 8-bit sample stream, compute per-frame energy (32-sample frames,
+# centered at 64), threshold into active/inactive, and report the
+# activity segmentation a speech pipeline uses to cut training clips.
+# Restricted to ASCII-only payloads so bytes == codepoints and DuckDB
+# can re-derive the identical energies from the text column (the same
+# keep-the-oracle-honest trick as media_table's md5 checks).
+_VAD_FRAME = 32
+_VAD_CENTER = 64
+_VAD_THRESHOLD = 30_000
+
+_VAD_ORACLE = f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) = strlen(text)
+),
+chars AS (
+  SELECT doc_id,
+         (u.i - 1) // {_VAD_FRAME} AS frame,
+         ord(substr(text, CAST(u.i AS INT), 1)) - {_VAD_CENTER} AS s
+  FROM ascii_docs,
+       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+),
+frames AS (
+  SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS energy
+  FROM chars GROUP BY doc_id, frame
+),
+flags AS (
+  SELECT doc_id, frame, energy >= {_VAD_THRESHOLD} AS active
+  FROM frames
+),
+runs AS (
+  SELECT doc_id,
+         frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame)
+           AS grp
+  FROM flags WHERE active
+),
+seg AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_segments,
+         CAST(MAX(run_len) AS BIGINT) AS longest_run
+  FROM (SELECT doc_id, grp, COUNT(*) AS run_len
+        FROM runs GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+  FROM flags GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_frames, b.n_active,
+       COALESCE(s.n_segments, 0) AS n_segments,
+       COALESCE(s.longest_run, 0) AS longest_run
+FROM base b LEFT JOIN seg s ON s.doc_id = b.doc_id
+"""
+
+
+@query("mm_audio_energy_vad", oracle=_VAD_ORACLE, tags=("multimodal",))
+def mm_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over the binary media column:
+    per-document frame energies (32-sample frames over the 8-bit
+    payload), thresholded and run-length encoded into activity
+    segments — the clip-cutting pass an audio training pipeline runs
+    before transcription. A real audio build swaps the byte stream for
+    decoded PCM at the marked line; every Spark-side shape (binary
+    column in, Arrow batch, per-doc segmentation out) stays identical.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` over the payload
+    column — the whole segmentation (energies, threshold, run-length)
+    is vectorized numpy inside the batch, emitting 5 integers per
+    document; no shuffle, no per-row Python.
+
+    Determinism: integer energies over exact byte values (ASCII-only
+    payloads ⇒ bytes == codepoints, so the oracle recomputes them from
+    text), integer threshold, integer run lengths."""
+    docs = load_table_scaled(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+
+    def _vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_active": [],
+                "n_segments": [],
+                "longest_run": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                # >>> real audio decode swaps in here (payload -> PCM) <<<
+                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                s = s - _VAD_CENTER
+                n = len(s)
+                n_frames = (n + _VAD_FRAME - 1) // _VAD_FRAME
+                pad = n_frames * _VAD_FRAME - n
+                sq = np.pad(s * s, (0, pad))
+                energy = sq.reshape(n_frames, _VAD_FRAME).sum(axis=1)
+                active = energy >= _VAD_THRESHOLD
+                n_active = int(active.sum())
+                if n_active:
+                    # run-length encode the boolean activity track
+                    edges = np.diff(active.astype(np.int8))
+                    starts = int((edges == 1).sum()) + int(active[0])
+                    runs = np.split(active, np.where(edges != 0)[0] + 1)
+                    longest = max(len(r) for r in runs if r[0])
+                else:
+                    starts, longest = 0, 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_active"].append(n_active)
+                out["n_segments"].append(starts)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_frames long, n_active long, "
+        "n_segments long, longest_run long"
+    )
+    return media.mapInPandas(_vad, schema=schema)

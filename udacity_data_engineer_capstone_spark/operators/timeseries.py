@@ -908,3 +908,90 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g.v_cents").isNull().alias("was_gap"),
         )
     )
+
+
+# --- seasonal-naive forecast backtest --------------------------------------
+
+_SNAIVE_LAG_H = 24  # forecast = observation 24 hours earlier
+
+_SNAIVE_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)
+           AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+backtest AS (
+  SELECT cur.event_type,
+         cur.v_cents - prev.v_cents AS err_cents
+  FROM obs cur
+  JOIN obs prev
+    ON prev.event_type = cur.event_type AND prev.h = cur.h - {_SNAIVE_LAG_H}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_backtest,
+       CAST(floor(CAST(SUM(abs(err_cents)) AS DOUBLE) * 1000 / COUNT(*))
+         AS BIGINT) AS mae_millicents,
+       CAST(floor(CAST(SUM(err_cents) AS DOUBLE) * 1000 / COUNT(*))
+         AS BIGINT) AS bias_millicents
+FROM backtest
+GROUP BY event_type
+"""
+
+
+@query("ts_forecast_snaive", oracle=_SNAIVE_ORACLE, tags=("timeseries",))
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast every hour with the value 24
+    hours earlier and report MAE and signed bias per event type — the
+    no-skill baseline every real forecaster (``ts_holt_linear``,
+    ``ts_stl_decompose``-based models) must beat before it earns
+    cluster time.
+
+    Scale shape: one corpus-sized hourly aggregate, then a self
+    equi-join on (type, h-24) over the calendar-bounded bucket table
+    and a per-type fold. Exact integer error lanes; the two mean
+    divisions are single floor(double)s (signed operands)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "v_cents"
+            )
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST(timestampdiff(HOUR, {_TS_ORIGIN}, bucket) AS BIGINT)"
+            ).alias("h"),
+            "v_cents",
+        )
+    )
+    cur = obs.alias("cur")
+    prev = obs.alias("prev")
+    backtest = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.h") == F.col("cur.h") - _SNAIVE_LAG_H),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        (F.col("cur.v_cents") - F.col("prev.v_cents")).alias("err_cents"),
+    )
+    return backtest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_backtest"),
+        F.floor(
+            F.sum(F.abs(F.col("err_cents"))).cast("double")
+            * 1000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mae_millicents"),
+        F.floor(
+            F.sum("err_cents").cast("double") * 1000 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("bias_millicents"),
+    )

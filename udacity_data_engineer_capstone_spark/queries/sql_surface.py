@@ -777,3 +777,49 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL (named-parameter binding)
+# ---------------------------------------------------------------------------
+
+_PARAM_STATUS = "O"
+_PARAM_MIN_PRICE = 1000.0
+
+# The oracle inlines the same literals the Spark side binds as named
+# parameters — binding must be semantically identical to inlining.
+_PARAM_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderstatus = '{_PARAM_STATUS}' AND o_totalprice > {_PARAM_MIN_PRICE}
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized", oracle=_PARAM_ORACLE, tags=("sql",))
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(..., args={...})``) —
+    the injection-safe surface an application layer calls with user
+    input instead of string-formatting literals into query text.
+    Parameters bind as typed literals, so Catalyst constant-folds and
+    pushes them down exactly like inline text (the oracle IS the
+    inlined twin; parity proves the equivalence).
+
+    Plan shape: filter pushed to the scan, partial+final aggregate —
+    identical to the literal version at any scale."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": _PARAM_STATUS, "min_price": _PARAM_MIN_PRICE},
+    )

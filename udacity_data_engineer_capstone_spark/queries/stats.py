@@ -1240,3 +1240,89 @@ def stat_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"(SELECT explode(split(lower(text), '\\s+')) AS t FROM documents)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR correction over per-group mean-shift tests
+# ---------------------------------------------------------------------------
+
+# Per event type: Welch z of that type's value mean vs the REST of the
+# stream (leave-one-out, from exact power sums — no second pass), a
+# logistic approximation of the two-sided normal p-value (Bowling 2009:
+# Phi(z) ~ 1/(1+exp(-1.702 z)), max abs error ~0.01 — an explicitly
+# documented approximation, the SAME closed form in both engines), then
+# the BH step-up rule at alpha = 0.05 entirely in integer arithmetic:
+# reject ranks 1..max{ i : p_i * m <= i * alpha }.
+_BH_ALPHA_MICRO = 50_000  # 0.05 in micro-units
+
+_BH_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+grp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS q1
+  FROM vals GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n_all,
+         CAST(SUM(s1) AS BIGINT) AS s_all,
+         CAST(SUM(q1) AS BIGINT) AS q_all,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM grp
+),
+welch AS (
+  SELECT g.event_type, g.n1, t.m,
+         (CAST(g.s1 AS DOUBLE) / g.n1
+          - CAST(t.s_all - g.s1 AS DOUBLE) / (t.n_all - g.n1))
+         / sqrt(
+             (CAST(g.q1 AS DOUBLE)
+              - CAST(g.s1 AS DOUBLE) * g.s1 / g.n1) / (g.n1 - 1) / g.n1
+             + (CAST(t.q_all - g.q1 AS DOUBLE)
+                - CAST(t.s_all - g.s1 AS DOUBLE) * (t.s_all - g.s1)
+                  / (t.n_all - g.n1)) / (t.n_all - g.n1 - 1)
+               / (t.n_all - g.n1)
+           ) AS z
+  FROM grp g CROSS JOIN tot t
+),
+pvals AS (
+  SELECT event_type, n1, m,
+         CAST(floor(z * 1000) AS BIGINT) AS z_milli,
+         CAST(floor(2000000 / (1 + exp(1.702 * abs(z)))) AS BIGINT)
+           AS p_micro
+  FROM welch
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_micro, event_type) AS rk
+  FROM pvals
+),
+cutoff AS (
+  SELECT *,
+         MAX(CASE WHEN p_micro * m <= rk * {alpha} THEN rk END) OVER ()
+           AS max_sig
+  FROM ranked
+)
+SELECT event_type, n1 AS n, z_milli, p_micro,
+       CAST(rk AS INT) AS p_rank,
+       rk <= COALESCE(max_sig, 0) AS significant
+FROM cutoff
+""".format(alpha=_BH_ALPHA_MICRO)
+
+
+@query("stat_benjamini_hochberg", oracle=_BH_SQL, tags=("stats",))
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH false-discovery-rate correction over the family of per-type
+    mean-shift tests — what an experimentation/drift platform runs when
+    it tests MANY segments at once and raw p < 0.05 would drown it in
+    false positives. One corpus-sized moment aggregate; everything
+    after runs on |types| rows (window over a broadcast-scale frame).
+
+    Determinism: exact int64 power sums cast to DOUBLE once; the Welch
+    z, the documented logistic Phi approximation, and the floor
+    quantizations are the same literal op tree in both engines; the BH
+    step-up comparison is pure integer arithmetic."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BH_SQL)

@@ -696,3 +696,62 @@ def snk_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning: dim filter prunes fact partitions at runtime
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST((month(l_shipdate) - 1) // 3 + 1 AS INT) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE month(l_shipdate) IN (1, 2, 3)
+GROUP BY month(l_shipdate)
+"""
+
+
+@query("join_dpp_pruned", oracle=_DPP_ORACLE, tags=("join", "warehouse"))
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by ship month; a dim-side filter (quarter = 1) reaches
+    the fact SCAN at runtime as a DPP subquery, so only 3 of 12
+    partition directories are read — the single most important scan
+    optimization for a partitioned 100 TB warehouse (without DPP this
+    join reads 4x the data). tests/test_plans.py pins the
+    ``dynamicpruning`` expression in the fact scan.
+
+    The dim is the month→quarter mapping (broadcast); the oracle is the
+    statically-pruned twin — parity proves runtime pruning selects
+    exactly the same rows."""
+    import tempfile
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    d = tempfile.mkdtemp(prefix="engine_dpp_")
+    (
+        lineitem.withColumn("ship_month", F.month("l_shipdate"))
+        # one file per partition dir: repartition on the partition key
+        # first so the write doesn't fan out #tasks x #months files
+        .repartition("ship_month")
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    months = spark.createDataFrame(
+        [(m, (m - 1) // 3 + 1) for m in range(1, 13)],
+        "ship_month int, quarter int",
+    ).filter(F.col("quarter") == 1)
+    return (
+        back.join(F.broadcast(months), "ship_month")
+        .groupBy("ship_month", "quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
