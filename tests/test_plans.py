@@ -658,3 +658,26 @@ def test_bh_single_corpus_aggregate(spark, sf_dir):
     text = plan_text(df)
     assert text.count("HashAggregate") >= 2  # partial+final moments
     assert "CartesianProduct" not in text
+
+
+def test_share_of_group_dim_bounded_windows(spark, sf_dir):
+    """win_share_of_group: corpus work is the orders aggregate; the
+    ratio windows run post-aggregate (no cartesian, no Python)."""
+    df = Q["win_share_of_group"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+    )
+
+
+def test_pareto_rank_windows_partitioned(spark, sf_dir):
+    """agg_pareto_coverage: ranking windows are partitioned by nation
+    (no global unpartitioned sort of customers)."""
+    df = Q["agg_pareto_coverage"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+
+
+def test_stl_anomaly_no_python(spark, sf_dir):
+    """ts_stl_anomaly: the full STL + median/MAD chain stays JVM-side."""
+    df = Q["ts_stl_anomaly"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")

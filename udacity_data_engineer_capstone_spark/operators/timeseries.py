@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table
+from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
 # --- OHLC resample ---------------------------------------------------------
@@ -995,3 +995,123 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bias_millicents"),
     )
+
+
+# --- STL-residual anomaly flags (robust z on the decomposed residual) ------
+
+# Reuses the exact STL chain as a CTE (one shared template, hour-diff
+# dialect slot) and flags hours whose residual deviates from the
+# per-type residual median by more than 3 robust standard deviations
+# (MAD-scaled). Medians ride doubled/quadrupled integer units (the
+# stat_mann_whitney trick) so no division ever happens: the 3-sigma
+# test is 1349 * dev2 > 3000 * mad4 in exact int64.
+
+
+def _stl_chain_sql(hour_diff: str) -> str:
+    return f"""
+buckets AS (
+  SELECT event_type, {hour_diff} AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS v_cents
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+trend AS (
+  SELECT event_type, h, v_cents,
+         CASE WHEN COUNT(*) OVER w = {2 * _STL_HALF + 1} THEN
+           CAST(floor(CAST(SUM(v_cents) OVER w AS DOUBLE) * 1000
+                      / {2 * _STL_HALF + 1}) AS BIGINT)
+         END AS trend_millicents
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {_STL_HALF} PRECEDING AND {_STL_HALF} FOLLOWING)
+),
+seasonal AS (
+  SELECT event_type, h % 24 AS hod,
+         CAST(floor(CAST(SUM(v_cents * 1000 - trend_millicents) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS seasonal_millicents
+  FROM trend
+  WHERE trend_millicents IS NOT NULL
+  GROUP BY event_type, h % 24
+),
+resid AS (
+  SELECT t.event_type, t.h,
+         CAST(t.v_cents * 1000 - t.trend_millicents - s.seasonal_millicents
+           AS BIGINT) AS r
+  FROM trend t
+  JOIN seasonal s ON s.event_type = t.event_type AND s.hod = t.h % 24
+  WHERE t.trend_millicents IS NOT NULL
+)
+"""
+
+
+def _stl_anomaly_sql(hour_diff: str) -> str:
+    return f"""
+WITH {_stl_chain_sql(hour_diff)},
+med AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = floor((cnt + 1) / 2) THEN r END)
+              + MAX(CASE WHEN rn = floor((cnt + 2) / 2) THEN r END) AS BIGINT)
+           AS med2
+  FROM (SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, h)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM resid) x
+  WHERE rn IN (floor((cnt + 1) / 2), floor((cnt + 2) / 2))
+  GROUP BY event_type
+),
+dev AS (
+  SELECT r.event_type, r.h, r.r, abs(2 * r.r - m.med2) AS dev2
+  FROM resid r JOIN med m ON m.event_type = r.event_type
+),
+mad AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = floor((cnt + 1) / 2) THEN dev2 END)
+              + MAX(CASE WHEN rn = floor((cnt + 2) / 2) THEN dev2 END) AS BIGINT)
+           AS mad4
+  FROM (SELECT event_type, dev2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev2, h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev) x
+  WHERE rn IN (floor((cnt + 1) / 2), floor((cnt + 2) / 2))
+  GROUP BY event_type
+)
+SELECT d.event_type, d.h, d.r AS residual_millicents,
+       CAST(d.dev2 AS BIGINT) AS dev2,
+       1349 * d.dev2 > 3000 * m.mad4 AS is_anomaly
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+"""
+
+
+_STL_ANOM_DUCK_H = (
+    f"CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)"
+)
+_STL_ANOM_SPARK_H = (
+    f"CAST(timestampdiff(HOUR, {_TS_ORIGIN}, date_trunc('hour', ts)) AS BIGINT)"
+)
+
+
+@query(
+    "ts_stl_anomaly",
+    oracle=_stl_anomaly_sql(_STL_ANOM_DUCK_H),
+    tags=("timeseries", "stats"),
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: hours whose STL residual sits
+    more than 3 robust (MAD-scaled) standard deviations from the
+    per-type residual median — the refinement ``evt_anomaly_zscore``
+    can't make (a 9am spike is only anomalous relative to 9am's
+    seasonal norm, which the STL chain removed). Integer millicent
+    lanes end-to-end; the median/MAD pair rides doubled/quadrupled
+    units so the 3-sigma decision is exact int64 (headroom: |dev2| <=
+    ~1e9 x 1349 ≪ 2^63).
+
+    Scale shape: the STL chain's one corpus-sized aggregate, then
+    windows and joins over calendar-bounded frames. Middle ranks use
+    floor((cnt+k)/2) because bare `/` is float division in BOTH SQL
+    dialects — a bare (cnt+1)/2 would silently skip the even-count
+    median ranks."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_stl_anomaly_sql(_STL_ANOM_SPARK_H))

@@ -633,3 +633,102 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ratio-to-report window: share of group
+# ---------------------------------------------------------------------------
+
+_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nation_cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_regionkey, c.c_nationkey
+)
+SELECT regionkey, nationkey, nation_cents,
+       CAST(SUM(nation_cents) OVER (PARTITION BY regionkey) AS BIGINT)
+         AS region_cents,
+       CAST(floor(CAST(nation_cents AS DOUBLE) * 1000000
+            / SUM(nation_cents) OVER (PARTITION BY regionkey)) AS BIGINT)
+         AS share_ppm,
+       CAST(RANK() OVER (PARTITION BY regionkey
+                         ORDER BY nation_cents DESC, nationkey) AS INT)
+         AS rank_in_region
+FROM rev
+"""
+
+
+@query("win_share_of_group", oracle=_SHARE_SQL, tags=("window", "agg"))
+def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share (ppm) and rank
+    inside its region — the windowed 'percent of total' every BI layer
+    asks for. One aggregate down to nations, then partition-total
+    windows over the 25-row frame; integer-cent lanes, with the share
+    division done as a single floor(double) (integer `/` semantics
+    differ between the engines: DuckDB CASTs doubles by rounding,
+    Spark by truncation — floor() spells the same thing in both).
+
+    Scale shape: the only corpus-sized stage is the orders aggregate;
+    windows run over dimension-bounded frames at any data size."""
+    register_views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_SHARE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage: how concentrated is revenue within each nation?
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+),
+ranked AS (
+  SELECT nationkey, custkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY cents DESC, custkey) AS rk,
+         SUM(cents) OVER (PARTITION BY nationkey
+                          ORDER BY cents DESC, custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER (PARTITION BY nationkey) AS tot,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n_cust
+  FROM rev
+)
+SELECT nationkey,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT)
+         AS n_for_80pct,
+       CAST(floor(CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END)
+                        AS DOUBLE) * 1000000 / MAX(n_cust)) AS BIGINT)
+         AS concentration_ppm
+FROM ranked
+GROUP BY nationkey
+"""
+
+
+@query("agg_pareto_coverage", oracle=_PARETO_SQL, tags=("agg", "window"))
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 report per nation: the minimum number of customers
+    whose (descending) revenue covers 80% of the nation's total, and
+    that head's share of the customer base (ppm) — the concentration
+    readout a capacity/risk planner reads before an optimizer trusts
+    per-key statistics (high concentration = skew; cf.
+    ``stat_join_skew_diag``, which diagnoses the same property on join
+    keys).
+
+    All decision lanes exact integers: the 80% test is
+    ``cum*5 >= tot*4`` (no floats anywhere); only the final reporting
+    ratio is a floor(double) (cast semantics differ between engines on
+    bare integer division). Scale shape: one corpus aggregate to
+    (nation, customer), ranking windows partitioned by nation, then a
+    25-row fold."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_PARETO_SQL)

@@ -1125,3 +1125,56 @@ def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             for e in _FW_FIELDS_SQL.format(line="value").split(",\n")
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# multiline CSV source (quoted fields with embedded newlines)
+# ---------------------------------------------------------------------------
+
+# Embedded-newline CSV breaks naive line-splitting readers; Spark needs
+# multiLine=true (which trades split parallelism for correctness —
+# documented below). Fixture is written fresh from the nation table each
+# call with a comment injected into the quoted field, so the round-trip
+# proves quoting + newline handling, not just the happy path.
+_CSV_ML_ORACLE = """
+SELECT n_nationkey,
+       concat(n_name, chr(10), 'line2 of ', n_name) AS note,
+       n_regionkey
+FROM nation
+"""
+
+
+@query("src_csv_multiline", oracle=_CSV_ML_ORACLE, tags=("source",))
+def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with quoted embedded newlines: write nation rows whose note
+    field contains a real newline, read them back with
+    ``multiLine=true``. Without the option the reader splits records
+    mid-field — the classic silent-corruption bug in crawl-metadata
+    ingestion.
+
+    Scale note: multiLine CSV cannot split files (a record boundary is
+    unknowable mid-file), so each file is one task — the production
+    layout keeps multiline CSVs many-and-small, or converts once to
+    parquet (this repo's standing recommendation for every text
+    format)."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="engine_csv_ml_")
+    staged = nation.select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"), F.lit("\n"), F.lit("line2 of "), F.col("n_name")
+        ).alias("note"),
+        "n_regionkey",
+    )
+    staged.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(d)
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("inferSchema", False)
+        .schema("n_nationkey int, note string, n_regionkey int")
+        .csv(d)
+    )

@@ -506,6 +506,30 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ∪/∩/∖). The SQL mirror here sorts the full distinct-hash set
     per side — the same bounded shape as ``agg_kmv_distinct``; the
     corpus-sized work is the DISTINCT, one hash-width shuffle with
-    map-side partials."""
+    map-side partials. Because the SQL text references each side's key
+    set from several CTEs (thresholds, union/intersect counts, exact
+    truth) and Spark inlines CTEs, the distinct key set is materialized
+    ONCE via localCheckpoint — one events scan total instead of ~8
+    (bench: 5.3 s → well under 2 s at sf0.1; DuckDB gets the same
+    effect from its MATERIALIZED default)."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_theta_sql("instr", "DIV"))
+    keys = spark.sql(
+        "SELECT DISTINCT event_type, user_id * 100 + day(ts) AS k "
+        "FROM events WHERE event_type IN ('click', 'view')"
+    ).localCheckpoint()
+    keys.createOrReplaceTempView("theta_keys_m")
+    sql = (
+        _theta_sql("instr", "DIV")
+        .replace(
+            "SELECT DISTINCT user_id * 100 + day(ts) AS k\n"
+            "  FROM events WHERE event_type = 'click'",
+            "SELECT k FROM theta_keys_m WHERE event_type = 'click'",
+        )
+        .replace(
+            "SELECT DISTINCT user_id * 100 + day(ts) AS k\n"
+            "  FROM events WHERE event_type = 'view'",
+            "SELECT k FROM theta_keys_m WHERE event_type = 'view'",
+        )
+    )
+    assert "FROM events WHERE event_type = " not in sql
+    return spark.sql(sql)
