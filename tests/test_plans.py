@@ -681,3 +681,20 @@ def test_stl_anomaly_no_python(spark, sf_dir):
     """ts_stl_anomaly: the full STL + median/MAD chain stays JVM-side."""
     df = Q["ts_stl_anomaly"].fn(spark, sf_dir)
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_kmeans_assignment_arrow_update_partial(spark, sf_dir):
+    """emb_kmeans_lloyd: assignment via MapInPandas (constant-size
+    centroid matrix, no vector shuffle); no cartesian anywhere."""
+    df = Q["emb_kmeans_lloyd"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+
+
+def test_conversion_latency_joins_user_keyed(spark, sf_dir):
+    """evt_conversion_latency: user equi-join + one bounded global
+    rank; no cartesian, no Python."""
+    df = Q["evt_conversion_latency"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+    )

@@ -627,3 +627,159 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"p{j:02d} long" for j in range(_RP_OUT)
     )
     return emb.select("vec_id", "embedding").mapInPandas(_project, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's algorithm, exact integer lanes)
+# ---------------------------------------------------------------------------
+
+# Unlike sim_ann_ivf (whose cells fit on a bounded driver SAMPLE), this
+# is the full distributed Lloyd iteration: every assignment pass sees
+# every vector. Exactness: vectors quantize to milli-units once;
+# squared-L2 distances are exact int64 (|q| <= ~1500 ⇒ d <= 64·3000² ≪
+# 2^63); ties break to the smallest centroid id; centroid updates are
+# floor(double) per dimension on <2^53 numerators. A centroid that
+# loses all members drops out (both engines assign only against
+# existing centroids), which keeps the unrolled SQL and the DataFrame
+# loop in lockstep.
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    ctes = [
+        """q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {_KM_K})",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                        j -> (q.q[j] - c.c[j]) * (q.q[j] - c.c[j]))), c.cid)
+             AS rn
+    FROM q CROSS JOIN c{i - 1} c
+  ) t WHERE rn = 1
+)""")
+        ctes.append(
+            f"""e{i} AS (
+  SELECT a.cid, u.j,
+         CAST(floor(CAST(SUM(q.q[u.j]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS c_milli,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM a{i} a JOIN q ON q.vec_id = a.vec_id,
+       LATERAL (SELECT unnest(range(1, {_KM_DIM + 1})) AS j) u
+  GROUP BY a.cid, u.j
+)""")
+        ctes.append(
+            f"""c{i} AS (
+  SELECT cid, list(c_milli ORDER BY j) AS c
+  FROM e{i} GROUP BY cid
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cid AS centroid_id, CAST(j AS BIGINT) AS dim, c_milli, n_members
+FROM e{_KM_ITERS}
+"""
+    )
+
+
+@query("emb_kmeans_lloyd", oracle=_km_oracle(), tags=("embedding", "iterative"))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (k=8, 2
+    synchronous rounds, first-8 seeding): the full-data clustering pass
+    a corpus runs when the IVF sample fit isn't enough. Output is the
+    long-format centroid table (centroid, dim, coordinate, member
+    count).
+
+    Scale shape per round: assignment is ONE Arrow-batched pandas UDF
+    holding the k x d centroid matrix (constant-size, collected like
+    the PCA Gram — k·d integers, not data) and computing all distances
+    as a single int64 matmul — narrow map, no shuffle. The update is
+    one (centroid, dim) hash aggregate with map-side partials (shuffle
+    carries k·d partials per task, never vectors). The oracle unrolls
+    the identical rounds as CTEs.
+
+    Determinism: exact integer distances with smallest-id tie-break
+    (numpy argmin picks the first minimum = smallest cid because the
+    matrix rows are ordered by cid), floor(double) centroid updates."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint()
+
+    cents = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+
+    assigned = None
+    for _ in range(_KM_ITERS):
+        # constant-size driver fetch (k x d ints), the PCA-Gram pattern
+        cent_rows = sorted(
+            ((r["cid"], list(r["c"])) for r in cents.collect()),
+            key=lambda t: t[0],
+        )
+        cids = [c for c, _ in cent_rows]
+
+        def _assign(batches, _cent_rows=cent_rows, _cids=cids):
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.array([v for _, v in _cent_rows], dtype=np.int64)
+            cnorm = (cmat * cmat).sum(axis=1)  # (k,)
+            cid_arr = np.array(_cids, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                d = (
+                    (qm * qm).sum(axis=1, keepdims=True)
+                    - 2 * (qm @ cmat.T)
+                    + cnorm[None, :]
+                )  # exact int64 squared L2
+                pick = cid_arr[np.argmin(d, axis=1)]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "cid": pick}
+                )
+
+        assigned = q.mapInPandas(_assign, schema="vec_id long, cid long")
+        upd = (
+            assigned.join(q, "vec_id")
+            .select("cid", F.posexplode("q").alias("j0", "qv"))
+            .groupBy("cid", (F.col("j0") + 1).alias("j"))
+            .agg(
+                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c_milli"),
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+            )
+        ).localCheckpoint()
+        cents = upd.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, c_milli))),"
+                " s -> s.c_milli)"
+            ).alias("c")
+        )
+        last_update = upd
+
+    return last_update.select(
+        F.col("cid").alias("centroid_id"),
+        F.col("j").cast("long").alias("dim"),
+        "c_milli",
+        "n_members",
+    )

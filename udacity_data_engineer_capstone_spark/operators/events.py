@@ -1129,3 +1129,99 @@ def evt_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_cents * 1000 DIV n_users").alias("cum_per_user_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency: first view -> first purchase, with exact quantiles
+# ---------------------------------------------------------------------------
+
+# Quantiles ride the doubled-rank integer trick for the median and a
+# ceil(0.9 n) rank for p90 (both spelled floor((...)/k) on positive
+# operands so the rank arithmetic is identical across engines).
+_CONV_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, MIN(ts) AS t_buy FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+lat AS (
+  SELECT v.user_id,
+         CAST(date_diff('second', v.t_view, p.t_buy) AS BIGINT) AS secs
+  FROM v JOIN p USING (user_id)
+  WHERE p.t_buy > v.t_view
+),
+ranked AS (
+  SELECT secs,
+         ROW_NUMBER() OVER (ORDER BY secs, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = floor((n + 1) / 2) THEN secs END)
+            + MAX(CASE WHEN rn = floor((n + 2) / 2) THEN secs END)
+         AS BIGINT) AS p50_secs2,
+       CAST(MAX(CASE WHEN rn = floor((9 * n + 9) / 10) THEN secs END)
+         AS BIGINT) AS p90_secs,
+       CAST(MIN(secs) AS BIGINT) AS min_secs,
+       CAST(MAX(secs) AS BIGINT) AS max_secs
+FROM ranked
+"""
+
+
+@query("evt_conversion_latency", oracle=_CONV_ORACLE, tags=("events", "stats"))
+def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first view to first purchase across converting users:
+    count, exact median (doubled-second units), p90 (rank ceil(0.9 n)),
+    min/max — the activation-latency readout a growth dashboard pairs
+    with ``evt_funnel``'s step counts.
+
+    Scale shape: two filtered user-keyed aggregates, a user equi-join,
+    then ONE global ranking over the converted-user set (conversion
+    sets are orders of magnitude smaller than the event stream; if even
+    that outgrows a sort, swap the exact ranks for
+    ``agg_approx_percentile``'s sketch). All integer second lanes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lat = (
+        v.join(p, "user_id")
+        .filter(F.col("t_buy") > F.col("t_view"))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")
+            ).cast("long").alias("secs"),
+        )
+    )
+    w = Window.orderBy("secs", "user_id")
+    ranked = lat.select(
+        "secs",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        (
+            F.max(F.when(F.expr("rn = floor((n + 1) / 2)"), F.col("secs")))
+            + F.max(F.when(F.expr("rn = floor((n + 2) / 2)"), F.col("secs")))
+        )
+        .cast("long")
+        .alias("p50_secs2"),
+        F.max(F.when(F.expr("rn = floor((9 * n + 9) / 10)"), F.col("secs")))
+        .cast("long")
+        .alias("p90_secs"),
+        F.min("secs").cast("long").alias("min_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
