@@ -966,7 +966,7 @@ def text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operands — identical in Spark `DIV` and DuckDB `//`), so no float ever
 # appears. Syllables use the standard cheap heuristic: one syllable per
 # maximal vowel run (split on '[aeiou]+' yields runs+1 pieces).
-_READABILITY_ORACLE = """
+_READABILITY_ORACLE = r"""
 WITH counts AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(
