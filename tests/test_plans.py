@@ -698,3 +698,29 @@ def test_conversion_latency_joins_user_keyed(spark, sf_dir):
     assert_not_in_plan(
         df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
     )
+
+
+def test_ccnet_buckets_reuses_lm_scan_no_python(spark, sf_dir):
+    """curate_ccnet_buckets: LM scoring + tertile rank stays JVM-side
+    (no Python eval, no cartesian beyond the scalar total)."""
+    df = Q["curate_ccnet_buckets"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "BatchEvalPython", "ArrowEvalPython", "CartesianProduct"
+    )
+
+
+def test_median_of_means_partial_agg(spark, sf_dir):
+    """agg_median_of_means: bucket state is (sum, count) — a
+    partial+final hash aggregate shape."""
+    df = Q["agg_median_of_means"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2, text
+
+
+def test_encoding_artifacts_map_only(spark, sf_dir):
+    """text_encoding_artifacts: pure projection — no shuffle, no
+    Python."""
+    df = Q["text_encoding_artifacts"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "Exchange", "BatchEvalPython", "ArrowEvalPython"
+    )

@@ -97,6 +97,9 @@ def crafted_dir(spark):
         # 1 quiet, 1 loud  ->  5 frames, 2 active, 2 segments
         Row(doc_id=4, text="@" * 64 + "z" * 32 + "@" * 32 + "z" * 32,
             lang="en", source="s0", n_chars=160),
+        # encoding wreckage: replacement char + C0 control + mojibake
+        Row(doc_id=5, text="caf\u00c3\u00a9 bro\ufffdken\x07 text",
+            lang="en", source="s1", n_chars=20),
     ]
     spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.parquet(
         os.path.join(out, "documents.parquet")
@@ -371,3 +374,19 @@ def test_bh_flags_the_shifted_type(spark, sf_dir):
     if True in sig:
         last_true = max(i for i, s in enumerate(sig) if s)
         assert all(sig[: last_true + 1])
+
+
+def test_encoding_artifacts_detection(spark, crafted_dir):
+    """Doc 5 carries U+FFFD, a BEL control char, and an 'Ã©' mojibake
+    pair -> suspect with exact counts; the clean prose doc stays
+    clean."""
+    rows = {
+        r["doc_id"]: r
+        for r in Q["text_encoding_artifacts"].fn(spark, crafted_dir).collect()
+    }
+    bad = rows[5]
+    assert bad["n_replacement"] == 1
+    assert bad["n_control"] == 1
+    assert bad["n_mojibake"] == 1
+    assert bad["verdict"] == "suspect"
+    assert rows[0]["verdict"] == "clean"

@@ -572,3 +572,76 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_TOPN)
         .select("doc_id", "rrf_micro", "bm25_rank", "tfidf_rank", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+# The CCNet recipe: score every document with an LM, split the corpus
+# into perplexity tertiles, and treat 'head' as the high-quality slice
+# (train), 'middle' as usable, 'tail' as suspect. Reuses
+# text_lm_logprob verbatim as the scorer so the LM definition lives in
+# one place; the tertile rule is exact integer arithmetic (rk*3 vs n).
+_CCNET_ORACLE = f"""
+WITH lm AS (
+  SELECT * FROM ({_LM_ORACLE}) _lm
+),
+ranked AS (
+  SELECT doc_id, n_tokens, logprob_micro,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(logprob_micro AS DOUBLE) / n_tokens DESC, doc_id)
+           AS rk,
+         COUNT(*) OVER () AS n
+  FROM lm
+)
+SELECT doc_id, n_tokens, logprob_micro,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+@query(
+    "curate_ccnet_buckets", oracle=_CCNET_ORACLE, tags=("pipeline", "quality")
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiering: rank documents by per-token LM
+    log-probability (fluency) and cut the corpus into head/middle/tail
+    tertiles — the published recipe behind CCNet/RedPajama's quality
+    slices. Head docs read like the LM's training distribution; tail
+    docs are boilerplate/garbled candidates for ``text_quality`` /
+    ``text_encoding_artifacts`` review.
+
+    Scale shape: scoring is text_lm_logprob's one token scan + per-doc
+    aggregate; the tertile rank is the only corpus-ordered stage — at
+    100 TB replace it with two sampled quantile thresholds on the
+    score (same cut, no global sort), which this exact output
+    calibrates. Tie-break on doc_id keeps the cut deterministic."""
+    lm = text_lm_logprob(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    ranked = lm.select(
+        "doc_id",
+        "n_tokens",
+        "logprob_micro",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("logprob_micro").cast("double") / F.col("n_tokens")).desc(),
+                F.col("doc_id"),
+            )
+        )
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "logprob_micro",
+        F.when(F.col("rk") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -1147,3 +1147,77 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("prose"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding-artifact screen (mojibake / replacement / control chars)
+# ---------------------------------------------------------------------------
+
+# The decode-garbage gate a crawl pipeline runs right after charset
+# sniffing: U+FFFD replacement chars (failed decodes), C0 control
+# characters (binary-in-text), and the 'Ã' fingerprint of UTF-8 read
+# as Latin-1 ('é' -> 'Ã©'). All counts are length-difference
+# expressions; a clean corpus yields all-clean verdicts (the crafted
+# fixture in tests/test_session2_semantics.py proves detection).
+_ENC_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+@query(
+    "text_encoding_artifacts",
+    oracle=rf"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, chr(65533), ''))
+           AS BIGINT) AS n_replacement,
+         CAST(length(text)
+              - length(regexp_replace(text, '{_ENC_CTRL_CLASS}', '', 'g'))
+           AS BIGINT) AS n_control,
+         CAST(length(text) - length(replace(text, chr(195), ''))
+           AS BIGINT) AS n_mojibake
+  FROM documents
+)
+SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+       CASE WHEN n_replacement > 0 OR n_control > 0
+              OR n_mojibake * 1000000 >= n_chars * 5000
+            THEN 'suspect' ELSE 'clean' END AS verdict
+FROM feats
+""",
+    tags=("text", "quality"),
+)
+def text_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact verdict per document: any U+FFFD or C0 control
+    character, or an 'Ã'-density over 0.5%, marks the doc suspect for
+    re-decode/drop — the screen that keeps charset wreckage out of a
+    pretraining mix (pair with ``text_unicode_nfc`` for normalization
+    drift). Map-only length-difference counting: no explode, no
+    shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("�")))
+        ).cast("bigint").alias("n_replacement"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", _ENC_CTRL_CLASS, ""))
+        ).cast("bigint").alias("n_control"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("Ã")))
+        ).cast("bigint").alias("n_mojibake"),
+    )
+    return feats.select(
+        "*",
+        F.when(
+            (F.col("n_replacement") > 0)
+            | (F.col("n_control") > 0)
+            | (F.col("n_mojibake") * 1000000 >= F.col("n_chars") * 5000),
+            F.lit("suspect"),
+        )
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )

@@ -1326,3 +1326,64 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-up comparison is pure integer arithmetic."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# median-of-means: the mergeable robust mean estimator
+# ---------------------------------------------------------------------------
+
+# Rows hash into K buckets (Knuth mix on event_id — engine-neutral);
+# each bucket keeps (sum, count) — constant mergeable state, exactly
+# like a distributed aggregate shard — and the estimator is the median
+# of the K bucket means. One adversarial/heavy-tailed shard moves ONE
+# bucket, not the estimate: the streaming-robust alternative to the
+# plain mean, at K integers of state per group.
+_MOM_K = 16
+
+_MOM_SQL = f"""
+WITH vals AS (
+  SELECT event_type,
+         (event_id * 2654435761) % {_MOM_K} AS b,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+buckets AS (
+  SELECT event_type, b,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY event_type, b
+),
+means AS (
+  SELECT event_type, CAST(s AS DOUBLE) / n AS m, s, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(s AS DOUBLE) / n, b) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM buckets
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(nb) AS BIGINT) AS n_buckets,
+       CAST(floor((MAX(CASE WHEN rk = floor((nb + 1) / 2) THEN m END)
+                   + MAX(CASE WHEN rk = floor((nb + 2) / 2) THEN m END))
+                  / 2 * 1000) AS BIGINT) AS mom_millicents,
+       CAST(floor(CAST(SUM(s) AS DOUBLE) / SUM(n) * 1000) AS BIGINT)
+         AS mean_millicents
+FROM means
+GROUP BY event_type
+"""
+
+
+@query("agg_median_of_means", oracle=_MOM_SQL, tags=("agg", "stats", "sketch"))
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means per event type next to the plain mean — the
+    mergeable robust location estimator (K=16 hash buckets of
+    (sum, count) state; the estimate is the median bucket mean). The
+    state is K pairs of integers per group: it merges map-side exactly
+    like any partial aggregate, which is what makes it deployable at
+    100 TB where a true median would need a sort or a sketch.
+
+    Determinism: Knuth-mix bucketing (no engine RNG), exact integer
+    (sum, count) lanes, bucket means as one double division each, and
+    the doubled-rank median with a b tie-break."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MOM_SQL)
