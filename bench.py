@@ -95,6 +95,9 @@ HEADLINE = [
     "ts_stl_decompose",           # trend/seasonal/residual decomposition
     "stat_spearman",              # rank-correlation windows + exact sums
     "graph_label_propagation",    # synchronous mode-label communities
+    "emb_kmeans_lloyd",           # distributed Lloyd k-means (2 rounds)
+    "pipe_pretrain_mix",          # full pretraining-mix composition
+    "dedup_threshold_sweep",      # Jaccard-cut aggressiveness curve
 ]
 
 

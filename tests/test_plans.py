@@ -724,3 +724,35 @@ def test_encoding_artifacts_map_only(spark, sf_dir):
     assert_not_in_plan(
         df, "Exchange", "BatchEvalPython", "ArrowEvalPython"
     )
+
+
+def test_threshold_sweep_reuses_bucketed_pairs(spark, sf_dir):
+    """dedup_threshold_sweep: the only nested-loop allowed is the
+    5-literal-row threshold broadcast; candidate generation must stay
+    the bucketed LSH equi-join (no cartesian over documents)."""
+    df = Q["dedup_threshold_sweep"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    simple = plan_text(df, mode="simple")
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+
+
+def test_pretrain_mix_id_width_joins(spark, sf_dir):
+    """pipe_pretrain_mix: stage composition joins carry ids/scores,
+    never text — no document text column may cross an exchange."""
+    import re
+
+    df = Q["pipe_pretrain_mix"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+        text,
+    )
+    assert blocks
+    # the load_table_scaled RoundRobin repartition legitimately carries
+    # full rows (it IS the parallelize-the-narrow-input step); only
+    # KEYED shuffles must be text-free
+    hashed = [cols for cols, args in blocks if "hashpartitioning" in args]
+    for cols in hashed:
+        assert "text#" not in cols, f"document text crosses a shuffle: {cols}"

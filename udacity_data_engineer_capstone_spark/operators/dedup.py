@@ -973,3 +973,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "matched_id", "matched_side", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# threshold sweep: how many pairs/docs does each Jaccard cut remove?
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)  # percent
+
+_SWEEP_ORACLE = f"""
+WITH pairs AS (
+  SELECT * FROM ({_MINHASH_ORACLE}) _p
+),
+th AS (SELECT unnest({list(_SWEEP_THRESHOLDS)}) AS t_pct)
+SELECT CAST(t.t_pct AS INT) AS t_pct,
+       CAST(COUNT(p.a_id) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT p.b_id) AS BIGINT) AS n_docs_dropped
+FROM th t
+LEFT JOIN pairs p ON p.jaccard * 100 >= t.t_pct
+GROUP BY t.t_pct
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE, tags=("dedup", "lsh"))
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness curve: for each candidate Jaccard cut
+    (50..90%), how many verified near-dup pairs survive and how many
+    documents the keep-earliest policy would drop — the sweep a data
+    team runs BEFORE committing a threshold to a 100 TB dedup pass
+    (too low deletes paraphrases, too high keeps templates). Reuses
+    :func:`dedup_minhash_lsh` verbatim, so the candidate generation
+    stays the bucketed LSH path.
+
+    Scale shape: the expensive work is the (already-bucketed) pair
+    pipeline; the sweep itself is a 5-row broadcast joined against the
+    pair set (non-equi, but against five literal rows) and a 5-group
+    aggregate."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+        ).alias("t_pct")
+    )
+    t = F.broadcast(th).alias("t")
+    p = pairs.alias("p")
+    joined = t.join(p, F.col("p.jaccard") * 100 >= F.col("t.t_pct"), "left")
+    return joined.groupBy(F.col("t.t_pct").cast("int").alias("t_pct")).agg(
+        F.count(F.col("p.a_id")).alias("n_pairs"),
+        F.countDistinct(F.col("p.b_id")).alias("n_docs_dropped"),
+    )

@@ -341,3 +341,153 @@ def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_E360_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# pretraining-mix pipeline: quality -> dedup -> tier -> DSIR -> shards
+# ---------------------------------------------------------------------------
+
+# The stages reuse the registered operators VERBATIM (functions on the
+# Spark side, oracle constants on the DuckDB side), so the pipeline and
+# its unit operators cannot drift apart.
+from udacity_data_engineer_capstone_spark.operators.curation import (  # noqa: E402
+    _DSIR_ORACLE,
+    _MODEL_ORACLE,
+    _SHARD_MIX,
+    _SHARDS,
+    curate_dsir,
+    curate_model_score,
+)
+from udacity_data_engineer_capstone_spark.operators.retrieval import (  # noqa: E402
+    _CCNET_ORACLE,
+    curate_ccnet_buckets,
+)
+
+_PRETRAIN_MIX_ORACLE = f"""
+WITH model AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS qrk,
+           COUNT(*) OVER () AS qn
+    FROM ({_MODEL_ORACLE}) _m
+  ) _q WHERE qrk * 2 <= qn
+),
+keepers AS (
+  SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+),
+cc AS (
+  SELECT doc_id, bucket FROM ({_CCNET_ORACLE}) _c
+  WHERE bucket IN ('head', 'middle')
+),
+ds AS (
+  SELECT doc_id, dsir_score_micro FROM ({_DSIR_ORACLE}) _d
+),
+surv AS (
+  SELECT d.doc_id, cc.bucket, ds.dsir_score_micro
+  FROM documents d
+  JOIN model USING (doc_id)
+  JOIN cc USING (doc_id)
+  JOIN ds USING (doc_id)
+  WHERE d.lang = 'en'
+    AND d.doc_id IN (SELECT keep_id FROM keepers)
+),
+half AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY dsir_score_micro DESC, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM surv
+),
+sel AS (
+  SELECT doc_id, bucket, dsir_score_micro,
+         {_SHARD_MIX.format(key="doc_id")} AS mix
+  FROM half WHERE rk * 2 <= n
+)
+SELECT doc_id, bucket, dsir_score_micro,
+       CAST(mix % {_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY mix % {_SHARDS}
+                               ORDER BY mix, doc_id) AS BIGINT) AS position
+FROM sel
+"""
+
+
+@query(
+    "pipe_pretrain_mix",
+    oracle=_PRETRAIN_MIX_ORACLE,
+    tags=("pipeline", "dedup", "quality"),
+)
+def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data recipe as ONE dataflow: English slice
+    → upper-half linear-classifier quality cut (``curate_model_score``'s
+    score; a RELATIVE cut — this corpus sits entirely under that
+    operator's absolute keep threshold) → exact dedup
+    keep-earliest → CCNet head/middle fluency tiers
+    (``curate_ccnet_buckets``) → DSIR top-half selection toward the
+    target distribution (``curate_dsir``) → deterministic epoch shard/
+    position assignment (``curate_shard_shuffle``'s mix). Every stage
+    is the registered operator reused verbatim; the output is the
+    loader-ready training order.
+
+    Scale shape: each stage keeps its own audited shape (map-only
+    gates, hash-width dedup shuffle, broadcast LR model, per-shard
+    sorts); the stages compose via doc_id semi/equi joins that carry
+    ids and small scores, never text. The one global rank (DSIR half)
+    is the calibration path — production swaps it for a sampled score
+    threshold, as documented on curate_dsir."""
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    scored = curate_model_score(spark, sf_dir).select("doc_id", "score_micro")
+    model = (
+        scored.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
+            .alias("qrk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("qn"),
+        )
+        .filter(F.col("qrk") * 2 <= F.col("qn"))
+        .select("doc_id")
+    )
+    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    cc = (
+        curate_ccnet_buckets(spark, sf_dir)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .select("doc_id", "bucket")
+    )
+    ds = curate_dsir(spark, sf_dir).select("doc_id", "dsir_score_micro")
+    surv = (
+        docs.filter(F.col("lang") == "en")
+        .join(model, "doc_id", "left_semi")
+        .join(
+            keepers.select("keep_id"),
+            F.col("doc_id") == F.col("keep_id"),
+            "left_semi",
+        )
+        .join(cc, "doc_id")
+        .join(ds, "doc_id")
+        .select("doc_id", "bucket", "dsir_score_micro")
+    )
+    half = surv.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    sel = half.filter(F.col("rk") * 2 <= F.col("n")).select(
+        "doc_id",
+        "bucket",
+        "dsir_score_micro",
+        F.expr(_SHARD_MIX.format(key="doc_id")).alias("mix"),
+    )
+    wp = Window.partitionBy(F.col("mix") % _SHARDS)
+    return sel.select(
+        "doc_id",
+        "bucket",
+        "dsir_score_micro",
+        (F.col("mix") % _SHARDS).cast("long").alias("shard"),
+        F.row_number()
+        .over(wp.orderBy("mix", "doc_id"))
+        .cast("long")
+        .alias("position"),
+    )
