@@ -756,3 +756,21 @@ def test_pretrain_mix_id_width_joins(spark, sf_dir):
     hashed = [cols for cols, args in blocks if "hashpartitioning" in args]
     for cols in hashed:
         assert "text#" not in cols, f"document text crosses a shuffle: {cols}"
+
+
+def test_attribution_user_keyed_no_cartesian(spark, sf_dir):
+    """evt_attribution_position: the purchase x touch join is
+    user-keyed (equi) — no cartesian/nested-loop over events."""
+    df = Q["evt_attribution_position"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_pref_pairs_mirror_equi_join(spark, sf_dir):
+    """curate_pref_pairs: the mirrored-rank pairing must be an
+    equi-join on (source, rank), not a nested loop."""
+    df = Q["curate_pref_pairs"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text, text

@@ -390,3 +390,52 @@ def test_encoding_artifacts_detection(spark, crafted_dir):
     assert bad["n_mojibake"] == 1
     assert bad["verdict"] == "suspect"
     assert rows[0]["verdict"] == "clean"
+
+
+def test_position_attribution_single_touch(spark, crafted_dir):
+    """Each converting user has exactly one prior view touch -> view
+    gets 10000 bps per purchase, clicks get nothing, and the excluded
+    purchase (no prior touch in window) contributes nothing."""
+    rows = {
+        r["channel"]: r
+        for r in Q["evt_attribution_position"].fn(spark, crafted_dir).collect()
+    }
+    assert rows["view"]["total_bps"] == 30000
+    assert rows["view"]["n_purchases_touched"] == 3
+    assert "click" not in rows or rows["click"]["total_bps"] == 0
+
+
+def test_attribution_credits_conserve(spark, sf_dir):
+    """On real data, total credits must equal 10000 bps per touched
+    purchase — the largest-remainder split conserves mass exactly."""
+    import duckdb
+
+    from udacity_data_engineer_capstone_spark.catalog import table_path
+
+    rows = Q["evt_attribution_position"].fn(spark, sf_dir).collect()
+    total = sum(r["total_bps"] for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from "
+        f"read_parquet('{table_path(sf_dir, 'events')}')"
+    )
+    touched = con.execute("""
+        SELECT COUNT(*) FROM (
+          SELECT p.event_id FROM events p
+          WHERE p.event_type = 'purchase' AND EXISTS (
+            SELECT 1 FROM events t
+            WHERE t.user_id = p.user_id
+              AND t.event_type IN ('click', 'view')
+              AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
+        )""").fetchone()[0]
+    assert total == 10000 * touched
+
+
+def test_pref_pairs_margins_positive(spark, sf_dir):
+    """Every emitted pair must have chosen strictly above rejected and
+    a pair rank in the top half of its source."""
+    rows = Q["curate_pref_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "no preference pairs emitted"
+    for r in rows:
+        assert r["margin_micro"] > 0
+        assert r["chosen_doc"] != r["rejected_doc"]

@@ -1133,3 +1133,90 @@ def curate_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("position"),
         F.count(F.lit(1)).over(wp).cast("long").alias("n_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# preference pairs: best-vs-worst quality pairings per source
+# ---------------------------------------------------------------------------
+
+# Reward-model / DPO data prep: within each source, pair the i-th best
+# document with the i-th worst (chosen vs rejected) so every pair has a
+# clear quality margin — the deterministic analogue of sampling
+# preference pairs from a scored pool. Scores reuse curate_model_score
+# verbatim; the mirror join is an equi-join on (source, mirrored rank).
+_PREF_ORACLE = f"""
+WITH scored AS (
+  SELECT m.doc_id, d.source, m.score_micro
+  FROM ({_MODEL_ORACLE}) m JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, score_micro,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_micro DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT a.source,
+       a.doc_id AS chosen_doc,
+       b.doc_id AS rejected_doc,
+       CAST(a.score_micro - b.score_micro AS BIGINT) AS margin_micro,
+       CAST(a.rn AS INT) AS pair_rank
+FROM ranked a
+JOIN ranked b
+  ON b.source = a.source AND b.rn = a.n + 1 - a.rn
+WHERE a.rn * 2 < a.n + 1
+  AND a.score_micro > b.score_micro
+"""
+
+
+@query("curate_pref_pairs", oracle=_PREF_ORACLE, tags=("pipeline", "quality"))
+def curate_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model/DPO training:
+    within each source, pair rank i (chosen) with rank n+1-i
+    (rejected) by classifier score, keeping only pairs with a strictly
+    positive margin. Deterministic (total-order ranks), and the margin
+    column is the curriculum knob (train on large margins first).
+
+    Scale shape: one score projection (map-only), per-source ranking
+    windows, and a mirrored-rank equi-join that carries ids and scores
+    only. The pair count is n/2 per source by construction."""
+    scored = curate_model_score(spark, sf_dir).select("doc_id", "score_micro")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = (
+        scored.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "score_micro",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.col("score_micro").desc(), F.col("doc_id")
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.rn") == F.col("a.n") + 1 - F.col("a.rn")),
+        )
+        .filter(
+            (F.col("a.rn") * 2 < F.col("a.n") + 1)
+            & (F.col("a.score_micro") > F.col("b.score_micro"))
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("chosen_doc"),
+            F.col("b.doc_id").alias("rejected_doc"),
+            (F.col("a.score_micro") - F.col("b.score_micro"))
+            .cast("long")
+            .alias("margin_micro"),
+            F.col("a.rn").cast("int").alias("pair_rank"),
+        )
+    )

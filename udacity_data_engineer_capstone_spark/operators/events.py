@@ -1225,3 +1225,114 @@ def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("secs").cast("long").alias("min_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# position-based attribution (40/20/40 with exact largest-remainder split)
+# ---------------------------------------------------------------------------
+
+# Credits are integer basis points summing to EXACTLY 10000 per
+# purchase: single touch 10000; two touches 5000/5000; otherwise
+# first/last 4000 each and the middle 2000 split by integer division
+# with the remainder going to the earliest middles (largest-remainder,
+# the curate_token_budget discipline). The touch window is 7 days.
+_ATTR_POS_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_id AS touch_id, ts AS tts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.purchase_id, t.channel, t.tts, t.touch_id,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.tts, t.touch_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS cnt
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.tts < p.pts
+   AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT purchase_id, channel,
+         CASE
+           WHEN cnt = 1 THEN 10000
+           WHEN cnt = 2 THEN 5000
+           WHEN rn = 1 OR rn = cnt THEN 4000
+           ELSE 2000 // (cnt - 2)
+                + CASE WHEN rn - 1 <= 2000 % (cnt - 2) THEN 1 ELSE 0 END
+         END AS bps
+  FROM joined
+)
+SELECT channel,
+       CAST(SUM(bps) AS BIGINT) AS total_bps,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_touched
+FROM credited
+GROUP BY channel
+"""
+
+
+@query(
+    "evt_attribution_position", oracle=_ATTR_POS_ORACLE, tags=("events", "window")
+)
+def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution over
+    a 7-day lookback — the standard refinement of
+    ``evt_attribution_last_touch`` when first-touch discovery matters
+    as much as closing. Per-purchase credits are exact integer basis
+    points that sum to 10000 by construction (largest-remainder middle
+    split), so channel totals are fold-order-exact.
+
+    Scale shape: the purchase x prior-touch join is user-keyed and
+    window-bounded (7 days), so its fan-out is per-user activity in
+    the window, not corpus size; the position window partitions by
+    purchase. Integer `/` and `%` run on positive operands only
+    (cnt >= 3 in that branch)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("tts", "touch_id")
+    wp = Window.partitionBy("purchase_id")
+    ranked = joined.select(
+        "purchase_id",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    bps = (
+        F.when(F.col("cnt") == 1, F.lit(10000))
+        .when(F.col("cnt") == 2, F.lit(5000))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("cnt")), F.lit(4000))
+        .otherwise(
+            F.expr(
+                "2000 DIV (cnt - 2)"
+                " + CASE WHEN rn - 1 <= 2000 % (cnt - 2) THEN 1 ELSE 0 END"
+            )
+        )
+    )
+    return (
+        ranked.select("purchase_id", "channel", bps.alias("bps"))
+        .groupBy("channel")
+        .agg(
+            F.sum("bps").cast("long").alias("total_bps"),
+            F.countDistinct("purchase_id").alias("n_purchases_touched"),
+        )
+    )
