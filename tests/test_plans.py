@@ -774,3 +774,29 @@ def test_pref_pairs_mirror_equi_join(spark, sf_dir):
     text = plan_text(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_hits_pregel_shape(spark, sf_dir):
+    """graph_hits: each half-round is equi-join + hash agg with a
+    scalar-normalizer broadcast — no cartesian beyond those scalars."""
+    df = Q["graph_hits"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+
+
+def test_cuped_single_user_aggregate(spark, sf_dir):
+    """evt_cuped: one corpus-sized user aggregate; everything after is
+    scalar/2-row frames."""
+    df = Q["evt_cuped"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in text
+
+
+def test_range_query_no_shuffle_scan(spark, sf_dir):
+    """sim_range_query: single probe broadcast onto the vector scan —
+    the only nested-loop is that 1-row broadcast; no vector shuffle."""
+    df = Q["sim_range_query"].fn(spark, sf_dir)
+    simple = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple

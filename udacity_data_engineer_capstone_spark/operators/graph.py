@@ -802,3 +802,100 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS: hubs (customers) and authorities (suppliers) on the purchase graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1000
+
+# Each half-round max-normalizes to integer milli-units (h*1000 //
+# max_h) so scores stay bounded, comparable, and exactly integer —
+# the same normalize-in-integers trick as the PCA power iteration.
+_HITS_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a0 AS (SELECT DISTINCT s, CAST({_HITS_SCALE} AS BIGINT) AS a FROM edges),
+h1 AS (SELECT e.c, CAST(SUM(a0.a) AS BIGINT) AS h
+       FROM edges e JOIN a0 ON a0.s = e.s GROUP BY e.c),
+h1n AS (SELECT c, h * {_HITS_SCALE} // (SELECT MAX(h) FROM h1) AS h FROM h1),
+a1 AS (SELECT e.s, CAST(SUM(h1n.h) AS BIGINT) AS a
+       FROM edges e JOIN h1n ON h1n.c = e.c GROUP BY e.s),
+a1n AS (SELECT s, a * {_HITS_SCALE} // (SELECT MAX(a) FROM a1) AS a FROM a1),
+h2 AS (SELECT e.c, CAST(SUM(a1n.a) AS BIGINT) AS h
+       FROM edges e JOIN a1n ON a1n.s = e.s GROUP BY e.c),
+h2n AS (SELECT c, h * {_HITS_SCALE} // (SELECT MAX(h) FROM h2) AS h FROM h2),
+a2 AS (SELECT e.s, CAST(SUM(h2n.h) AS BIGINT) AS a
+       FROM edges e JOIN h2n ON h2n.c = e.c GROUP BY e.s),
+a2n AS (SELECT s, a * {_HITS_SCALE} // (SELECT MAX(a) FROM a2) AS a FROM a2)
+SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_id,
+       CAST(h AS BIGINT) AS score_milli
+FROM h2n
+UNION ALL
+SELECT 'authority' AS role, CAST(s AS BIGINT) AS node_id,
+       CAST(a AS BIGINT) AS score_milli
+FROM a2n
+"""
+
+
+@query("graph_hits", oracle=_HITS_ORACLE, tags=("graph", "iterative"))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the bipartite purchase graph: customers score as HUBS
+    (they buy from authoritative suppliers), suppliers as AUTHORITIES
+    (they are bought by strong hubs) — the ranking PageRank can't
+    express because it conflates the two roles. Two full hub→authority
+    rounds, each max-normalized into exact integer milli-units.
+
+    Scale shape: per half-round, one equi-join of the static edge list
+    with the node-sized score vector + one hash aggregate (the Pregel
+    shape shared with ``graph_pagerank``); the normalizer is a scalar
+    MAX broadcast back. Edges are built once and checkpointed; scores
+    are node-sized on every shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} * {_HITS_SCALE} DIV mx").alias(col),
+        )
+
+    auth = edges.select("s").distinct().select(
+        "s", F.lit(_HITS_SCALE).cast("long").alias("a")
+    )
+    for _ in range(_HITS_ITERS):
+        hub = (
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hub = _normalize(hub, "h").localCheckpoint(eager=False)
+        auth = (
+            edges.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        auth = _normalize(auth, "a").localCheckpoint(eager=False)
+    hubs = hub.select(
+        F.lit("hub").alias("role"),
+        F.col("c").cast("long").alias("node_id"),
+        F.col("h").cast("long").alias("score_milli"),
+    )
+    auths = auth.select(
+        F.lit("authority").alias("role"),
+        F.col("s").cast("long").alias("node_id"),
+        F.col("a").cast("long").alias("score_milli"),
+    )
+    return hubs.unionAll(auths)

@@ -734,3 +734,98 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MAXSIM_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# range query: all vectors within a cosine threshold of an anchor
+# ---------------------------------------------------------------------------
+
+# The dual of top-k: "everything at least this similar", the shape a
+# near-dup or policy screen runs against one probe vector. The cosine
+# gate is EXACT integer arithmetic — dot^2 * 10000 >= tau2_bp * |a|^2
+# * |b|^2 on a DECIMAL(38,0)/HUGEINT lane (dot ~ 1.4e8 squares past
+# int64) — so no float comparison decides membership. tau = 0.25 is
+# calibrated to this corpus's cosine spread (max anchor cosine ~0.4).
+_RANGE_TAU2_BP = 625  # tau^2 in basis points: 0.25^2 = 0.0625
+
+_RANGE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))
+           AS BIGINT) AS n2
+  FROM q
+),
+a AS (SELECT v AS av, n2 AS an2 FROM n WHERE vec_id = 0),
+dots AS (
+  SELECT n.vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> n.v[i] * a.av[i]))
+           AS BIGINT) AS dot,
+         n.n2, a.an2
+  FROM n CROSS JOIN a
+  WHERE n.vec_id <> 0
+)
+SELECT vec_id, dot AS dot_milli2
+FROM dots
+WHERE dot > 0
+  AND CAST(dot AS HUGEINT) * dot * 10000
+      >= {_RANGE_TAU2_BP} * CAST(n2 AS HUGEINT) * an2
+"""
+
+
+@query("sim_range_query", oracle=_RANGE_ORACLE, tags=("similarity",))
+def sim_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine >= 0.25 to the anchor (vec 0) — range
+    search, the similarity shape dedup/policy screens want when "how
+    many" is unknown (contrast ``sim_topk_bruteforce``'s fixed k).
+
+    Scale shape: one broadcast of the single probe row onto the vector
+    scan, a map-only integer dot product per vector, and the exact
+    wide-lane gate — no shuffle at all; the output is threshold-bounded.
+    For probe BATCHES, the same plan broadcasts the probe table and the
+    LSH-bucketed ``sim_ann_lsh`` path replaces the full scan."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.expr(
+            "CAST(aggregate(zip_with(v, v, (a, b) -> a * b),"
+            " 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("n2"),
+    )
+    anchor = q.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("av"), F.col("n2").alias("an2")
+    )
+    dots = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(aggregate(zip_with(v, av, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("dot"),
+            "n2",
+            "an2",
+        )
+    )
+    return dots.filter(
+        (F.col("dot") > 0)
+        & (
+            F.expr(
+                f"CAST(dot AS DECIMAL(38,0)) * dot * 10000"
+                f" >= {_RANGE_TAU2_BP} * CAST(n2 AS DECIMAL(38,0)) * an2"
+            )
+        )
+    ).select("vec_id", F.col("dot").alias("dot_milli2"))
