@@ -439,3 +439,30 @@ def test_pref_pairs_margins_positive(spark, sf_dir):
     for r in rows:
         assert r["margin_micro"] > 0
         assert r["chosen_doc"] != r["rejected_doc"]
+
+
+def test_normalized_dedup_catches_formatting_variants(spark, crafted_dir):
+    """'The cat sat. The dog ran.' has no variant in the crafted set,
+    but a case/punct variant corpus must group under one canon hash
+    while raw md5 treats them as distinct."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="engine_normdup_")
+    # ids 51-53 dodge the corpus() plant rules (id%50 in {0, 7})
+    docs = [
+        Row(doc_id=51, text="Hello, World!  How are you?", lang="en",
+            source="s0", n_chars=27),
+        Row(doc_id=52, text="hello world how are you", lang="en",
+            source="s0", n_chars=23),
+        Row(doc_id=53, text="entirely different text", lang="en",
+            source="s0", n_chars=23),
+    ]
+    spark.createDataFrame(docs, _DOCS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    norm = Q["dedup_exact_normalized"].fn(spark, out).collect()
+    assert len(norm) == 1
+    assert norm[0]["keep_id"] == 51 and norm[0]["n_variants"] == 2
+    raw = Q["dedup_exact"].fn(spark, out).collect()
+    assert all(r["n_copies"] == 1 for r in raw)

@@ -1022,3 +1022,63 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("p.a_id")).alias("n_pairs"),
         F.countDistinct(F.col("p.b_id")).alias("n_docs_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# normalized-exact dedup (canonicalize, then hash)
+# ---------------------------------------------------------------------------
+
+# C4-style "fuzzy-exact": lowercase, strip punctuation runs, collapse
+# whitespace — so case/spacing/punctuation variants of the same text
+# land in one hash group that raw dedup_exact treats as distinct. The
+# canonicalization is the same regexp tree in both engines.
+_NORM_EXPR = (
+    "trim(regexp_replace(regexp_replace(lower({col}),"
+    " '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+_NORM_EXPR_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower({col}),"
+    " '[^a-z0-9\\\\s]+', ' '), '\\\\s+', ' '))"
+)
+
+_EXACT_NORM_ORACLE = f"""
+WITH {CORPUS_CTE},
+canon AS (
+  SELECT doc_id, md5({_NORM_EXPR.format(col="text")}) AS h
+  FROM corpus
+)
+SELECT h AS canon_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon
+GROUP BY h
+HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_exact_normalized", oracle=_EXACT_NORM_ORACLE, tags=("dedup",))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup groups (only the multi-member ones):
+    canonicalize text (lowercase, punctuation→space, whitespace
+    collapse) BEFORE hashing, so trivial formatting variants dedup
+    together — the standard C4 refinement of raw ``dedup_exact``. On
+    this corpus the planted duplicates are byte-identical, so both
+    operators find the same groups; the crafted-fixture test proves
+    the differential case (variants raw hashing misses).
+
+    Scale shape: identical to dedup_exact — the canonicalization is a
+    map-side expression and the shuffle carries 32-byte hashes with
+    partial (hash, min, count) state, never text."""
+    c = corpus(spark, sf_dir, scaled=True)
+    canon = c.select(
+        "doc_id",
+        F.md5(F.expr(_NORM_EXPR_SPARK.format(col="text"))).alias("h"),
+    )
+    return (
+        canon.groupBy(F.col("h").alias("canon_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

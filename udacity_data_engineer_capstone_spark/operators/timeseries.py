@@ -1115,3 +1115,54 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     median ranks."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_stl_anomaly_sql(_STL_ANOM_SPARK_H))
+
+
+# --- seasonality strength (Hyndman F_s) on the STL decomposition -----------
+
+_SEAS_STRENGTH_TEMPLATE = """
+WITH {chain},
+dd AS (
+  SELECT event_type, h,
+         CAST(v_cents * 1000 - trend_millicents AS BIGINT) AS d
+  FROM trend WHERE trend_millicents IS NOT NULL
+),
+paired AS (
+  SELECT dd.event_type, dd.d, r.r
+  FROM dd JOIN resid r ON r.event_type = dd.event_type AND r.h = dd.h
+),
+mo AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sd2,
+         CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(r * r) AS BIGINT) AS sr2
+  FROM paired GROUP BY event_type
+)
+SELECT event_type, n AS n_hours,
+       CAST(floor(greatest(0.0,
+         1.0 - (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+               / (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n))
+         * 1000000) AS BIGINT) AS seasonal_strength_ppm
+FROM mo
+"""
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle=_SEAS_STRENGTH_TEMPLATE.format(chain=_stl_chain_sql(_STL_ANOM_DUCK_H)),
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonality-strength F_s per event type: 1 minus the
+    ratio of residual variance to detrended variance on the STL
+    decomposition — near 1e6 ppm means the hour-of-day cycle explains
+    the series; near 0 means ``ts_stl_decompose``'s seasonal term is
+    noise and a forecaster should drop it. The routing statistic for
+    choosing between ``ts_forecast_snaive`` and trend-only models.
+
+    Scale shape: the STL chain's single corpus aggregate; variances
+    come from exact int64 moment sums over the calendar-bounded bucket
+    table, cast to DOUBLE once in the shared closed form."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _SEAS_STRENGTH_TEMPLATE.format(chain=_stl_chain_sql(_STL_ANOM_SPARK_H))
+    )

@@ -1463,3 +1463,50 @@ def evt_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-scaled outputs."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CUPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# power analysis: minimum detectable effect at current sample size
+# ---------------------------------------------------------------------------
+
+# MDE (two-sample, alpha=.05 two-sided, power=.80):
+# (z_{a/2} + z_b) * sqrt(2 * var / n) / mean — the literals 1.959964
+# and 0.841621 are spelled identically in both engines, so the whole
+# readout is one shared closed-form tree over exact moment sums.
+_MDE_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM vals GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(CAST(s1 AS DOUBLE) * 1000 / n) AS BIGINT)
+         AS mean_millicents,
+       CAST(floor(
+         (1.959964 + 0.841621)
+         * sqrt(2.0 * ((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) / n)
+         / (CAST(s1 AS DOUBLE) / n) * 1000000) AS BIGINT) AS mde_ppm
+FROM sums
+"""
+
+
+@query("stat_power_mde", oracle=_MDE_SQL, tags=("stats",))
+def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per event type at the CURRENT sample
+    size (alpha=0.05 two-sided, power=0.80) — the "is this experiment
+    even worth running" readout an experimentation platform shows
+    before assignment, and the design-side companion of ``evt_cuped``
+    (which shrinks the variance that drives this number).
+
+    One corpus-sized moment aggregate; the closed form runs on
+    |types| rows. Exact int64 sums, one cast to DOUBLE, identical
+    literal z constants in both engines, floor-scaled ppm output."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MDE_SQL)
