@@ -800,3 +800,20 @@ def test_range_query_no_shuffle_scan(spark, sf_dir):
     simple = plan_text(df, mode="simple")
     assert "CartesianProduct" not in simple
     assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+
+
+def test_referential_integrity_broadcast_dims(spark, sf_dir):
+    """act_referential_integrity: dimension parents broadcast; no
+    cartesian anywhere."""
+    df = Q["act_referential_integrity"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_scene_cut_single_arrow_stage(spark, sf_dir):
+    """mm_scene_cut: one MapInPandas, no shuffle, no cartesian."""
+    df = Q["mm_scene_cut"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "MapInPandas" in text
+    assert "CartesianProduct" not in text

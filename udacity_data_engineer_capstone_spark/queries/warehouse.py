@@ -755,3 +755,46 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit across the star schema's FK chain
+# ---------------------------------------------------------------------------
+
+_RI_CHECKS = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_sql() -> str:
+    parts = []
+    for fk, child, ck, parent, pk in _RI_CHECKS:
+        parts.append(f"""
+SELECT '{fk}' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}""")
+    return " UNION ALL ".join(parts)
+
+
+@query("act_referential_integrity", oracle=_ri_sql(), tags=("action", "quality"))
+def act_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the full star-schema FK chain
+    (lineitem→orders→customer→nation→region): child count, orphan
+    count, and a pass flag per edge — the structural companion of
+    ``act_count_dq``'s row-count gates and ``act_dq_report``'s column
+    profile. A warehouse load promotes only when every edge is ok.
+
+    Scale shape: each check is one equi LEFT join where the parent side
+    is dimension-sized (broadcast) except lineitem→orders, which
+    shuffles on the order key exactly like the flagship join; orphan
+    counting is a map-side conditional sum."""
+    register_views(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
+    )
+    return spark.sql(_ri_sql())
