@@ -1336,3 +1336,66 @@ def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("purchase_id").alias("n_purchases_touched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# burstiness: Fano factor of the hourly arrival counts
+# ---------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+mo AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM counts GROUP BY event_type
+)
+SELECT event_type, n AS n_hours, s1 AS n_events,
+       CAST(floor(
+         ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+         / (CAST(s1 AS DOUBLE) / n) * 1000000) AS BIGINT) AS fano_ppm
+FROM mo
+"""
+
+
+@query("evt_burstiness_fano", oracle=_FANO_ORACLE, tags=("events", "stats"))
+def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of hourly arrival counts) per event
+    type: 1e6 ppm = Poisson arrivals, higher = bursty (bot spikes,
+    campaign waves), lower = paced — the one-number routing statistic
+    between ``evt_anomaly_zscore`` (assumes steady) and the burst-aware
+    ``ts_stl_anomaly``. One hourly count aggregate + one moment fold;
+    exact int64 lanes with a single double closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mo = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return mo.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("n_events"),
+        F.floor(
+            (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+            / (F.col("s1").cast("double") / F.col("n"))
+            * 1000000
+        )
+        .cast("long")
+        .alias("fano_ppm"),
+    )

@@ -899,3 +899,98 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("score_milli"),
     )
     return hubs.unionAll(auths)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity: do high-degree nodes connect to each other?
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH {_GRAPH_CTES.format(scale=SCALE)},
+dd AS (
+  SELECT b.s, b.d, gs.deg AS ds, gd.deg AS dt
+  FROM bidir b
+  JOIN deg gs ON gs.node = b.s
+  JOIN deg gd ON gd.node = b.d
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(ds) AS BIGINT) AS sx,
+         CAST(SUM(dt) AS BIGINT) AS sy,
+         CAST(SUM(ds * dt) AS BIGINT) AS sxy,
+         CAST(SUM(ds * ds) AS BIGINT) AS sx2,
+         CAST(SUM(dt * dt) AS BIGINT) AS sy2
+  FROM dd
+)
+SELECT m AS n_directed_edges,
+       CAST(floor(
+         (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(m AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+         * 1000000) AS BIGINT) AS assortativity_ppm
+FROM mo
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE, tags=("graph", "stats"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph: the Pearson
+    correlation of endpoint degrees over directed edges — positive
+    means hubs attach to hubs (social-style), negative means hubs
+    serve the periphery (typical bipartite commerce). The one-number
+    topology summary that tells a partitioner whether degree-based
+    salting (``join_salted_skew``) will pay off.
+
+    Scale shape: degree table joined onto the edge list twice
+    (node-sized build sides), one exact int64 moment fold, constant
+    output. Headroom: sum(ds*dt) <= m * dmax^2 — int64-safe through
+    ~1e10 edges at dmax 1e4; widen the lane past that."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    gs = deg.withColumnRenamed("s", "node").alias("gs")
+    gd = deg.withColumnRenamed("s", "node").alias("gd")
+    dd = (
+        bidir.join(gs, F.col("gs.node") == bidir["s"])
+        .join(gd, F.col("gd.node") == bidir["d"])
+        .select(F.col("gs.deg").alias("ds"), F.col("gd.deg").alias("dt"))
+    )
+    mo = dd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ds").alias("sx"),
+        F.sum("dt").alias("sy"),
+        F.sum(F.col("ds") * F.col("dt")).alias("sxy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sx2"),
+        F.sum(F.col("dt") * F.col("dt")).alias("sy2"),
+    )
+    return mo.select(
+        F.col("m").alias("n_directed_edges"),
+        F.floor(
+            (F.col("m").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(
+                    F.col("m").cast("double") * F.col("sx2")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("m").cast("double") * F.col("sy2")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )

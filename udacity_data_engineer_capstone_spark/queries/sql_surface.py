@@ -823,3 +823,35 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": _PARAM_STATUS, "min_price": _PARAM_MIN_PRICE},
     )
+
+
+# ---------------------------------------------------------------------------
+# base64 round-trip (binary wire-format function coverage)
+# ---------------------------------------------------------------------------
+
+_B64_ORACLE = """
+SELECT n_nationkey,
+       to_base64(encode(n_name)) AS b64,
+       CAST(octet_length(encode(n_name)) AS BIGINT) AS n_bytes,
+       decode(from_base64(to_base64(encode(n_name)))) = n_name AS roundtrip_ok
+FROM nation
+"""
+
+
+@query("fn_base64_roundtrip", oracle=_B64_ORACLE, tags=("scalar", "binary"))
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round-trip over a binary column — the wire
+    format every API-facing export path hits (webhooks, JSON-embedded
+    blobs, Avro defaults). Asserts the decode(encode(x)) identity
+    per row alongside the encoded text, so parity covers padding and
+    alphabet, not just length. Map-only projection."""
+    nation = load_table(spark, sf_dir, "nation")
+    enc = F.encode("n_name", "utf-8")
+    return nation.select(
+        "n_nationkey",
+        F.base64(enc).alias("b64"),
+        F.octet_length(enc).cast("long").alias("n_bytes"),
+        (
+            F.decode(F.unbase64(F.base64(enc)), "utf-8") == F.col("n_name")
+        ).alias("roundtrip_ok"),
+    )
