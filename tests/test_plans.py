@@ -817,3 +817,28 @@ def test_scene_cut_single_arrow_stage(spark, sf_dir):
     text = plan_text(df)
     assert "MapInPandas" in text
     assert "CartesianProduct" not in text
+
+
+def test_stream_static_join_broadcast(spark, sf_dir):
+    """stream_static_enrich: the static dim side must broadcast (no
+    cartesian) — checked on the batch twin of the streaming plan via
+    the drained result's provenance being a stream run is covered by
+    the parity test; here pin the dim derivation stays JVM-side."""
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 4).alias("seg"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    joined = ev.join(F.broadcast(dim), "user_id")
+    assert "BroadcastHashJoin" in plan_text(joined)
+
+
+def test_kendall_pair_join_calendar_bounded(spark, sf_dir):
+    """stat_kendall_tau: the pair join is over the hourly bucket table
+    (calendar-bounded), not raw events; no Python anywhere."""
+    df = Q["stat_kendall_tau"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")

@@ -1510,3 +1510,55 @@ def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal z constants in both engines, floor-scaled ppm output."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_MDE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau: concordance between two hourly series
+# ---------------------------------------------------------------------------
+
+# tau-a over the calendar-bounded hourly bucket table (the ts_theil_sen
+# pair-space argument): concordant/discordant pair counting is EXACT
+# integer sign arithmetic — no ranks, no doubles until the final ppm.
+_KENDALL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY date_trunc('hour', ts)
+),
+pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc
+  FROM hourly a JOIN hourly b ON a.h < b.h
+)
+SELECT CAST((SELECT COUNT(*) FROM hourly) AS BIGINT) AS n_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(floor((CAST(SUM(conc) AS DOUBLE) - SUM(disc)) / COUNT(*)
+                  * 1000000) AS BIGINT) AS tau_ppm
+FROM pairs
+"""
+
+
+@query("stat_kendall_tau", oracle=_KENDALL_SQL, tags=("stats", "join"))
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a between the hourly click and view revenue
+    series — the concordance-based association measure that completes
+    the correlation trio (``agg_corr_stddev`` Pearson,
+    ``stat_spearman`` ranks): tau counts ORDER agreements, so a single
+    wild hour moves it by at most 1/n_pairs.
+
+    Scale shape: the pair join runs over the calendar-bounded hourly
+    table (the ``ts_theil_sen`` argument — 720 rows/month regardless
+    of corpus size); the only corpus-sized stage is the bucket
+    aggregate. Sign products are exact int64; one double division at
+    the end."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_KENDALL_SQL)

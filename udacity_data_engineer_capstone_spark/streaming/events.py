@@ -737,3 +737,65 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("last_cents", "n_events").alias("last_cents"),
         F.max_by("level_cents", "n_events").alias("level_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+_STATIC_ENRICH_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       'seg' || CAST(user_id % 4 AS VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY date_trunc('hour', ts), user_id % 4
+"""
+
+
+@query(
+    "stream_static_enrich",
+    oracle=_STATIC_ENRICH_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a BATCH
+    dimension (user → segment) before its windowed aggregation — the
+    single most common production streaming shape (enrich clicks with
+    the account table), distinct from ``stream_stream_join``'s
+    stream-stream case. The static side is re-read per micro-batch by
+    Spark, which is what lets slowly-changing dims refresh without
+    restarting the query; here it is broadcast-sized.
+
+    Drained availableNow and checked against the batch twin — the
+    stream-static join must be exactly transparent to the result."""
+    src = stage_events_dir(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("seg"), (F.col("user_id") % 4).cast("string")
+            ).alias("segment"),
+        )
+    )
+    stream = stream_events(spark, src).withWatermark("ts", "1 hour")
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "segment",
+        "n_events",
+        "sum_cents",
+    )
