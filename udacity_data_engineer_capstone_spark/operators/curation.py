@@ -1220,3 +1220,97 @@ def curate_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.rn").cast("int").alias("pair_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# drop provenance: WHY did each document leave the training corpus?
+# ---------------------------------------------------------------------------
+
+# The governance artifact auditors actually ask for: every document
+# curate_training_corpus drops, with its reason (precedence: quality >
+# exact_dup > near_dup) and the evidence id (the kept twin). Reuses the
+# same CTE constants as the pipeline so reasons can never drift from
+# the real drop logic.
+_PROV_ORACLE = f"""
+WITH {CORPUS_CTE},
+q AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT)
+           AS n_tokens,
+         md5(text) AS h
+  FROM corpus
+),
+keepers AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+  FROM corpus GROUP BY md5(text)
+),
+pairs AS (
+  {_MINHASH_ORACLE}
+)
+SELECT q.doc_id,
+       CASE
+         WHEN q.n_tokens < {MIN_TOKENS} THEN 'quality'
+         WHEN q.doc_id <> k.keep_id THEN 'exact_dup'
+         ELSE 'near_dup'
+       END AS reason,
+       CASE
+         WHEN q.n_tokens < {MIN_TOKENS} THEN NULL
+         WHEN q.doc_id <> k.keep_id THEN k.keep_id
+         ELSE (SELECT MIN(p.a_id) FROM pairs p WHERE p.b_id = q.doc_id)
+       END AS evidence_id
+FROM q JOIN keepers k USING (h)
+WHERE q.n_tokens < {MIN_TOKENS}
+   OR q.doc_id <> k.keep_id
+   OR q.doc_id IN (SELECT b_id FROM pairs)
+"""
+
+
+@query("curate_drop_provenance", oracle=_PROV_ORACLE, tags=("pipeline", "dedup"))
+def curate_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop provenance for ``curate_training_corpus``:
+    every dropped doc with its reason (quality gate, exact duplicate,
+    near duplicate — first matching reason wins) and the id of the
+    kept evidence twin. The audit table a data-governance review reads
+    next to the corpus datasheet (``curate_datasheet``).
+
+    Scale shape: the same hash-width dedup machinery as the pipeline
+    (reused verbatim), one extra broadcast of the keeper map, and a
+    min-aggregate over the near-dup pair list for evidence — ids and
+    hashes on every shuffle, never text."""
+    docs = corpus(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.lower("text"), r"\s+"))
+    ).withColumn("h", F.md5("text"))
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), "keep_id"
+    )
+    near = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("near_evidence"))
+    )
+    j = (
+        docs.join(keepers, "h")
+        .join(near, docs["doc_id"] == near["b_id"], "left")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("quality"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .otherwise(F.lit("near_dup"))
+    )
+    evidence = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit(None).cast("long"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.col("keep_id"))
+        .otherwise(F.col("near_evidence"))
+    )
+    return (
+        j.filter(
+            (F.col("n_tokens") < MIN_TOKENS)
+            | (F.col("doc_id") != F.col("keep_id"))
+            | F.col("near_evidence").isNotNull()
+        )
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            evidence.alias("evidence_id"),
+        )
+    )

@@ -1399,3 +1399,60 @@ def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# new vs returning users per day
+# ---------------------------------------------------------------------------
+
+_NEW_RET_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT d.day,
+       CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN f.first_day < d.day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM daily d JOIN firsts f USING (user_id)
+GROUP BY d.day
+"""
+
+
+@query("evt_new_returning", oracle=_NEW_RET_ORACLE, tags=("events",))
+def evt_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each active (user, day) classifies
+    against the user's first-ever day — the acquisition/retention
+    headline every growth dashboard leads with, and the daily-grain
+    companion of ``evt_retention``'s cohort triangles and
+    ``evt_dau_wau_mau``'s rolling actives.
+
+    Scale shape: two user-keyed aggregates (first touch, distinct
+    activity) and one user equi-join; the first-touch side is
+    user-cardinality-sized and co-partitions with the activity table
+    on the join key. Pure integer counting."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+            ).alias("n_returning"),
+            F.count(F.lit(1)).alias("n_active"),
+        )
+    )
