@@ -855,3 +855,30 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.decode(F.unbase64(F.base64(enc)), "utf-8") == F.col("n_name")
         ).alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (modern-SQL ergonomics)
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GBA_SQL, tags=("sql",))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern-SQL ergonomic both engines now
+    share (DuckDB pioneered it; Spark adopted it in 3.4): every
+    non-aggregate select item becomes a grouping key, so adding a
+    dimension to the SELECT list can never silently break the GROUP BY
+    clause. One shared statement text runs verbatim on both engines;
+    the plan is the ordinary partial+final hash aggregate."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_GBA_SQL)

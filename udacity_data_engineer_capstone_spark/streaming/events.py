@@ -24,7 +24,7 @@ import time
 import uuid
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -798,4 +798,53 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_events",
         "sum_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# update output mode: per-batch changed rows, collapsed to latest
+# ---------------------------------------------------------------------------
+
+_UPDATE_MODE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "stream_update_mode_counts",
+    oracle=_UPDATE_MODE_ORACLE,
+    tags=("streaming",),
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode end-to-end: the running per-type aggregate
+    emits only CHANGED rows each micro-batch (the mode a keyed
+    store/feature platform consumes — contrast the ``complete``-mode
+    drains elsewhere in this module). The memory sink therefore holds
+    one row per (type, batch-it-changed-in); collapsing to the LAST
+    emission per type must equal the batch aggregate exactly — that
+    final-state equivalence is what the oracle checks.
+
+    The collapse keys on the monotone event count (update mode
+    re-emits a key only when its aggregate changed, so the max-count
+    row IS the final state) — no timestamps or sink ordering
+    assumptions."""
+    src = stage_events_dir(spark, sf_dir)
+    stream = stream_events(spark, src)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )
+    out = run_to_memory(agg, output_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_cents")
     )
