@@ -842,3 +842,13 @@ def test_kendall_pair_join_calendar_bounded(spark, sf_dir):
     (calendar-bounded), not raw events; no Python anywhere."""
     df = Q["stat_kendall_tau"].fn(spark, sf_dir)
     assert_not_in_plan(df, "BatchEvalPython", "ArrowEvalPython")
+
+
+def test_cluster_by_repartitions_and_sorts_locally(spark, sf_dir):
+    """sql_cluster_by: hash redistribution + per-partition sort, no
+    global (range) sort."""
+    df = Q["sql_cluster_by"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "hashpartitioning" in text, text
+    assert "Sort" in text
+    assert "rangepartitioning" not in text, text

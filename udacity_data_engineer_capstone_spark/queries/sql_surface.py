@@ -882,3 +882,39 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is the ordinary partial+final hash aggregate."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CLUSTER BY (Spark physical-distribution SQL)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = """
+SELECT o_orderpriority,
+       o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
+@query("sql_cluster_by", oracle=_CLUSTER_ORACLE, tags=("sql",))
+def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's hive-heritage ``CLUSTER BY`` (= DISTRIBUTE BY + SORT BY):
+    co-locates and locally sorts rows by the key WITHOUT a global sort
+    — the SQL spelling of the repartition+sortWithinPartitions layout
+    idiom the sinks in this repo use before partitioned writes. The
+    ROWS delivered are identical to the plain filter (which is what
+    the oracle checks — distribution is a physical property); the plan
+    pin asserts the RepartitionByExpression + per-partition Sort
+    actually appear."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        CLUSTER BY o_orderpriority
+        """
+    )

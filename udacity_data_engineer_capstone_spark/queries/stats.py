@@ -1562,3 +1562,97 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_KENDALL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# multiple OLS: hourly revenue on (hour-of-day, day-of-month)
+# ---------------------------------------------------------------------------
+
+# Normal equations solved in closed form (Cramer over the 3x3 moment
+# matrix) — every determinant is the same literal double expression in
+# both engines, fed by exact int64 sums over the calendar-bounded
+# hourly table. The multivariate sibling of stat_ols_regression.
+_OLS2_SQL = """
+WITH hourly AS (
+  SELECT CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS x1,
+         CAST(day(date_trunc('hour', ts)) AS BIGINT) AS x2,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM hourly
+),
+d AS (
+  SELECT n, sy, syy, s1, s2,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                              - CAST(s12 AS DOUBLE) * s12)
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+                                 - CAST(s12 AS DOUBLE) * s2)
+         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                                 - CAST(s11 AS DOUBLE) * s2) AS det,
+         CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22
+                               - CAST(s12 AS DOUBLE) * s12)
+         - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                                 - CAST(s12 AS DOUBLE) * s2y)
+         + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12
+                                 - CAST(s11 AS DOUBLE) * s2y) AS det0,
+         CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22
+                              - CAST(s12 AS DOUBLE) * s2y)
+         - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22
+                                 - CAST(s12 AS DOUBLE) * s2)
+         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                 - CAST(s1y AS DOUBLE) * s2) AS det1,
+         CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
+                              - CAST(s1y AS DOUBLE) * s12)
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                 - CAST(s1y AS DOUBLE) * s2)
+         + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12
+                                 - CAST(s11 AS DOUBLE) * s2) AS det2
+  FROM mo
+),
+beta AS (
+  SELECT n, sy, syy, s1, s2,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM d
+)
+SELECT n AS n_hours,
+       CAST(floor(b0 * 1000) AS BIGINT) AS intercept_millicents,
+       CAST(floor(b1 * 1000) AS BIGINT) AS beta_hour_millicents,
+       CAST(floor(b2 * 1000) AS BIGINT) AS beta_dom_millicents,
+       CAST(floor(
+         (1.0 - (CAST(syy AS DOUBLE)
+                 - b0 * sy - b1 * (SELECT CAST(s1y AS DOUBLE) FROM mo)
+                 - b2 * (SELECT CAST(s2y AS DOUBLE) FROM mo))
+                / (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sy / n)) * 1000000)
+         AS BIGINT) AS r2_ppm
+FROM beta
+"""
+
+
+@query("stat_ols_multiple", oracle=_OLS2_SQL, tags=("stats",))
+def stat_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS of hourly revenue on (hour-of-day,
+    day-of-month) via the closed-form normal equations — the
+    multivariate sibling of ``stat_ols_regression``, solved by Cramer
+    determinants over the 3x3 moment matrix so no iterative solver and
+    no per-engine linear-algebra library is involved. R² comes from
+    the residual identity SSE = Syy - b·X'y.
+
+    Scale shape: one corpus-sized hourly aggregate, then a constant
+    fold — the same moments-then-closed-form pattern as
+    ``stat_skew_kurtosis``/``evt_cuped``. Exact int64 moment lanes
+    (headroom: Σx2·y <= 30·hours·1e8 ≪ 2^63), doubles cast once,
+    identical literal determinant trees in both engines."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_OLS2_SQL)
