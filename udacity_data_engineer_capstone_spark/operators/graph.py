@@ -994,3 +994,110 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS: landmark distances (closeness estimation primitive)
+# ---------------------------------------------------------------------------
+
+_LANDMARKS = (2, 4, 6, 8)  # customer nodes custkey 1..4
+
+_MBFS_STEP = """
+ml{i} AS MATERIALIZED (
+  SELECT src, node, MIN(lvl) AS lvl FROM (
+    SELECT src, node, lvl FROM ml{prev}
+    UNION ALL
+    SELECT p.src, b.d AS node, p.lvl + 1 AS lvl
+    FROM bidir b JOIN ml{prev} p ON p.node = b.s
+  ) GROUP BY src, node
+)
+"""
+
+
+def _mbfs_oracle() -> str:
+    seeds = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS src, CAST({s} AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS lvl"
+        for s in _LANDMARKS
+    )
+    ctes = [
+        f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+bidir AS MATERIALIZED (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges),
+ml0 AS MATERIALIZED ({seeds})
+"""
+    ]
+    for i in range(1, _BFS_MAX_ROUNDS + 1):
+        ctes.append(_MBFS_STEP.format(i=i, prev=i - 1))
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT node AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(lvl) AS BIGINT) AS sum_dist,
+       CAST(MIN(lvl) AS BIGINT) AS min_dist
+FROM ml{_BFS_MAX_ROUNDS}
+GROUP BY node
+"""
+    )
+
+
+@query("graph_bfs_multisource", oracle=_mbfs_oracle(), tags=("graph", "iterative"))
+def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simultaneous BFS from 4 landmark customers: per node, how many
+    landmarks reach it, the distance sum, and the nearest landmark —
+    the landmark-distance table that estimates closeness centrality at
+    a fraction of all-pairs cost (Palmer et al.'s ANF idea in its
+    exact small-k form).
+
+    Scale shape: identical per-round cost to ``graph_bfs_levels``
+    times k landmarks — the frontier carries (src, node, lvl) triples
+    keyed on node for the join, so one pass serves ALL sources (the
+    multi-source trick: k BFS runs share every edge scan). Fixpoint
+    loop with scalar count checks and lineage checkpoints; fails
+    loudly past the oracle's unroll depth."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = (
+        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    levels = spark.createDataFrame(
+        [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
+    )
+    prev_n = len(_LANDMARKS)
+    for _ in range(_BFS_MAX_ROUNDS):
+        expanded = bidir.join(
+            levels.withColumnRenamed("node", "s"), "s"
+        ).select("src", F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+        levels = (
+            levels.unionAll(expanded)
+            .groupBy("src", "node")
+            .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint(eager=False)
+        )
+        n = levels.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(
+            f"multi-source BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
+        )
+    return levels.groupBy(F.col("node").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("lvl").alias("sum_dist"),
+        F.min("lvl").alias("min_dist"),
+    )
