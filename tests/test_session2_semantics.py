@@ -466,3 +466,77 @@ def test_normalized_dedup_catches_formatting_variants(spark, crafted_dir):
     assert norm[0]["keep_id"] == 51 and norm[0]["n_variants"] == 2
     raw = Q["dedup_exact"].fn(spark, out).collect()
     assert all(r["n_copies"] == 1 for r in raw)
+
+
+def test_hits_hand_computed(spark):
+    """Star graph (c1 buys s1,s2,s3; c2 buys s1), two rounds by hand:
+    hubs c1=1000, c2=400; authorities s1=1000, s2=s3=714."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="engine_hits_")
+    ords = [
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=_TS0, o_orderpriority="1"),
+        Row(o_orderkey=2, o_custkey=2, o_orderstatus="F", o_totalprice=1.0,
+            o_orderdate=_TS0, o_orderpriority="1"),
+    ]
+    ord_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(ords, ord_schema).coalesce(1).write.parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    li_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    lis = [
+        Row(l_orderkey=1, l_partkey=1, l_suppkey=s, l_linenumber=i,
+            l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="O", l_shipdate=_TS0)
+        for i, s in enumerate([1, 2, 3], start=1)
+    ] + [
+        Row(l_orderkey=2, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="O", l_shipdate=_TS0)
+    ]
+    spark.createDataFrame(lis, li_schema).coalesce(1).write.parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    rows = {
+        (r["role"], r["node_id"]): r["score_milli"]
+        for r in Q["graph_hits"].fn(spark, out).collect()
+    }
+    assert rows[("hub", 1)] == 1000
+    assert rows[("hub", 2)] == 400
+    assert rows[("authority", 1)] == 1000
+    assert rows[("authority", 2)] == 714
+    assert rows[("authority", 3)] == 714
+
+
+def test_new_returning_single_day(spark, crafted_dir):
+    """All five crafted users first appear on 2024-01-01 -> that day is
+    all-new, nothing returning."""
+    rows = Q["evt_new_returning"].fn(spark, crafted_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_new"] == 5 and r["n_returning"] == 0 and r["n_active"] == 5
