@@ -732,3 +732,52 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row fold."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_PARETO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# top-N per group with an OTHERS rollup row
+# ---------------------------------------------------------------------------
+
+_TOPN_OTHERS_N = 2
+
+_TOPN_OTHERS_SQL = f"""
+WITH rev AS (
+  SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_regionkey, n.n_name
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY regionkey
+                               ORDER BY cents DESC, nation) AS rk
+  FROM rev
+)
+SELECT regionkey,
+       CASE WHEN rk <= {_TOPN_OTHERS_N} THEN nation ELSE 'OTHERS' END
+         AS nation_bucket,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(rk) <= {_TOPN_OTHERS_N} AS is_top
+FROM ranked
+GROUP BY regionkey,
+         CASE WHEN rk <= {_TOPN_OTHERS_N} THEN nation ELSE 'OTHERS' END
+"""
+
+
+@query("agg_topn_plus_others", oracle=_TOPN_OTHERS_SQL, tags=("agg", "window"))
+def agg_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} nations per region with everything else rolled into one
+    OTHERS row — the chart-ready shape every BI 'top categories' visual
+    wants (a bare top-k silently drops the tail mass; the OTHERS row
+    keeps totals honest). Rank window partitioned by region, then a
+    second small aggregate over the bucketed label.
+
+    Scale shape: corpus work is the orders aggregate; the rank and the
+    rollup run on dimension-bounded frames (WindowGroupLimit prunes
+    nothing here because OTHERS needs every row — the tail mass is the
+    point).""".replace("{n}", str(_TOPN_OTHERS_N))
+    register_views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(_TOPN_OTHERS_SQL)
