@@ -1166,3 +1166,69 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SEAS_STRENGTH_TEMPLATE.format(chain=_stl_chain_sql(_STL_ANOM_SPARK_H))
     )
+
+
+# --- week-over-week growth -------------------------------------------------
+
+_WOW_ORACLE = f"""
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+           AS BIGINT) AS week_idx,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+)
+SELECT cur.event_type, cur.week_idx, cur.cents,
+       prev.cents AS prev_cents,
+       CAST(floor((CAST(cur.cents AS DOUBLE) - prev.cents) * 1000000
+                  / prev.cents) AS BIGINT) AS wow_growth_ppm
+FROM weekly cur
+JOIN weekly prev
+  ON prev.event_type = cur.event_type AND prev.week_idx = cur.week_idx - 1
+"""
+
+
+@query("ts_wow_growth", oracle=_WOW_ORACLE, tags=("timeseries",))
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type (weeks anchored at
+    2024-01-01 so both engines derive identical week indices) — the
+    KPI delta every operational review opens with, here as exact
+    integer cents with one floor(double) for the ppm growth rate.
+
+    Scale shape: one corpus-sized weekly aggregate, then a self
+    equi-join on the calendar-bounded weekly table (52 rows/year/type
+    regardless of corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') DIV 7"
+            " AS BIGINT)"
+        ).alias("week_idx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    cur = weekly.alias("cur")
+    prev = weekly.alias("prev")
+    return cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.week_idx") == F.col("cur.week_idx") - 1),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.week_idx").alias("week_idx"),
+        F.col("cur.cents").alias("cents"),
+        F.col("prev.cents").alias("prev_cents"),
+        F.floor(
+            (F.col("cur.cents").cast("double") - F.col("prev.cents"))
+            * 1000000
+            / F.col("prev.cents")
+        )
+        .cast("long")
+        .alias("wow_growth_ppm"),
+    )

@@ -1656,3 +1656,69 @@ def stat_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical literal determinant trees in both engines."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_OLS2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# delta-method CI for a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+# Ratio metrics (revenue/session, clicks/user) need the delta method:
+# var(x̄/ȳ) ≈ (var_x - 2r·cov + r²·var_y) / (n·ȳ²). All moments are
+# exact int64 sums over per-user (x=cents, y=events) pairs; the closed
+# form and the ±1.959964·se band are one shared double tree.
+_RATIO_CI_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         user_id % 2 AS variant,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events
+  GROUP BY user_id
+),
+mo AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY variant
+),
+calc AS (
+  SELECT variant, n,
+         CAST(sx AS DOUBLE) / sy AS r,
+         ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+          - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (n - 1))
+          + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                   / (n - 1)))
+         / (n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+           AS var_r
+  FROM mo
+)
+SELECT CAST(variant AS BIGINT) AS variant, n AS n_users,
+       CAST(floor(r * 1000) AS BIGINT) AS ratio_millicents_per_event,
+       CAST(floor((r - 1.959964 * sqrt(var_r)) * 1000) AS BIGINT)
+         AS ci_lo_millicents,
+       CAST(floor((r + 1.959964 * sqrt(var_r)) * 1000) AS BIGINT)
+         AS ci_hi_millicents
+FROM calc
+"""
+
+
+@query("stat_ratio_delta_ci", oracle=_RATIO_CI_SQL, tags=("stats",))
+def stat_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method 95% confidence interval for the ratio metric
+    revenue-per-event, per experiment variant — the correct interval
+    for ratio metrics, whose naive per-event variance ignores that the
+    denominator is ALSO random per user (the unit of randomization).
+    Completes the experimentation kit: ``stat_welch_ttest`` (means),
+    ``evt_cuped`` (variance reduction), ``stat_power_mde`` (design),
+    this (ratio readout).
+
+    One user-keyed aggregate, then |variants| rows of closed form —
+    exact int64 moments, doubles cast once, shared literal z."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RATIO_CI_SQL)
