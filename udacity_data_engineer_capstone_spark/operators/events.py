@@ -1456,3 +1456,87 @@ def evt_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn rate: multiwindow error-budget alerting
+# ---------------------------------------------------------------------------
+
+_SLO_PPM = 20_000  # 2% error budget
+
+_SLO_ORACLE = f"""
+WITH hourly AS (
+  SELECT CAST(date_diff('hour', TIMESTAMP '2000-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS errors,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+),
+rolled AS (
+  SELECT h, errors, total,
+         CAST(SUM(errors) OVER w6 AS BIGINT) AS errors_6h,
+         CAST(SUM(total) OVER w6 AS BIGINT) AS total_6h
+  FROM hourly
+  WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT h, errors, total,
+       CAST(errors * 1000000000 // (total * {_SLO_PPM}) AS BIGINT)
+         AS burn_1h_milli,
+       CAST(errors_6h * 1000000000 // (total_6h * {_SLO_PPM}) AS BIGINT)
+         AS burn_6h_milli,
+       (errors * 1000000000 // (total * {_SLO_PPM}) > 1000)
+       AND (errors_6h * 1000000000 // (total_6h * {_SLO_PPM}) > 1000)
+         AS page_alert
+FROM rolled
+"""
+
+
+@query("evt_slo_burn_rate", oracle=_SLO_ORACLE, tags=("events", "window"))
+def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook recipe): a
+    page fires only when BOTH the fast (1h) and slow (6h) windows burn
+    error budget faster than 1x — fast-only spikes and slow drifts
+    alone stay quiet. Budget is 2% errors; burn is exact integer
+    milli-multiples of budget; the 6h window is a RANGE frame over the
+    integer hour index, so calendar gaps cannot silently shrink it.
+
+    Scale shape: one corpus-sized hourly aggregate, then windows over
+    the calendar-bounded bucket table."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            F.expr(
+                "CAST(timestampdiff(HOUR, TIMESTAMP '2000-01-01 00:00:00',"
+                " bucket) AS BIGINT)"
+            ).alias("h"),
+            "errors",
+            "total",
+        )
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    rolled = hourly.select(
+        "h",
+        "errors",
+        "total",
+        F.sum("errors").over(w6).alias("errors_6h"),
+        F.sum("total").over(w6).alias("total_6h"),
+    )
+    burn1 = F.expr(f"errors * 1000000000 DIV (total * {_SLO_PPM})")
+    burn6 = F.expr(f"errors_6h * 1000000000 DIV (total_6h * {_SLO_PPM})")
+    return rolled.select(
+        "h",
+        "errors",
+        "total",
+        burn1.cast("long").alias("burn_1h_milli"),
+        burn6.cast("long").alias("burn_6h_milli"),
+        ((burn1 > 1000) & (burn6 > 1000)).alias("page_alert"),
+    )

@@ -848,3 +848,61 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "n_events", "sum_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# append output mode: only watermark-finalized windows emit
+# ---------------------------------------------------------------------------
+
+_APPEND_MODE_ORACLE = """
+WITH m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events, m
+GROUP BY date_trunc('hour', ts), event_type, m.mx
+HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR
+       <= MAX(m.mx) - INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "stream_append_mode_windows",
+    oracle=_APPEND_MODE_ORACLE,
+    tags=("streaming", "window"),
+)
+def stream_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND output mode: a window row emits exactly once, when the
+    watermark passes its end — so the windows still inside the 1-hour
+    lateness horizon at end-of-stream are WITHHELD, not emitted. The
+    oracle encodes that contract explicitly (window_end <= max(ts) -
+    delay): parity proves the engine neither leaks unfinalized windows
+    nor loses finalized ones. This is the mode downstream append-only
+    sinks (parquet/kafka) require; ``complete`` and ``update`` drains
+    live beside it in this module.
+
+    Withheld-tail caveat at 100 TB: an always-on pipeline eventually
+    emits those tail windows as the watermark advances; a terminating
+    availableNow run must either accept the withheld tail (this
+    contract) or run a final complete-mode pass for it."""
+    src = stage_events_dir(spark, sf_dir)
+    agg = (
+        stream_events(spark, src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
