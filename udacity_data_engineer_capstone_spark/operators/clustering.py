@@ -259,3 +259,51 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: downweight duplicate clusters instead of dropping them
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = f"""
+WITH cc AS (
+  SELECT * FROM ({_CC_ORACLE}) _c
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cc GROUP BY cluster_id
+)
+SELECT cc.doc_id, cc.cluster_id,
+       s.n AS cluster_size,
+       CAST(1000000 // s.n AS BIGINT) AS weight_ppm
+FROM cc JOIN sizes s USING (cluster_id)
+"""
+
+
+@query(
+    "curate_soft_dedup_weights",
+    oracle=_SOFT_DEDUP_ORACLE,
+    tags=("pipeline", "dedup"),
+)
+def curate_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document KEEPS its place in the corpus but
+    carries sampling weight 1/cluster_size, so a near-dup cluster
+    contributes one document's worth of expected mass — the
+    downweighting alternative to hard dropping (keeps paraphrase
+    diversity, still kills memorization pressure), as used by several
+    published pretraining recipes. Reuses :func:`dedup_cluster_cc`
+    verbatim for the clusters.
+
+    Scale shape: the CC machinery's own audited shape plus one
+    cluster-keyed count and an id-width join; weights are exact ppm
+    integers (truncating division on positive sizes)."""
+    cc = dedup_cluster_cc(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.expr("1000000 DIV cluster_size").cast("long").alias("weight_ppm"),
+    )

@@ -1221,3 +1221,65 @@ def text_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("clean"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# automatic stopword detection (document-frequency ratio)
+# ---------------------------------------------------------------------------
+
+_STOPWORD_DF_PPM = 500_000  # appears in >= 50% of documents
+
+_STOPWORD_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, u.term
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS arr
+        FROM documents) d,
+       LATERAL (SELECT unnest(arr) AS term) u
+  WHERE u.term <> ''
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+)
+SELECT df.term, df.df, n.n_docs,
+       CAST(df.df * 1000000 // n.n_docs AS BIGINT) AS df_ppm
+FROM df CROSS JOIN n
+WHERE df.df * 1000000 >= n.n_docs * {_STOPWORD_DF_PPM}
+"""
+
+
+@query("text_stopword_autodetect", oracle=_STOPWORD_ORACLE, tags=("text",))
+def text_stopword_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopword list: every token present in >= 50% of
+    documents — the language-agnostic way multilingual pipelines get
+    stopword lists without shipping per-language dictionaries (feeds
+    ``text_quality``'s stopword-ratio feature and
+    ``text_rake_keywords``' phrase boundaries).
+
+    Scale shape: one DISTINCT over (doc, term) with map-side partials
+    (vocabulary-bounded output per Heaps' law), a term-keyed count,
+    and a scalar broadcast; the threshold test is exact integer
+    cross-multiplication — no division decides membership."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    n = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    df = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 1000000 >= F.col("n_docs") * _STOPWORD_DF_PPM)
+        .select(
+            "term",
+            "df",
+            "n_docs",
+            F.expr("df * 1000000 DIV n_docs").cast("long").alias("df_ppm"),
+        )
+    )
