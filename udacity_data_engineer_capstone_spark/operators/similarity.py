@@ -829,3 +829,120 @@ def sim_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).select("vec_id", F.col("dot").alias("dot_milli2"))
+
+
+# ---------------------------------------------------------------------------
+# dimension-truncation recall (Matryoshka evaluation)
+# ---------------------------------------------------------------------------
+
+# For each of 8 fixed query vectors: exact top-10 by full 64-dim integer
+# dot product vs top-10 using only the first 16 dims; recall@10 is the
+# overlap. The eval a team runs before adopting truncated embeddings
+# (cf. emb_matryoshka_energy for the energy view of the same question).
+_TRUNC_DIMS = 16
+_TRUNC_K = 10
+_TRUNC_QUERIES = 8
+
+
+def _trunc_recall_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+probes AS (SELECT vec_id AS qid, v AS qv FROM q WHERE vec_id < {_TRUNC_QUERIES}),
+scored AS (
+  SELECT p.qid, q.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                i -> q.v[i] * p.qv[i])) AS BIGINT) AS dot_full,
+         CAST(list_sum(list_transform(range(1, {_TRUNC_DIMS + 1}),
+                i -> q.v[i] * p.qv[i])) AS BIGINT) AS dot_trunc
+  FROM q CROSS JOIN probes p
+  WHERE q.vec_id <> p.qid
+),
+rk AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot_full DESC, vec_id) AS r_full,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY dot_trunc DESC, vec_id) AS r_trunc
+  FROM scored
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN r_full <= {_TRUNC_K} AND r_trunc <= {_TRUNC_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN r_full <= {_TRUNC_K} AND r_trunc <= {_TRUNC_K}
+                     THEN 1 ELSE 0 END) * 1000000 // {_TRUNC_K} AS BIGINT)
+         AS recall_ppm
+FROM rk
+GROUP BY qid
+"""
+
+
+@query(
+    "sim_dim_truncation_recall",
+    oracle=_trunc_recall_oracle(),
+    tags=("similarity", "embedding"),
+)
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 16-dim-truncated retrieval against the full 64-dim
+    exact ranking, for 8 fixed probes — the Matryoshka adoption eval:
+    how much ranking quality does 4x less vector IO cost on THIS
+    corpus? Exact integer dot products with total-order tie-breaks, so
+    the recall numbers are bit-stable.
+
+    Scale shape: the probe set broadcasts onto one vector scan (8
+    narrow rows per vector), rankings are per-probe windows with
+    WindowGroupLimit-eligible top-k filters. For probe sets beyond a
+    broadcast, the ``sim_ann_lsh`` bucketed path replaces the scan."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+    probes = q.filter(F.col("vec_id") < _TRUNC_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "CAST(aggregate(zip_with(v, qv, (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("dot_full"),
+            F.expr(
+                f"CAST(aggregate(zip_with(slice(v, 1, {_TRUNC_DIMS}),"
+                f" slice(qv, 1, {_TRUNC_DIMS}), (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x) AS BIGINT)"
+            ).alias("dot_trunc"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("dot_full").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("dot_trunc").desc(), F.col("vec_id")
+    )
+    rk = scored.select(
+        "qid",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_trunc"),
+    )
+    hit = F.when(
+        (F.col("r_full") <= _TRUNC_K) & (F.col("r_trunc") <= _TRUNC_K), 1
+    ).otherwise(0)
+    return rk.groupBy("qid").agg(
+        F.sum(hit).alias("n_overlap"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN r_full <= {_TRUNC_K} AND r_trunc <= {_TRUNC_K}"
+            f" THEN 1 ELSE 0 END) * 1000000 DIV {_TRUNC_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
