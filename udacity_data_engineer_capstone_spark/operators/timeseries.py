@@ -1232,3 +1232,78 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wow_growth_ppm"),
     )
+
+
+# --- Dickey–Fuller unit-root diagnostic ------------------------------------
+
+# DF regression dy_t = alpha + phi * y_{t-1}: phi and its t-statistic
+# from exact moment sums over the lag-paired hourly series; the 5%
+# critical value (-2.86, constant-only case) is a shared literal. A
+# t-stat below it rejects the unit root -> series is stationary enough
+# for the level-based smoothers (ts_ewma/ts_holt_linear); otherwise
+# difference first.
+_ADF_ORACLE = f"""
+WITH obs AS (
+  SELECT CAST(date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts))
+    AS BIGINT) AS h,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+),
+lagp AS (
+  SELECT prev.y AS x, cur.y - prev.y AS dy
+  FROM obs cur JOIN obs prev ON prev.h = cur.h - 1
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(x * dy) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(dy * dy) AS BIGINT) AS sy2
+  FROM lagp
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) AS phi,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n AS alpha,
+         sx, sy, sxy, sx2, sy2
+  FROM mo
+),
+resid AS (
+  SELECT n, phi,
+         (CAST(sy2 AS DOUBLE) - alpha * sy - phi * sxy) / (n - 2) AS mse,
+         CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS ssx
+  FROM fit
+)
+SELECT n AS n_pairs,
+       CAST(floor(phi * 1000000) AS BIGINT) AS phi_micro,
+       CAST(floor(phi / sqrt(mse / ssx) * 1000) AS BIGINT) AS t_stat_milli,
+       phi / sqrt(mse / ssx) < -2.86 AS stationary_5pct
+FROM resid
+"""
+
+
+@query("ts_adf_unit_root", oracle=_ADF_ORACLE, tags=("timeseries", "stats"))
+def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root diagnostic on the hourly revenue series:
+    regress the hourly change on the lagged level and test phi against
+    the -2.86 constant-only 5% critical value — the standard "is this
+    series mean-reverting or a random walk" gate a forecaster runs
+    before trusting level-based models.
+
+    Scale shape: one corpus-sized hourly aggregate, a lag equi-join on
+    the calendar-bounded bucket table, then a constant moment fold —
+    the moments-then-closed-form family. Exact int64 sums, doubles
+    cast once, one shared literal critical value."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _ADF_ORACLE.replace(
+            f"date_diff('hour', {_TS_ORIGIN}, date_trunc('hour', ts))",
+            f"timestampdiff(HOUR, {_TS_ORIGIN}, date_trunc('hour', ts))",
+        )
+    )
