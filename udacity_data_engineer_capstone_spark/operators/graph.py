@@ -1101,3 +1101,126 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lvl").alias("sum_dist"),
         F.min("lvl").alias("min_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank: teleport mass restricted to a seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = (2, 4)  # customers 1 and 2 (node ids: cust*2)
+_PPR_ITERS = 6
+
+# Same integer damping lanes as graph_pagerank, but the (1-d) teleport
+# mass returns ONLY to the seeds — scores become "importance relative
+# to these customers", the recommendation/similar-entities primitive.
+_PPR_STEP = """
+ppr{i} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN {seeds}
+              THEN {seed_base} ELSE 0 END
+         + (85 * CAST(COALESCE(m.mass, 0) AS BIGINT)) // 100 AS r
+  FROM (SELECT node FROM deg) n
+  LEFT JOIN (
+    SELECT b.d AS node, CAST(SUM(p.r // g.deg) AS BIGINT) AS mass
+    FROM bidir b
+    JOIN ppr{prev} p ON p.node = b.s
+    JOIN deg g ON g.node = b.s
+    GROUP BY b.d
+  ) m ON m.node = n.node
+)
+"""
+
+
+def _ppr_oracle() -> str:
+    n_seeds = len(_PPR_SEEDS)
+    seed_base = (BASE * 2) // n_seeds  # total teleport mass across seeds
+    ctes = [
+        _GRAPH_CTES.format(scale=SCALE),
+        f"""ppr0 AS (
+  SELECT node, CASE WHEN node IN {_PPR_SEEDS}
+                    THEN CAST({SCALE} AS BIGINT) ELSE 0 END AS r
+  FROM deg
+)""",
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        ctes.append(
+            _PPR_STEP.format(
+                i=i, prev=i - 1, seeds=_PPR_SEEDS, seed_base=seed_base
+            )
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+SELECT node AS node_id, r AS ppr_rank
+FROM ppr{_PPR_ITERS} WHERE r > 0
+"""
+    )
+
+
+@query(
+    "graph_pagerank_personalized", oracle=_ppr_oracle(), tags=("graph", "iterative")
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at two customers: damped mass flows
+    through the purchase graph but teleports back ONLY to the seeds,
+    so scores rank every node by relevance TO THOSE CUSTOMERS — the
+    similar-suppliers/recommendation primitive that global
+    ``graph_pagerank`` cannot express. Zero-mass nodes are dropped
+    (unreachable from the seeds in 6 damped rounds).
+
+    Scale shape: identical per-round cost to graph_pagerank (static
+    adjacency joined to the node-sized rank vector + hash agg); the
+    seed restriction is a map-side CASE. Exact integer micro-unit
+    lanes, unrolled-CTE oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = edges.union(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).repartition("s")
+    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    adj = (
+        bidir.join(deg.withColumnRenamed("s", "node"), bidir["s"] == F.col("node"))
+        .select("s", "d", "deg")
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=True)
+    seed_base = (BASE * 2) // len(_PPR_SEEDS)
+    in_seeds = F.col("node").isin(*_PPR_SEEDS)
+    ranks = nodes.select(
+        "node",
+        F.when(in_seeds, F.lit(SCALE).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("r"),
+    )
+    for _ in range(_PPR_ITERS):
+        mass = (
+            adj.join(ranks.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), F.expr("r DIV deg").alias("m"))
+            .groupBy("node")
+            .agg(F.sum("m").cast("long").alias("mass"))
+        )
+        ranks = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(in_seeds, F.lit(seed_base)).otherwise(F.lit(0))
+                    + F.expr("85 * CAST(COALESCE(mass, 0) AS BIGINT) DIV 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.filter(F.col("r") > 0).select(
+        F.col("node").alias("node_id"), F.col("r").alias("ppr_rank")
+    )
