@@ -1540,3 +1540,118 @@ def evt_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn6.cast("long").alias("burn_6h_milli"),
         ((burn1 > 1000) & (burn6 > 1000)).alias("page_alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session flow matrix: entry type x exit type
+# ---------------------------------------------------------------------------
+
+# Reuses the suite's 30-minute session rule (see _SESSION_ORACLE's
+# semantics note); entry/exit pick the first/last event by the same
+# total order (ts, event_id) the sessionizer uses.
+_ENTRY_EXIT_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS t0,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn_asc = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN rn_desc = 1 THEN event_type END) AS exit_type
+  FROM (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM islands) x
+  GROUP BY user_id, session_id
+)
+SELECT entry_type, exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_len_milli
+FROM sessions
+GROUP BY entry_type, exit_type
+"""
+
+
+@query("evt_session_entry_exit", oracle=_ENTRY_EXIT_ORACLE, tags=("events",))
+def evt_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session flow matrix: how sessions OPEN vs how they CLOSE (entry
+    event type x exit event type, with counts and mean length) — the
+    landing/parting summary a product team reads before diving into
+    full paths (``evt_user_path``). Sessions are the suite's standard
+    30-minute-gap islands; entry/exit use the sessionizer's own total
+    order, so single-event sessions land on the diagonal.
+
+    Scale shape: the gaps-and-islands windows partition by user; the
+    flow matrix is a |types|² aggregate. Integer lanes; one truncating
+    division on positive operands."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    wlag = Window.partitionBy("user_id").orderBy(*order)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (
+                F.expr("unix_micros(ts)")
+                - F.expr("unix_micros(lag(ts) OVER (PARTITION BY user_id"
+                         " ORDER BY ts, event_id))")
+                >= 1800 * 1_000_000
+            )
+            | F.lag("ts").over(wlag).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    islands = ordered.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wlag.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    ranked = islands.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws.orderBy(*order)).alias("rn_asc"),
+        F.row_number()
+        .over(ws.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_desc"),
+    )
+    sessions = ranked.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_asc") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+    )
+    return sessions.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.expr(
+            "CAST(SUM(n_events) * 1000 DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_len_milli"),
+    )
