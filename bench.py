@@ -98,6 +98,14 @@ HEADLINE = [
     "emb_kmeans_lloyd",           # distributed Lloyd k-means (2 rounds)
     "pipe_pretrain_mix",          # full pretraining-mix composition
     "dedup_threshold_sweep",      # Jaccard-cut aggressiveness curve
+    # continuation waves 20-36: role-split ranking, landmark BFS,
+    # seeded teleport, soft dedup, append-mode streaming, session flows
+    "graph_hits",                 # hub/authority integer rounds
+    "graph_bfs_multisource",      # k-landmark simultaneous BFS
+    "graph_pagerank_personalized",# seed-teleport PageRank
+    "curate_soft_dedup_weights",  # 1/cluster-size sampling weights
+    "stream_append_mode_windows", # append-mode watermark contract
+    "evt_session_entry_exit",     # session flow matrix
 ]
 
 

@@ -852,3 +852,77 @@ def test_cluster_by_repartitions_and_sorts_locally(spark, sf_dir):
     assert "hashpartitioning" in text, text
     assert "Sort" in text
     assert "rangepartitioning" not in text, text
+
+
+def test_ratio_ci_single_user_aggregate(spark, sf_dir):
+    """stat_ratio_delta_ci: one corpus-sized user aggregate, then
+    variant-sized frames."""
+    df = Q["stat_ratio_delta_ci"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in text
+
+
+def test_wow_growth_calendar_bounded_join(spark, sf_dir):
+    """ts_wow_growth / ts_adf_unit_root / ts_forecast_snaive: lag
+    lookups are equi-joins over bucket tables, never cartesian."""
+    for name in ("ts_wow_growth", "ts_adf_unit_root"):
+        df = Q[name].fn(spark, sf_dir)
+        assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_slo_burn_range_frames(spark, sf_dir):
+    """evt_slo_burn_rate: the 6h window is a RANGE frame over the hour
+    index (gap-proof), not a ROWS frame."""
+    df = Q["evt_slo_burn_rate"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "RANGE BETWEEN" in text.upper() or "specifiedwindowframe(RangeFrame" in text, text
+
+
+def test_soft_dedup_id_width_joins(spark, sf_dir):
+    """curate_soft_dedup_weights: the cluster-size join carries ids
+    only; no text column crosses a keyed shuffle."""
+    import re
+
+    df = Q["curate_soft_dedup_weights"].fn(spark, sf_dir)
+    text = plan_text(df)
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+        text,
+    )
+    hashed = [cols for cols, args in blocks if "hashpartitioning" in args]
+    for cols in hashed:
+        assert "text#" not in cols, cols
+
+
+def test_stopword_detect_distinct_partials(spark, sf_dir):
+    """text_stopword_autodetect: the (doc, term) DISTINCT must have
+    map-side partial aggregation."""
+    df = Q["text_stopword_autodetect"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert text.count("HashAggregate") >= 2
+
+
+def test_truncation_recall_probe_broadcast(spark, sf_dir):
+    """sim_dim_truncation_recall: the probe set broadcasts onto the
+    scan — the one nested loop is that broadcast."""
+    df = Q["sim_dim_truncation_recall"].fn(spark, sf_dir)
+    simple = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+
+
+def test_ppr_adjacency_checkpointed_rounds(spark, sf_dir):
+    """graph_pagerank_personalized: Pregel rounds — no cartesian, no
+    Python."""
+    df = Q["graph_pagerank_personalized"].fn(spark, sf_dir)
+    assert_not_in_plan(
+        df, "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"
+    )
+
+
+def test_session_entry_exit_user_partitioned_windows(spark, sf_dir):
+    """evt_session_entry_exit: sessionization windows partition by
+    user; no cartesian."""
+    df = Q["evt_session_entry_exit"].fn(spark, sf_dir)
+    assert_not_in_plan(df, "CartesianProduct")
