@@ -1178,3 +1178,84 @@ def src_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey int, note string, n_regionkey int")
         .csv(d)
     )
+
+
+# ---------------------------------------------------------------------------
+# nested parquet round-trip (struct + array-of-struct columns)
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS BIGINT) AS sum_price_cents,
+       CAST(MAX(len) AS BIGINT) AS max_lines_per_order
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN (SELECT l_orderkey, COUNT(*) AS len FROM lineitem GROUP BY l_orderkey) c
+  ON c.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey <= 2000
+"""
+
+
+@query("snk_parquet_nested_roundtrip", oracle=_NESTED_ORACLE, tags=("sink",))
+def snk_parquet_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested parquet IO: denormalize orders+lines into one row per
+    order with a STRUCT header and an ARRAY<STRUCT> of lines
+    (array_sort'ed so the layout is deterministic), write it as nested
+    parquet, read it back, re-explode, and prove the round-trip loses
+    nothing against the flat relational oracle. This is the document
+    layout an event-log/lakehouse export actually ships (one object
+    per entity), and the explode-side is how consumers renormalize.
+
+    Scale shape: the denormalize is one shuffle on the order key with
+    list aggregation; nested parquet preserves columnar pushdown on
+    the struct header fields. The o_orderkey <= 2000 slice keeps the
+    sink fixture-sized at every SF."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 2000
+    )
+    lines = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("linenumber"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.floor("l_quantity").cast("long").alias("qty"),
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("long")
+                    .alias("price_cents"),
+                )
+            )
+        ).alias("lines")
+    )
+    nested = orders.join(
+        lines, orders["o_orderkey"] == lines["l_orderkey"]
+    ).select(
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("header"),
+        "lines",
+    )
+    d = tempfile.mkdtemp(prefix="engine_nested_")
+    nested.write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    exploded = back.select(
+        F.col("header.orderkey").alias("orderkey"),
+        F.size("lines").alias("n_lines_in_order"),
+        F.explode("lines").alias("line"),
+    )
+    return exploded.agg(
+        F.countDistinct("orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("line.qty").alias("sum_qty"),
+        F.sum("line.price_cents").alias("sum_price_cents"),
+        F.max("n_lines_in_order").cast("long").alias("max_lines_per_order"),
+    )

@@ -1722,3 +1722,83 @@ def stat_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 moments, doubles cast once, shared literal z."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RATIO_CI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# QQ table: observed deciles vs normal quantiles
+# ---------------------------------------------------------------------------
+
+# Expected N(0,1) decile quantiles as shared milli-unit literals (no
+# inverse-CDF function needed in either engine).
+_QQ_EXPECTED_MILLI = {
+    1: -1282, 2: -842, 3: -524, 4: -253, 5: 0,
+    6: 253, 7: 524, 8: 842, 9: 1282,
+}
+
+
+def _qq_case() -> str:
+    whens = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_QQ_EXPECTED_MILLI.items())
+    )
+    return f"CASE k {whens} END"
+
+
+_QQ_SQL = f"""
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+mo AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM vals GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
+  FROM vals
+),
+deciles AS (
+  SELECT r.event_type, k.k,
+         MAX(CASE WHEN r.rn = floor((k.k * m.n + 9) / 10) THEN r.c END)
+           AS qv
+  FROM ranked r
+  JOIN mo m ON m.event_type = r.event_type
+  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k) k
+  WHERE r.rn = floor((k.k * m.n + 9) / 10)
+  GROUP BY r.event_type, k.k
+)
+SELECT d.event_type, CAST(d.k AS INT) AS decile,
+       CAST(floor(
+         (d.qv - CAST(m.s1 AS DOUBLE) / m.n)
+         / sqrt((CAST(m.s2 AS DOUBLE)
+                 - CAST(m.s1 AS DOUBLE) * m.s1 / m.n) / (m.n - 1))
+         * 1000) AS BIGINT) AS z_observed_milli,
+       CAST({_qq_case().replace("k ", "d.k ")} AS BIGINT) AS z_expected_milli
+FROM deciles d JOIN mo m ON m.event_type = d.event_type
+"""
+
+
+@query("stat_qq_normal", oracle=_QQ_SQL, tags=("stats", "window"))
+def stat_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ table per event type: the standardized observed decile
+    boundaries next to the N(0,1) decile quantiles (shared milli-unit
+    literals — no inverse CDF in either engine). Reading the two
+    columns against each other IS the normality diagnostic that decides
+    whether z-score methods (``evt_anomaly_zscore``,
+    ``stat_welch_ttest``) are trustworthy on this metric, and the
+    heavy-tail evidence pairs with ``stat_skew_kurtosis``.
+
+    Scale shape: one ranking window per type + one moment aggregate;
+    decile ranks are exact ceil(k n/10) positions via floor
+    arithmetic on positive operands."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _QQ_SQL.replace(
+            "CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k) k",
+            "CROSS JOIN (SELECT explode(array(1, 2, 3, 4, 5, 6, 7, 8, 9))"
+            " AS k) k",
+        )
+    )
