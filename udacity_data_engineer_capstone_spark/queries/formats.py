@@ -1259,3 +1259,45 @@ def snk_parquet_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("line.price_cents").alias("sum_price_cents"),
         F.max("n_lines_in_order").cast("long").alias("max_lines_per_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-width text sink (writer twin of src_fixed_width)
+# ---------------------------------------------------------------------------
+
+_FW_SINK_ORACLE = """
+SELECT n_nationkey, trim(n_name) AS name, n_regionkey
+FROM nation
+"""
+
+
+@query("snk_fixed_width", oracle=_FW_SINK_ORACLE, tags=("sink",))
+def snk_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width EXPORT: format nation rows into padded
+    layout-stable lines (lpad'd keys, rpad'd name — the format a
+    mainframe/SAS consumer ingests), write them with the text sink,
+    read them back through the same substr discipline as
+    ``src_fixed_width``, and prove the round-trip exact. Together the
+    pair closes the fixed-width loop: this engine can both consume and
+    produce the layout.
+
+    Map-only format + one text write; the read-back parse is the
+    codegen'd slicing projection."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+            F.rpad(F.col("n_name"), 16, " "),
+            F.lpad(F.col("n_regionkey").cast("string"), 2, "0"),
+        ).alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="engine_fw_sink_")
+    lines.coalesce(1).write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    return back.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.trim(F.substring("value", 5, 16)).alias("name"),
+        F.substring("value", 21, 2).cast("int").alias("n_regionkey"),
+    )
