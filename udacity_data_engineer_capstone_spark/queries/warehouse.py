@@ -798,3 +798,65 @@ def act_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region")
     )
     return spark.sql(_ri_sql())
+
+
+# ---------------------------------------------------------------------------
+# sequence-gap audit: missing ranges in a surrogate key
+# ---------------------------------------------------------------------------
+
+_SEQ_GAPS_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+),
+lagged AS (
+  SELECT k, LAG(k) OVER (ORDER BY k) AS prev_k
+  FROM keys
+)
+SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_keys,
+       CAST(MIN(prev_k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key,
+       CAST(MAX(k) - MIN(prev_k) + 1 AS BIGINT) AS expected_span,
+       CAST(MAX(k) - MIN(prev_k) + 1 - (COUNT(*) + 1) AS BIGINT)
+         AS n_missing,
+       CAST(SUM(CASE WHEN k - prev_k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       SUM(CASE WHEN k - prev_k > 1 THEN 1 ELSE 0 END) = 0 AS is_contiguous,
+       CAST(MAX(k - prev_k - 1) AS BIGINT) AS widest_gap
+FROM lagged
+WHERE prev_k IS NOT NULL
+"""
+
+
+@query("act_sequence_gaps", oracle=_SEQ_GAPS_ORACLE, tags=("action", "quality"))
+def act_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key contiguity audit for the order sequence — the DQ
+    check that catches dropped ingestion batches (a contiguous id range
+    vanishing is the classic symptom of a failed partition load,
+    invisible to row counts alone). Always emits the one-row summary
+    (key span, missing count, gap count, widest gap, pass flag), so a
+    clean sequence reports is_contiguous=true rather than nothing.
+
+    Scale shape: one DISTINCT + one lag window over the key sequence.
+    The global window is the audit-path cost; at extreme key
+    cardinality, run it per key-range bucket (group by k DIV 10^9)
+    and stitch bucket boundaries — same output, range-partitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    from pyspark.sql.window import Window as W
+
+    lagged = keys.select(
+        "k", F.lag("k").over(W.orderBy("k")).alias("prev_k")
+    ).filter(F.col("prev_k").isNotNull())
+    gap = F.when(F.col("k") - F.col("prev_k") > 1, 1).otherwise(0)
+    return lagged.agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_keys"),
+        F.min("prev_k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+        (F.max("k") - F.min("prev_k") + 1).cast("long").alias("expected_span"),
+        (F.max("k") - F.min("prev_k") + 1 - (F.count(F.lit(1)) + 1))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(gap).cast("long").alias("n_gaps"),
+        (F.sum(gap) == 0).alias("is_contiguous"),
+        F.max(F.col("k") - F.col("prev_k") - 1).cast("long").alias("widest_gap"),
+    )
