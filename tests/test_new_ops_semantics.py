@@ -155,3 +155,78 @@ def test_rolling_median_rejects_single_spike(spark, crafted_dir):
     by_bucket = sorted(rows, key=lambda r: r.bucket)
     assert by_bucket[3].sum_cents == 9900
     assert all(r.rolling_median_cents == 100 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# rec_market_basket / rec_copurchase_jaccard — hand-computed rules
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def basket_dir(spark):
+    """Crafted baskets: {10,20}, {10,20,30}, {10,30}, {40} (singleton,
+    excluded), {10,20} with a duplicated line (dedup check)."""
+    out = tempfile.mkdtemp(prefix="engine_basket_")
+    rows = [
+        Row(l_orderkey=1, l_partkey=10), Row(l_orderkey=1, l_partkey=20),
+        Row(l_orderkey=2, l_partkey=10), Row(l_orderkey=2, l_partkey=20),
+        Row(l_orderkey=2, l_partkey=30),
+        Row(l_orderkey=3, l_partkey=10), Row(l_orderkey=3, l_partkey=30),
+        Row(l_orderkey=4, l_partkey=40),
+        Row(l_orderkey=5, l_partkey=10), Row(l_orderkey=5, l_partkey=20),
+        Row(l_orderkey=5, l_partkey=10),  # duplicate line, must dedup
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    return out
+
+
+def test_market_basket_hand_computed(spark, basket_dir):
+    """4 kept baskets; item counts 10→4, 20→3, 30→2; pair (10,20)
+    appears 3×, both lifts exactly 1.000 (independence on this
+    fixture), singleton basket and duplicate lines excluded."""
+    rows = engine.QUERIES["rec_market_basket"].fn(spark, basket_dir).collect()
+    by_pair = {(r.item_a, r.item_b): r for r in rows}
+    assert set(by_pair) == {(10, 20), (10, 30), (20, 30)}
+    top = by_pair[(10, 20)]
+    assert (top.pair_cnt, top.cnt_a, top.cnt_b) == (3, 4, 3)
+    assert top.support_ppm == 750000
+    assert top.confidence_a_to_b_ppm == 750000
+    assert top.lift_milli == 1000
+    mid = by_pair[(10, 30)]
+    assert (mid.pair_cnt, mid.support_ppm, mid.lift_milli) == (2, 500000, 1000)
+    assert by_pair[(20, 30)].pair_cnt == 1
+    # singleton basket's item never appears
+    assert all(r.item_a != 40 and r.item_b != 40 for r in rows)
+
+
+def test_copurchase_jaccard_hand_computed(spark, basket_dir):
+    """Jaccard from inclusion-exclusion: (10,20) → 3/(4+3-3) = 0.750;
+    (10,30) → 2/(4+2-2) = 0.500; the count-1 pair is below the noise
+    floor and dropped."""
+    rows = (
+        engine.QUERIES["rec_copurchase_jaccard"].fn(spark, basket_dir).collect()
+    )
+    got = {(r.item_a, r.item_b): (r.union_cnt, r.jaccard_milli) for r in rows}
+    assert got == {(10, 20): (4, 750), (10, 30): (4, 500)}
+
+
+def test_anova_oneway_hand_computed(spark, crafted_dir):
+    """On the crafted events: clicks have cents {100,300,100,300} and
+    purchases {200,200,200}; group means 200 == grand mean 200, so
+    SSB = 0, SSW = SST = 40000 cents², F = 0, eta² = 0."""
+    row = engine.QUERIES["stat_anova_oneway"].fn(spark, crafted_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.k_groups, r.n_tot) == (2, 7)
+    assert r.ssb_cents2 == 0
+    assert r.ssw_cents2 == 40000
+    assert r.f_milli == 0
+    assert r.eta2_micro == 0

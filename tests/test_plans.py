@@ -926,3 +926,18 @@ def test_session_entry_exit_user_partitioned_windows(spark, sf_dir):
     user; no cartesian."""
     df = Q["evt_session_entry_exit"].fn(spark, sf_dir)
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_market_basket_pair_join_is_equi(spark, sf_dir):
+    """rec_market_basket: the pair expansion must be an equi join on the
+    basket key (hash-partitioned by l_orderkey) with the item ordering
+    as a post-condition — never a cartesian/nested-loop pass over
+    (basket, item) rows."""
+    df = Q["rec_market_basket"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    # the 1-row n_baskets scalar legitimately broadcasts (nested-loop on
+    # one row is free); the pair join itself must be hash/sort-merge
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or (
+        "BroadcastHashJoin" in text
+    ), text

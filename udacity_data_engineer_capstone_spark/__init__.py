@@ -36,6 +36,7 @@ def load_all() -> None:
         flagship,
         formats,
         pipeline,
+        recsys,
         recursive,
         reference_ops,
         sketches,

@@ -1802,3 +1802,77 @@ def stat_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS k) k",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA: does mean value differ across event types?
+# ---------------------------------------------------------------------------
+
+# Exact integer moments (n, Σcents, Σcents²) per group; the between/
+# within sums of squares are per-group double expressions over those
+# exact sums, quantized to integer cents² with FLOOR before the final
+# exact integer sum — the same fold-order-exact discipline as
+# stat_chi2_independence. F and eta² are then fixed scalar expressions
+# over exact integers, bit-identical across engines and partitionings.
+# Headroom: cents ≤ ~5e4 ⇒ Σcents ≤ ~5e8/group, (Σcents)² ≈ 2.5e17
+# computed in double (same IEEE product both engines), per-group
+# contributions ≤ ~1e13 cents² — far inside BIGINT.
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY event_type
+),
+quant AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s) AS BIGINT) AS s_tot,
+         CAST(SUM(q) AS BIGINT) AS q_tot,
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       AS BIGINT)) AS BIGINT) AS sum_s2_over_n
+  FROM g
+),
+ss AS (
+  SELECT k, n_tot,
+         sum_s2_over_n
+           - CAST(FLOOR(CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+                  AS BIGINT) AS ssb_cents2,
+         q_tot - sum_s2_over_n AS ssw_cents2,
+         q_tot
+           - CAST(FLOOR(CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+                  AS BIGINT) AS sst_cents2
+  FROM quant
+)
+SELECT k AS k_groups,
+       n_tot,
+       ssb_cents2,
+       ssw_cents2,
+       CAST(FLOOR(
+         (CAST(ssb_cents2 AS DOUBLE) / (k - 1))
+         / (CAST(ssw_cents2 AS DOUBLE) / (n_tot - k)) * 1000
+       ) AS BIGINT) AS f_milli,
+       CAST(FLOOR(CAST(ssb_cents2 AS DOUBLE) * 1000000.0 / sst_cents2)
+            AS BIGINT) AS eta2_micro
+FROM ss
+"""
+
+
+@query("stat_anova_oneway", oracle=_ANOVA_SQL, tags=("stats",))
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: between/within
+    sums of squares from exact per-group integer moments, the F
+    statistic (milli-units) and effect size eta² (micro-units) — the
+    k-group generalization of ``stat_welch_ttest``'s two-sample
+    question, and the gate for "does this metric differ by segment at
+    all" before pairwise tests multiply.
+
+    Scale shape: one hash aggregate over the fact computes all group
+    moments (map-side combinable); everything after operates on
+    k ≈ group-count rows. The only data-sized cost is the single scan."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ANOVA_SQL)

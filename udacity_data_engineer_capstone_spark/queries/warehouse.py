@@ -860,3 +860,64 @@ def act_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(gap) == 0).alias("is_contiguous"),
         F.max(F.col("k") - F.col("prev_k") - 1).cast("long").alias("widest_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# freshness SLA audit: how stale is each event stream?
+# ---------------------------------------------------------------------------
+
+# "Now" is the corpus high-water mark (MAX ts over all events), not
+# wall-clock — the audit is deterministic and replayable, and in a
+# production run the high-water mark IS the batch's logical time.
+_FRESHNESS_SLA_MIN = 24 * 60
+
+_FRESHNESS_ORACLE = f"""
+WITH per AS (
+  SELECT event_type,
+         MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+),
+hw AS (SELECT MAX(ts) AS corpus_ts FROM events)
+SELECT p.event_type, p.last_ts, p.n_events,
+       CAST(FLOOR((EPOCH(hw.corpus_ts) - EPOCH(p.last_ts)) / 60.0) AS BIGINT)
+         AS minutes_behind,
+       FLOOR((EPOCH(hw.corpus_ts) - EPOCH(p.last_ts)) / 60.0)
+         <= {_FRESHNESS_SLA_MIN} AS fresh
+FROM per p CROSS JOIN hw
+"""
+
+
+@query(
+    "act_freshness_sla",
+    oracle=_FRESHNESS_ORACLE,
+    tags=("action", "quality"),
+)
+def act_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit per event stream: minutes between each type's
+    last event and the corpus high-water mark, with a 24 h SLA flag —
+    the staleness gate that catches one silently-stalled upstream
+    topic while total volume still looks healthy (complements
+    ``act_sequence_gaps``' dropped-batch check).
+
+    Scale shape: one hash aggregate for the per-type high-water marks,
+    one global max (1 row, broadcast back). Epoch arithmetic is exact
+    integer seconds in both engines."""
+    register_views(spark, sf_dir, ("events",))
+    per = spark.sql(
+        "SELECT event_type, MAX(ts) AS last_ts,"
+        " CAST(COUNT(*) AS BIGINT) AS n_events"
+        " FROM events GROUP BY event_type"
+    )
+    per.createOrReplaceTempView("freshness_per_type")
+    return spark.sql(
+        f"""
+SELECT p.event_type, p.last_ts, p.n_events,
+       CAST(FLOOR((unix_timestamp(hw.corpus_ts) - unix_timestamp(p.last_ts))
+                  / 60.0) AS BIGINT) AS minutes_behind,
+       FLOOR((unix_timestamp(hw.corpus_ts) - unix_timestamp(p.last_ts))
+             / 60.0) <= {_FRESHNESS_SLA_MIN} AS fresh
+FROM freshness_per_type p
+CROSS JOIN (SELECT MAX(last_ts) AS corpus_ts FROM freshness_per_type) hw
+"""
+    )
