@@ -230,3 +230,32 @@ def test_anova_oneway_hand_computed(spark, crafted_dir):
     assert r.ssw_cents2 == 40000
     assert r.f_milli == 0
     assert r.eta2_micro == 0
+
+
+def test_incremental_agg_merges_split_day(spark):
+    """The split-day groups must carry n_partials == 2 (snapshot +
+    delta both contributed); all other days exactly 1."""
+    from tests.conftest import SF_DIR_MED
+
+    rows = engine.QUERIES["cdc_incremental_agg"].fn(spark, SF_DIR_MED).collect()
+    import datetime as _dt
+
+    split_day = _dt.date(2024, 1, 20)
+    split = [r for r in rows if r.day == split_day]
+    assert split and all(r.n_partials == 2 for r in split)
+    assert all(r.n_partials == 1 for r in rows if r.day != split_day)
+
+
+def test_file_pruning_one_file_per_bucket(spark):
+    """The relayout invariant: every key-range bucket maps to exactly
+    one physical file, and buckets wholly outside [2000, 4000] are
+    flagged prunable."""
+    from tests.conftest import SF_DIR_MED
+
+    rows = (
+        engine.QUERIES["src_file_pruning_stats"].fn(spark, SF_DIR_MED).collect()
+    )
+    assert rows and all(r.n_files == 1 for r in rows)
+    for r in rows:
+        expect = r.max_key < 2000 or r.min_key > 4000
+        assert r.prunable_for_key_range == expect

@@ -1301,3 +1301,83 @@ def snk_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("value", 5, 16)).alias("name"),
         F.substring("value", 21, 2).cast("int").alias("n_regionkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zone-map / file-skipping audit over a real partitioned write
+# ---------------------------------------------------------------------------
+
+# Key-range layout: one file per l_orderkey DIV 1024 bucket. The audit
+# predicate is a key range; a file is skippable when its min/max zone
+# map cannot overlap it — exactly the parquet row-group / data-skipping
+# decision a lakehouse scan makes from footer stats.
+_PRUNE_BUCKET = 1024
+_PRUNE_LO, _PRUNE_HI = 2000, 4000
+
+_FILE_PRUNING_ORACLE = f"""
+WITH b AS (
+  SELECT l_orderkey, l_shipdate, l_orderkey // {_PRUNE_BUCKET} AS bucket
+  FROM lineitem
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship,
+       MAX(l_orderkey) < {_PRUNE_LO} OR MIN(l_orderkey) > {_PRUNE_HI}
+         AS prunable_for_key_range
+FROM b
+GROUP BY bucket
+"""
+
+
+@query(
+    "src_file_pruning_stats",
+    oracle=_FILE_PRUNING_ORACLE,
+    tags=("source", "layout"),
+)
+def src_file_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness audit over a REAL partitioned write: lay
+    lineitem out as one parquet file per orderkey range, read it back
+    with the ``_metadata.file_path`` column, and compute per-file
+    min/max footers plus whether a key-range predicate could skip the
+    file entirely. ``n_files`` counts actual files per bucket (the
+    oracle asserts the layout invariant of exactly one).
+
+    Scale shape: the relayout is one hash repartition on the bucket key
+    (each bucket lands in exactly one task, so ``partitionBy`` emits
+    exactly one file per bucket); the audit is a map-side-combinable
+    aggregate grouped by file. The audit output is file-inventory-sized,
+    not data-sized."""
+    d = tempfile.mkdtemp(prefix="engine_prune_stats_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr(f"l_orderkey DIV {_PRUNE_BUCKET}").alias("bucket"),
+    )
+    (
+        li.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "l_orderkey",
+        "l_shipdate",
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    return back.groupBy("bucket").agg(
+        F.countDistinct("fp").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        (
+            (F.max("l_orderkey") < _PRUNE_LO)
+            | (F.min("l_orderkey") > _PRUNE_HI)
+        ).alias("prunable_for_key_range"),
+    )

@@ -921,3 +921,136 @@ FROM freshness_per_type p
 CROSS JOIN (SELECT MAX(last_ts) AS corpus_ts FROM freshness_per_type) hw
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: merge a delta into a snapshot aggregate
+# ---------------------------------------------------------------------------
+
+# The IVM contract for distributive aggregates: agg(snapshot ∪ delta)
+# == merge(agg(snapshot), agg(delta)) — the engine computes the right
+# side (two partial aggregates + a merge re-aggregate, never
+# re-scanning the snapshot's raw rows), the oracle computes the left.
+# Midday split so the split DAY itself has events on both sides — its
+# groups must merge two partials (n_partials = 2), proving the merge
+# path is exercised rather than degenerating to a relabeled union.
+_IVM_SPLIT = "2024-01-20 12:00:00"
+
+_IVM_ORACLE = f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_IVM_SPLIT}'
+                                THEN 0 ELSE 1 END) AS BIGINT) AS n_partials
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@query("cdc_incremental_agg", oracle=_IVM_ORACLE, tags=("cdc", "agg"))
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a daily-rollup materialization:
+    the pre-split snapshot aggregate and the post-split delta aggregate
+    are merged by summing partial states (COUNT/SUM are distributive),
+    producing exactly the full recompute the oracle runs — without the
+    merge path ever touching snapshot raw rows again. ``n_partials``
+    records how many partials fed each group (2 on the split day when a
+    type has events on both sides), proving the merge really happened.
+
+    Scale shape: this is the nightly-pipeline pattern that turns a
+    100 TB re-aggregation into a delta-sized one: both partial
+    aggregates are map-side-combinable, the merge shuffles only
+    group-count rows (aggregate state, not data)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    day = F.col("ts").cast("date").alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    snapshot = partial(ev.where(F.col("ts") < F.lit(_IVM_SPLIT).cast("timestamp")))
+    delta = partial(ev.where(F.col("ts") >= F.lit(_IVM_SPLIT).cast("timestamp")))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the sensitive-attribute companion of k-anonymity)
+# ---------------------------------------------------------------------------
+
+# Same release gate as curate_k_anonymity, next attack model: a QI cell
+# can be large (k-anonymous) yet expose everyone in it if all members
+# share one sensitive value. Diversity = distinct sensitive values per
+# cell; cells below L are the homogeneity leaks to generalize away.
+_L_DIVERSITY_L = 3
+
+_L_DIV_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS cell_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+              AS BIGINT) AS diversity
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT nation, segment, cell_size, diversity,
+       CAST(MIN(diversity) OVER () AS BIGINT) AS l_overall,
+       diversity < {_L_DIVERSITY_L} AS violates_l{_L_DIVERSITY_L}
+FROM cells
+WHERE diversity < {_L_DIVERSITY_L}
+"""
+
+
+@query("curate_l_diversity", oracle=_L_DIV_ORACLE, tags=("curation", "privacy"))
+def curate_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over (nation, segment) quasi-identifier cells
+    with the balance band as the sensitive attribute: emit every cell
+    whose members span fewer than L=3 distinct sensitive values, plus
+    the overall minimum diversity — closing the homogeneity attack that
+    ``curate_k_anonymity``'s size-only gate misses.
+
+    Scale shape: one hash aggregate with a distinct-count (two-phase
+    partial distinct under the hood); output is QI-cell-sized."""
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cell_size"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+            ).alias("diversity"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        cells.withColumn("l_overall", F.min("diversity").over(w).cast("long"))
+        .where(F.col("diversity") < _L_DIVERSITY_L)
+        .select(
+            "nation",
+            "segment",
+            "cell_size",
+            "diversity",
+            "l_overall",
+            (F.col("diversity") < _L_DIVERSITY_L).alias(
+                f"violates_l{_L_DIVERSITY_L}"
+            ),
+        )
+    )

@@ -906,3 +906,36 @@ def stream_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming deduplication —
+    ``dropDuplicatesWithinWatermark`` instead of ``dropDuplicates``:
+    state for a key is retained only until the watermark passes its
+    event time, so the seen-key set is BOUNDED (the production answer
+    to ``stream_dedup``'s unbounded state). The planted duplicates
+    carry the *same event time* as their originals, so they always fall
+    inside the 2-hour retention window and the output matches the exact
+    batch oracle; duplicates arriving later than the watermark bound
+    would (by design) escape — that is the documented contract of the
+    operator, not a bug.
+
+    Scale shape: state is O(keys within the watermark horizon), not
+    O(all keys ever) — the only streaming dedup that survives an
+    unbounded stream."""
+    src = stage_events_dir(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+
+    deduped = (
+        stream_events(spark, src)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
