@@ -106,6 +106,11 @@ HEADLINE = [
     "curate_soft_dedup_weights",  # 1/cluster-size sampling weights
     "stream_append_mode_windows", # append-mode watermark contract
     "evt_session_entry_exit",     # session flow matrix
+    # round-4 session-3 waves: basket mining, lead-lag, file skipping
+    "rec_market_basket",          # capped-basket pair mining + lift
+    "ts_cross_correlation",       # lagged lead-lag Pearson (7 lags)
+    "src_file_pruning_stats",     # real relayout + zone-map audit
+    "cdc_incremental_agg",        # snapshot+delta partial-agg merge
 ]
 
 

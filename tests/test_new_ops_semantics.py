@@ -259,3 +259,72 @@ def test_file_pruning_one_file_per_bucket(spark):
     for r in rows:
         expect = r.max_key < 2000 or r.min_key > 4000
         assert r.prunable_for_key_range == expect
+
+
+# ---------------------------------------------------------------------------
+# ts_bollinger_bands / ts_cross_correlation — planted-signal fixtures
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def signal_dir(spark):
+    """25 hourly 'click' events at $1.00 with one $100.00 spike at hour
+    20 (Bollinger fixture), plus a 'view' series whose counts at hour h
+    equal the 'purchase' counts at hour h+1 exactly (cross-correlation
+    fixture: purchase lags view by 1 hour with r = 1)."""
+    out = tempfile.mkdtemp(prefix="engine_signal_")
+    rows = []
+    eid = 0
+    for h in range(25):
+        eid += 1
+        rows.append(
+            Row(event_id=eid, ts=_TS0 + dt.timedelta(hours=h), user_id=1,
+                event_type="click",
+                value=100.0 if h == 20 else 1.0, props="{}")
+        )
+    # view counts follow a non-monotonic pattern (a linear ramp would
+    # correlate perfectly at EVERY lag); purchase count at h+1 copies
+    # the view count at h exactly, so only lag +1 reaches r = 1
+    counts = [1, 5, 2, 8, 3, 9, 4, 7, 6, 10]
+    for h in range(10):
+        for i in range(counts[h]):
+            eid += 1
+            rows.append(
+                Row(event_id=eid, ts=_TS0 + dt.timedelta(hours=h, minutes=i),
+                    user_id=2, event_type="view", value=1.0, props="{}")
+            )
+            eid += 1
+            rows.append(
+                Row(event_id=eid,
+                    ts=_TS0 + dt.timedelta(hours=h + 1, minutes=i),
+                    user_id=3, event_type="purchase", value=1.0, props="{}")
+            )
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def test_bollinger_flags_only_the_spike(spark, signal_dir):
+    rows = [
+        r
+        for r in engine.QUERIES["ts_bollinger_bands"].fn(spark, signal_dir)
+        .collect()
+        if r.event_type == "click"
+    ]
+    assert len(rows) == 25
+    flagged = [r for r in rows if r.breakout_hi]
+    assert len(flagged) == 1 and flagged[0].cents == 10000
+    assert not any(r.breakout_lo for r in rows)
+
+
+def test_cross_correlation_finds_the_lag(spark, signal_dir):
+    rows = engine.QUERIES["ts_cross_correlation"].fn(spark, signal_dir).collect()
+    by_lag = {r.lag: r for r in rows}
+    # at lag +1 the two series align exactly: r = 1 -> 1_000_000 micro
+    # (9 aligned pairs; hour-10 purchases pair with no view hour)
+    assert by_lag[1].pearson_micro == 1000000
+    # every other lag is strictly less correlated
+    assert all(
+        r.pearson_micro < 1000000 for lag, r in by_lag.items() if lag != 1
+    )

@@ -1307,3 +1307,128 @@ def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"timestampdiff(HOUR, {_TS_ORIGIN}, date_trunc('hour', ts))",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lagged cross-correlation between two event streams (lead-lag finder)
+# ---------------------------------------------------------------------------
+
+# One template, two epoch spellings: Spark's unix_timestamp(ts) and
+# DuckDB's EPOCH(ts) return the same exact integer seconds.
+_XCORR_TEMPLATE = """
+WITH x AS (
+  SELECT CAST(FLOOR({EPOCH} / 3600.0) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+y AS (
+  SELECT CAST(FLOOR({EPOCH} / 3600.0) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT {LAGS} AS lag),
+pairs AS (
+  SELECT l.lag, x.c AS cx, y.c AS cy
+  FROM lags l
+  JOIN x ON TRUE
+  JOIN y ON y.h = x.h + l.lag
+),
+moments AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cx) AS BIGINT) AS sx,
+         CAST(SUM(cy) AS BIGINT) AS sy,
+         CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+         CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+         CAST(SUM(cy * cy) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       CAST(FLOOR(
+         (CAST(n * sxy - sx * sy AS DOUBLE))
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                * (n * syy - sy * sy))
+         * 1000000
+       ) AS BIGINT) AS pearson_micro
+FROM moments
+ORDER BY lag
+"""
+
+_XCORR_LAGS = "unnest([-3, -2, -1, 0, 1, 2, 3])"
+_XCORR_LAGS_SPARK = "explode(array(-3, -2, -1, 0, 1, 2, 3))"
+
+_XCORR_ORACLE = _XCORR_TEMPLATE.format(EPOCH="EPOCH(ts)", LAGS=_XCORR_LAGS)
+
+
+@query("ts_cross_correlation", oracle=_XCORR_ORACLE, tags=("timeseries", "stats"))
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged Pearson cross-correlation between the hourly 'view' and
+    'purchase' count series at lags -3..+3 hours — the lead-lag finder
+    that answers "does view traffic predict purchases, and by how many
+    hours?". All six moments per lag are exact int64 sums; the single
+    correlation expression (one subtraction tree, one sqrt, one
+    division) is evaluated identically by both engines.
+
+    Scale shape: the two hourly rollups are map-side-combinable
+    aggregates; the lag join is an equi-join on the shifted hour index
+    (7 lags × hours rows — calendar-sized, not event-sized). Only the
+    two base rollups ever see raw events."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _XCORR_TEMPLATE.format(
+            EPOCH="unix_timestamp(ts)", LAGS=_XCORR_LAGS_SPARK
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands: rolling mean ± 2σ breakout detection, exact integers
+# ---------------------------------------------------------------------------
+
+_BOLLINGER_TEMPLATE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR({EPOCH} / 3600.0) AS BIGINT) AS bucket,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+rolled AS (
+  SELECT event_type, bucket, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS q
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, cents,
+       CAST(FLOOR(s * 1000.0 / n) AS BIGINT) AS roll_mean_milli,
+       n * cents - s > 0
+         AND (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+         AS breakout_hi,
+       n * cents - s < 0
+         AND (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+         AS breakout_lo
+FROM rolled
+"""
+
+_BOLLINGER_ORACLE = _BOLLINGER_TEMPLATE.format(EPOCH="EPOCH(ts)")
+
+
+@query("ts_bollinger_bands", oracle=_BOLLINGER_ORACLE, tags=("timeseries", "window"))
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection on the hourly per-type revenue
+    series: rolling 24-bucket mean with ±2σ bands, flags computed
+    ENTIRELY in exact integer arithmetic — (n·x−S)² > 4(nQ−S²) is
+    (x−μ)² > 4σ² cross-multiplied by n², so the breakout verdict never
+    touches a float and cannot drift between engines or partitionings.
+
+    Scale shape: one hash aggregate to hourly grain, then one window
+    pass partitioned by series — the same single-shuffle shape as
+    every rolling operator here. Headroom: S² and 4nQ stay inside
+    int64 while hourly sums stay under ~6e8 cents (≈ $6M/hour/series);
+    past that, pre-scale cents to dollars before rolling."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BOLLINGER_TEMPLATE.format(EPOCH="unix_timestamp(ts)"))

@@ -1876,3 +1876,115 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ≈ group-count rows. The only data-sized cost is the single scan."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ANOVA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# experiment hygiene: sample-ratio mismatch + two-proportion z-test
+# ---------------------------------------------------------------------------
+
+# Deterministic 50/50 arm assignment both engines compute identically:
+# multiplicative hash mod an odd prime, then parity. (A bare
+# ``user_id % 2`` would alias any id-parity artifact straight into the
+# arm split — the hash decorrelates assignment from id structure.)
+_ARM_EXPR = "((user_id * 2654435761 + 987654321) % 97) % 2"
+
+# chi2(1dof) critical value at p=0.05, in micro-units for the exact
+# integer cross-multiplied comparison (no float in the flag).
+_CHI2_CRIT_MICRO = 3841459
+
+_SRM_SQL = f"""
+WITH assign AS (
+  SELECT DISTINCT user_id, CAST({_ARM_EXPR} AS BIGINT) AS arm
+  FROM events
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM assign
+)
+SELECT n_a, n_b, n,
+       CAST(FLOOR((n_a - n_b) * (n_a - n_b) * 1000000.0 / n) AS BIGINT)
+         AS chi2_micro,
+       (n_a - n_b) * (n_a - n_b) * 1000000 > {_CHI2_CRIT_MICRO} * n
+         AS srm_detected
+FROM counts
+"""
+
+
+@query("stat_srm_check", oracle=_SRM_SQL, tags=("stats", "experiment"))
+def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a 50/50 experiment assignment:
+    chi-square(1) on the two arm sizes against the expected even
+    split — the first gate every A/B readout must pass (an SRM means
+    the assignment or logging pipeline is biased and all downstream
+    deltas are untrustworthy). The significance flag is an exact
+    integer cross-multiplied comparison — no float enters the verdict.
+
+    Scale shape: one DISTINCT on (user, arm) — a hash aggregate keyed
+    by user — then a 1-row conditional sum. Headroom: |n_a-n_b|² · 1e6
+    stays in BIGINT up to ~3e6 users per experiment; beyond, drop the
+    micro scaling."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SRM_SQL)
+
+
+_PROP_ZTEST_SQL = f"""
+WITH assign AS (
+  SELECT user_id,
+         CAST({_ARM_EXPR} AS BIGINT) AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events
+  GROUP BY user_id
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM assign
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST(FLOOR(conv_a * 1000000.0 / n_a) AS BIGINT) AS rate_a_ppm,
+       CAST(FLOOR(conv_b * 1000000.0 / n_b) AS BIGINT) AS rate_b_ppm,
+       -- degenerate pooled rate (0% or 100% overall) => zero variance,
+       -- z undefined: report 0 / not significant instead of dividing
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(
+              (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
+               * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+              / (CAST((conv_a + conv_b) AS DOUBLE)
+                 * (n_a + n_b - conv_a - conv_b) * n_a * n_b)
+              * 1000
+            ) AS BIGINT) END AS z2_milli,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN FALSE
+            ELSE (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
+                  * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+                 / (CAST((conv_a + conv_b) AS DOUBLE)
+                    * (n_a + n_b - conv_a - conv_b) * n_a * n_b)
+                 > 3.841459 END AS significant_p05
+FROM counts
+"""
+
+
+@query("stat_proportion_ztest", oracle=_PROP_ZTEST_SQL, tags=("stats", "experiment"))
+def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of user conversion (any 'purchase' event)
+    between the hash-assigned experiment arms: pooled z² in
+    cross-multiplied rational form — every product is an exact int64
+    before the one double division, so both engines evaluate the same
+    IEEE sequence bit-for-bit. The mean-metric companion is
+    ``stat_welch_ttest``; the assignment-health gate is
+    ``stat_srm_check``.
+
+    Scale shape: one hash aggregate per user (conversion flag), one
+    1-row rollup. Headroom: the int64 products hold to ~2e4 users per
+    arm; past that the counts remain exact and the z² products move to
+    double (document the switch, don't let it wrap)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PROP_ZTEST_SQL)
