@@ -328,3 +328,30 @@ def test_cross_correlation_finds_the_lag(spark, signal_dir):
     assert all(
         r.pearson_micro < 1000000 for lag, r in by_lag.items() if lag != 1
     )
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark):
+    """Three crafted journeys: A 'vcp' (converts), B 'pvc' (view never
+    followed by purchase), C 'vpp' (immediate conversion) — plus a
+    same-timestamp pair on A ordered by event_id."""
+    out = tempfile.mkdtemp(prefix="engine_funnel_")
+    mk = lambda eid, mins, uid, et: Row(
+        event_id=eid, ts=_mins(mins), user_id=uid, event_type=et,
+        value=1.0, props="{}")
+    rows = [
+        mk(1, 0, 1, "view"), mk(2, 1, 1, "click"), mk(3, 1, 1, "purchase"),
+        mk(4, 0, 2, "purchase"), mk(5, 1, 2, "view"), mk(6, 2, 2, "click"),
+        mk(7, 0, 3, "view"), mk(8, 1, 3, "purchase"), mk(9, 2, 3, "purchase"),
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    return out
+
+
+def test_path_regex_hand_computed(spark, funnel_dir):
+    rows = engine.QUERIES["evt_path_regex_match"].fn(spark, funnel_dir).collect()
+    got = {r.user_id: (r.path_len, r.converted) for r in rows}
+    # user 1: same-ts click(id 2) before purchase(id 3) -> 'vcp' matches
+    assert got == {1: (3, True), 2: (3, False), 3: (3, True)}

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table_scaled
+from udacity_data_engineer_capstone_spark.catalog import (
+    load_table_scaled,
+    register_views,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 _QUANT_SCALE = 127.0
@@ -782,4 +785,94 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         "c_milli",
         "n_members",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift: centroid shift between two ingestion cohorts
+# ---------------------------------------------------------------------------
+
+# Cosine is scale-invariant, so we compare per-label SUM vectors (exact
+# micro-unit integers) instead of mean vectors — no division ever
+# happens before the one final cosine expression. Headroom: with 1e6
+# quantization and |x| ≤ 1, per-(label,cohort,dim) sums hold to ~9e12
+# vectors/label and the dot products to ~3e5 vectors/label-cohort;
+# beyond that, drop quantization to 1e3 (same invariance argument).
+_DRIFT_TEMPLATE = """
+WITH parts AS (
+  SELECT label,
+         CAST(vec_id % 2 AS BIGINT) AS cohort,
+         {DIM_COL} AS dim,
+         CAST(floor(CAST({X_COL} AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+  FROM {UNNESTED}
+),
+sums AS (
+  SELECT label, cohort, dim,
+         CAST(SUM(x_e6) AS BIGINT) AS s
+  FROM parts GROUP BY label, cohort, dim
+),
+paired AS (
+  SELECT a.label, a.dim, a.s AS sa, b.s AS sb
+  FROM sums a JOIN sums b
+    ON a.label = b.label AND a.dim = b.dim
+   AND a.cohort = 0 AND b.cohort = 1
+),
+dots AS (
+  SELECT label,
+         CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         CAST(SUM(sa * sa) AS BIGINT) AS na2,
+         CAST(SUM(sb * sb) AS BIGINT) AS nb2
+  FROM paired GROUP BY label
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings GROUP BY label
+)
+SELECT d.label, c.n_a, c.n_b,
+       CAST(FLOOR(
+         CAST(d.dot AS DOUBLE) / SQRT(CAST(d.na2 AS DOUBLE) * d.nb2) * 1000
+       ) AS BIGINT) AS centroid_cos_milli,
+       CAST(d.dot AS DOUBLE) / SQRT(CAST(d.na2 AS DOUBLE) * d.nb2) < 0.95
+         AS drift_detected
+FROM dots d JOIN counts c ON c.label = d.label
+"""
+
+_DRIFT_ORACLE = _DRIFT_TEMPLATE.format(
+    DIM_COL="dim",
+    X_COL="x",
+    UNNESTED="(SELECT label, vec_id, unnest(embedding) AS x,"
+    " unnest(range(0, len(embedding))) AS dim FROM embeddings)",
+)
+
+
+@query(
+    "emb_drift_centroid_shift",
+    oracle=_DRIFT_ORACLE,
+    tags=("embedding", "quality"),
+)
+def emb_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split each label's vectors
+    into two deterministic cohorts (old/new ingestion halves stand-in:
+    vec_id parity), compare per-label centroid DIRECTIONS via cosine.
+    Cosine is scale-invariant, so the comparison runs on exact integer
+    SUM vectors — means are never materialized and no float is summed.
+    A label whose cohorts' centroids diverge below 0.95 cosine is the
+    retrain/recalibrate trigger every vector-index deployment monitors.
+
+    Scale shape: one posexplode + hash aggregate keyed by
+    (label, cohort, dim) — map-side combinable, output is
+    labels × dims × 2 rows (model-sized); everything after is
+    label-sized. The only data-sized pass is the explode scan."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        _DRIFT_TEMPLATE.format(
+            DIM_COL="dim",
+            X_COL="x",
+            UNNESTED="(SELECT label, vec_id, pe.dim, pe.x FROM embeddings"
+            " LATERAL VIEW posexplode(embedding) pe AS dim, x) AS t",
+        )
     )

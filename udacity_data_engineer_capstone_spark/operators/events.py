@@ -1655,3 +1655,70 @@ def evt_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_events) * 1000 DIV COUNT(*) AS BIGINT)"
         ).alias("mean_len_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel path regex: MATCH_RECOGNIZE-lite over per-user event strings
+# ---------------------------------------------------------------------------
+
+# Event types compress to one char each so a user's whole journey is a
+# short string and the funnel becomes a regular expression. The funnel
+# asked here: a view directly converting (a later purchase with no
+# intervening purchase) — 'v[^p]*p'.
+_PATH_CHAR_CASE = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'"
+    " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'"
+    " WHEN 'error' THEN 'e' ELSE '?' END"
+)
+
+_PATH_REGEX = "v[^p]*p"
+
+_PATH_REGEX_ORACLE = f"""
+WITH paths AS (
+  SELECT user_id,
+         string_agg({_PATH_CHAR_CASE}, '' ORDER BY ts, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS path_len
+  FROM events GROUP BY user_id
+)
+SELECT user_id, path_len,
+       regexp_matches(path, '{_PATH_REGEX}') AS converted
+FROM paths
+"""
+
+
+@query("evt_path_regex_match", oracle=_PATH_REGEX_ORACLE, tags=("events", "funnel"))
+def evt_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel matching as a regular expression over each user's
+    compressed event string ('v[^p]*p': a view that eventually
+    converts with no purchase in between) — the MATCH_RECOGNIZE-lite
+    pattern that expresses arbitrary ordered funnels without one join
+    per step (compare ``evt_funnel``'s fixed-step windows). Per-user
+    journey strings are built with an order-pinned aggregate
+    (sort by ts, event_id — a total order), so both engines see the
+    identical string.
+
+    Scale shape: one hash aggregate keyed by user builds the path (the
+    per-user string is session-sized); the regex is a map-side scalar.
+    One shuffle total. For multi-year users, cap the path with a
+    windowed recent-N filter before aggregating."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("k"),
+            F.expr(_PATH_CHAR_CASE).alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(k, ch))),"
+                " s -> s.ch), '')"
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+    return paths.select(
+        "user_id",
+        "path_len",
+        F.col("path").rlike(_PATH_REGEX).alias("converted"),
+    )

@@ -1988,3 +1988,72 @@ def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     double (document the switch, don't let it wrap)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_PROP_ZTEST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test: is the daily metric's direction random?
+# ---------------------------------------------------------------------------
+
+# Signs of day-over-day change in daily event counts; R = number of
+# sign runs. Under randomness R ~ N(1 + 2·n₊n₋/N, 2n₊n₋(2n₊n₋−N)/(N²(N−1))).
+# All counts are exact integers; z is one double expression over them.
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+deltas AS (
+  SELECT day, n - LAG(n) OVER (ORDER BY day) AS d FROM daily
+),
+signs AS (
+  SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+  FROM deltas WHERE d IS NOT NULL AND d <> 0
+),
+runs AS (
+  SELECT sg,
+         CASE WHEN sg <> LAG(sg) OVER (ORDER BY day) THEN 1 ELSE 0 END
+           AS boundary
+  FROM signs
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(SUM(boundary) + 1 AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_pos, n_neg, n_runs,
+       CAST(FLOOR(
+         (n_runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+         / SQRT(
+             (2.0 * n_pos * n_neg) * (2.0 * n_pos * n_neg - n_pos - n_neg)
+             / (CAST((n_pos + n_neg) AS DOUBLE) * (n_pos + n_neg)
+                * (n_pos + n_neg - 1))
+           ) * 1000
+       ) AS BIGINT) AS z_milli,
+       ABS(
+         (n_runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+         / SQRT(
+             (2.0 * n_pos * n_neg) * (2.0 * n_pos * n_neg - n_pos - n_neg)
+             / (CAST((n_pos + n_neg) AS DOUBLE) * (n_pos + n_neg)
+                * (n_pos + n_neg - 1))
+           )
+       ) <= 1.96 AS looks_random
+FROM counts
+"""
+
+
+@query("stat_runs_test", oracle=_RUNS_SQL, tags=("stats",))
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the direction of day-over-day change
+    in daily event volume: too FEW runs means momentum/trend, too MANY
+    means oscillation — either way the series isn't i.i.d. and naive
+    day-level confidence intervals (bootstrap, t-tests) understate
+    error. The randomness gate to run before trusting
+    ``stat_bootstrap_ci`` on daily aggregates.
+
+    Scale shape: daily rollup (map-side combinable) then two lag
+    windows over a calendar-sized series; the raw-event pass is the
+    single rollup scan. Zero-delta days are dropped (standard
+    treatment). One double z expression over exact integer counts."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RUNS_SQL)
