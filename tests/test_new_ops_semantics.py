@@ -355,3 +355,31 @@ def test_path_regex_hand_computed(spark, funnel_dir):
     got = {r.user_id: (r.path_len, r.converted) for r in rows}
     # user 1: same-ts click(id 2) before purchase(id 3) -> 'vcp' matches
     assert got == {1: (3, True), 2: (3, False), 3: (3, True)}
+
+
+def test_haar_energy_impulse_is_scale_flat(spark, signal_dir):
+    """A single spike is an impulse: its Haar detail energy is the same
+    at every level (flat spectrum). Background-only blocks cancel to
+    zero; the 25th hour forms a half-empty block contributing 100²."""
+    rows = [
+        r
+        for r in engine.QUERIES["ts_haar_energy"].fn(spark, signal_dir).collect()
+        if r.event_type == "click"
+    ]
+    by_level = {r.level: r.energy_cents2 for r in rows}
+    assert by_level == {1: 98_020_000, 2: 98_020_000, 3: 98_020_000}
+
+
+def test_kappa_and_capture_plausible_at_sf001(spark):
+    """Anchor the formulas: with independent 1/8 label flips kappa must
+    land well between chance (0) and perfect (1); the two ~31% hash
+    samples must estimate corpus size within 30%."""
+    from tests.conftest import SF_DIR_MED
+
+    [k] = engine.QUERIES["stat_cohen_kappa"].fn(spark, SF_DIR_MED).collect()
+    assert k.observed_agree_ppm > 600_000
+    assert 300 < k.kappa_milli < 900
+    [c] = (
+        engine.QUERIES["stat_capture_recapture"].fn(spark, SF_DIR_MED).collect()
+    )
+    assert c.m_overlap > 0 and c.abs_err_ppm < 300_000

@@ -1432,3 +1432,75 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     past that, pre-scale cents to dollars before rolling."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BOLLINGER_TEMPLATE.format(EPOCH="unix_timestamp(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy: which timescale carries the variance?
+# ---------------------------------------------------------------------------
+
+# Detail coefficient at level L for dyadic block b: (sum of the block's
+# first half) − (second half), halves at resolution 2^(L−1) hours.
+# Missing hours contribute zero (gap ≡ no traffic). All coefficients
+# are exact integer cents; energies are exact integer sums of squares.
+# Headroom: |d| ≤ block-sum ≈ 2^L·max-hourly-cents, so at L=3 and 1e7
+# cents/hour d² ≈ 6e15 — inside int64 with ~1000 blocks of margin.
+_HAAR_LEVELS = (1, 2, 3)
+
+_HAAR_TEMPLATE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR({EPOCH} / 3600.0) AS BIGINT) AS bucket,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+indexed AS (
+  SELECT event_type, cents,
+         bucket - MIN(bucket) OVER (PARTITION BY event_type) AS idx
+  FROM hourly
+),
+lv AS (SELECT {LEVELS} AS level),
+details AS (
+  SELECT i.event_type, l.level,
+         CAST(FLOOR(i.idx / POW(2.0, l.level)) AS BIGINT) AS block,
+         CAST(SUM(i.cents
+                  * (1 - 2 * (CAST(FLOOR(i.idx / POW(2.0, l.level - 1))
+                                   AS BIGINT) % 2))) AS BIGINT) AS d
+  FROM indexed i JOIN lv l ON TRUE
+  GROUP BY i.event_type, l.level,
+           CAST(FLOOR(i.idx / POW(2.0, l.level)) AS BIGINT)
+)
+SELECT event_type, CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(d * d) AS BIGINT) AS energy_cents2
+FROM details
+GROUP BY event_type, level
+"""
+
+_HAAR_LEVELS_DUCK = "unnest([1, 2, 3])"
+_HAAR_LEVELS_SPARK = "explode(array(1, 2, 3))"
+
+
+@query("ts_haar_energy", oracle=_HAAR_TEMPLATE.format(
+    EPOCH="EPOCH(ts)", LEVELS=_HAAR_LEVELS_DUCK
+), tags=("timeseries",))
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of each hourly revenue series:
+    per level (2 h, 4 h, 8 h block structure), the summed squared
+    detail coefficients — which timescale carries the series'
+    variance? A spike shows up at fine levels, a daily cycle at coarse
+    ones; the multiresolution companion to ``ts_stl_decompose``'s
+    fixed-period split. Coefficients and energies are exact integer
+    cents end to end (gaps count as zero traffic).
+
+    Scale shape: hourly rollup (the only data-sized pass), then two
+    calendar-sized hash aggregates; the 3-level fan-out joins a 3-row
+    literal table. Powers of two via POW on non-negative ints — exact
+    in IEEE double well past any calendar length."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _HAAR_TEMPLATE.format(
+            EPOCH="unix_timestamp(ts)", LEVELS=_HAAR_LEVELS_SPARK
+        )
+    )

@@ -2057,3 +2057,121 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment). One double z expression over exact integer counts."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RUNS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: inter-annotator agreement beyond chance
+# ---------------------------------------------------------------------------
+
+# Two simulated annotators label documents good/bad: both start from the
+# same underlying signal (n_chars parity band) and each flips ~1/8 of
+# its labels on an independent md5 digit — so agreement is high but
+# imperfect, and kappa must separate real agreement from the chance
+# floor. md5 is the engine-shared hash (cf. curate_hash_split).
+_KAPPA_SQL = """
+WITH labels AS (
+  SELECT doc_id,
+         (n_chars % 10) < 5 AS truth,
+         substr(md5(CAST(doc_id AS STRING)), 3, 1) < '2' AS flip_a,
+         substr(md5(CAST(doc_id AS STRING)), 4, 1) < '2' AS flip_b
+  FROM documents
+),
+ann AS (
+  SELECT doc_id,
+         (truth <> flip_a) AS ann_a,
+         (truth <> flip_b) AS ann_b
+  FROM labels
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN ann_a AND ann_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11,
+         CAST(SUM(CASE WHEN ann_a AND NOT ann_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(SUM(CASE WHEN NOT ann_a AND ann_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01,
+         CAST(SUM(CASE WHEN NOT ann_a AND NOT ann_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ann
+)
+SELECT n11, n10, n01, n00,
+       CAST(FLOOR((n11 + n00) * 1000000.0 / n) AS BIGINT)
+         AS observed_agree_ppm,
+       CAST(FLOOR(
+         ( (CAST(n11 + n00 AS DOUBLE) / n)
+           - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+              + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n AS DOUBLE) * n) )
+         / (1.0
+            - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+               + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / (CAST(n AS DOUBLE) * n))
+         * 1000
+       ) AS BIGINT) AS kappa_milli
+FROM cells
+"""
+
+
+@query("stat_cohen_kappa", oracle=_KAPPA_SQL, tags=("stats", "quality"))
+def stat_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two annotators over the document corpus:
+    raw agreement corrected for the agreement expected by chance from
+    each annotator's marginal rates — the label-quality number every
+    human-annotation or LLM-judge pipeline reports before its labels
+    feed training. All four contingency cells are exact integer sums;
+    kappa is one double expression over them.
+
+    Scale shape: a single map-side-combinable aggregate over the
+    corpus; output is one row."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_KAPPA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# capture–recapture: estimate corpus size from two hash samples
+# ---------------------------------------------------------------------------
+
+# Lincoln–Petersen: sample twice with independent deterministic gates
+# (two different md5 hex digits), count the overlap, estimate
+# N ≈ n1·n2/m. The same estimator teams use to size an unknown
+# duplicate population or a crawl frontier from cheap samples.
+_CAPTURE_SQL = """
+WITH marks AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS STRING)), 1, 1) < '5' AS in_s1,
+         substr(md5(CAST(doc_id AS STRING)), 2, 1) < '5' AS in_s2
+  FROM documents
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN in_s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN in_s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in_s1 AND in_s2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_overlap,
+         CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM marks
+)
+SELECT n1, n2, m_overlap, n_true,
+       CASE WHEN m_overlap = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(n1 * 1.0 * n2 / m_overlap) AS BIGINT) END
+         AS n_estimated,
+       CASE WHEN m_overlap = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(
+              ABS(FLOOR(n1 * 1.0 * n2 / m_overlap) - n_true)
+              * 1000000.0 / n_true) AS BIGINT) END
+         AS abs_err_ppm
+FROM counts
+"""
+
+
+@query("stat_capture_recapture", oracle=_CAPTURE_SQL, tags=("stats",))
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen capture–recapture estimate of corpus size from
+    two ~31% deterministic hash samples (independent md5 digits):
+    N̂ = n1·n2/overlap, reported next to the true count and the
+    relative error — the sampling estimator for sizing an unknown
+    population (duplicate pairs, crawl frontier, join hit-rate) without
+    scanning it twice in full.
+
+    Scale shape: one aggregate pass; in production the two \"samples\"
+    are cheap independent probes and n_true is the unknown this
+    estimator replaces."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_CAPTURE_SQL)

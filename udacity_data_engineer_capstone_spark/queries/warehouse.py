@@ -1054,3 +1054,87 @@ def curate_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time travel: versioned manifest log, read-at-version
+# ---------------------------------------------------------------------------
+
+# Version log in its primitive form: vN.json lists the files visible at
+# version N; v2 = v1's files + the appended delta's files. Reading at a
+# version = scanning exactly that manifest's list — old versions stay
+# readable after appends because files are immutable (the Iceberg/Delta
+# snapshot model, codec aside).
+_TIME_TRAVEL_ORACLE = """
+SELECT CAST(1 AS INT) AS version, CAST(3 AS INT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS INT) AS version, CAST(5 AS INT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
+@query("snk_time_travel", oracle=_TIME_TRAVEL_ORACLE, tags=("sink", "warehouse"))
+def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table versioning with time travel: commit v1 (3 data files),
+    append a delta and commit v2 (the same 3 files + 2 new ones), then
+    read BOTH versions back through their manifests and aggregate each.
+    v1 remains byte-identically readable after the append — the
+    snapshot-isolation property every lakehouse format provides, built
+    here from the immutable-files + manifest-log primitives that
+    ``snk_manifest_publish`` introduced for a single snapshot.
+
+    Scale shape: manifests are file-inventory-sized; each versioned
+    read scans only its listed files. The append writes only the
+    delta."""
+    import json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="engine_time_travel_")
+    data_dir = os.path.join(d, "data")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def commit(version: int, files: list[str]) -> None:
+        tmp = os.path.join(d, f"v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": sorted(files)}, fh)
+        os.replace(tmp, os.path.join(d, f"v{version}.json"))
+
+    def data_files() -> list[str]:
+        return [
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ]
+
+    orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    commit(1, data_files())
+    orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    commit(2, data_files())
+
+    outs = []
+    for version in (1, 2):
+        with open(os.path.join(d, f"v{version}.json")) as fh:
+            listed = json.load(fh)["files"]
+        snap = spark.read.parquet(
+            *[os.path.join(data_dir, f) for f in listed]
+        )
+        outs.append(
+            snap.agg(
+                F.lit(version).cast("int").alias("version"),
+                F.lit(len(listed)).cast("int").alias("n_files"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
