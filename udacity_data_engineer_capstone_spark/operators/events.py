@@ -1722,3 +1722,68 @@ def evt_path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path_len",
         F.col("path").rlike(_PATH_REGEX).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-store export: one ML feature vector per user
+# ---------------------------------------------------------------------------
+
+# The features are exact-integer-derived (counts, cents, day indexes)
+# cast to double only at assembly, so the array is bit-identical across
+# engines. Recency anchors on the corpus high-water mark, not
+# wall-clock — deterministic and replayable.
+_FEATURE_SQL = """
+WITH hw AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_views,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+)
+SELECT p.user_id, p.n_events, p.n_views, p.n_purchases, p.total_cents,
+       p.active_days,
+       CAST({DATEDIFF} AS BIGINT) AS recency_days,
+       {ARR_OPEN}
+         CAST(p.n_events AS DOUBLE),
+         CAST(p.n_views AS DOUBLE),
+         CAST(p.n_purchases AS DOUBLE),
+         CAST(p.total_cents AS DOUBLE) / 100,
+         CAST(p.active_days AS DOUBLE),
+         CAST({DATEDIFF} AS DOUBLE)
+       {ARR_CLOSE} AS features
+FROM per_user p CROSS JOIN hw
+"""
+
+
+@query(
+    "evt_feature_vector_assembly",
+    oracle=_FEATURE_SQL.format(
+        DATEDIFF="hw.max_day - p.last_day", ARR_OPEN="[", ARR_CLOSE="]"
+    ),
+    tags=("events", "curation"),
+)
+def evt_feature_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store export: one row per user with named behavioral
+    features (counts, spend, active days, recency vs the corpus
+    high-water mark) AND the assembled ``array<double>`` feature
+    vector a model server consumes — the batch half of a feature
+    platform, with training/serving skew ruled out because both views
+    come from the same expression.
+
+    Scale shape: one hash aggregate keyed by user; the high-water mark
+    is a 1-row broadcast. Array assembly is a map-side projection."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _FEATURE_SQL.format(
+            DATEDIFF="datediff(hw.max_day, p.last_day)",
+            ARR_OPEN="array(",
+            ARR_CLOSE=")",
+        )
+    )

@@ -1381,3 +1381,73 @@ def src_file_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.min("l_orderkey") > _PRUNE_HI)
         ).alias("prunable_for_key_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# web-server access-log ingestion: regex-parse semi-structured text
+# ---------------------------------------------------------------------------
+
+# Combined-log-format lines rendered deterministically from events
+# (user -> client IP octets, event_type -> path, value -> bytes), so
+# the parse can be verified against the relational source. The regex
+# is the canonical CLF parse every log pipeline starts from.
+_CLF_REGEX = (
+    r'^(\S+) - - \[([^\]]+)\] "GET /([a-z]+) HTTP/1\.1" (\d+) (\d+)$'
+)
+
+
+@query(
+    "src_apache_logs",
+    oracle="""
+SELECT event_type AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(COUNT(DISTINCT user_id % 256) AS BIGINT) AS n_client_ips,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_bytes,
+       CAST(SUM(CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events
+GROUP BY event_type
+""",
+    tags=("source", "text"),
+)
+def src_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-log ingestion end to end: render events as combined-log
+    text lines, write them as a real text file, read the file back and
+    regex-parse each line into typed columns (client IP, timestamp
+    field, path, status, bytes), then aggregate per path. The oracle
+    recomputes from the relational source, so a single mis-captured
+    group or dropped line fails the gate.
+
+    Scale shape: text scan → one regexp_extract per column (map-side,
+    whole-stage codegen) → hash aggregate. The regex never backtracks
+    (anchored, single pass) — the property that keeps CPU linear on a
+    100 TB log lake."""
+    d = tempfile.mkdtemp(prefix="engine_access_log_")
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.format_string(
+            '10.0.%d.%d - - [%s] "GET /%s HTTP/1.1" %d %d',
+            (F.col("user_id") % 256).cast("int"),
+            F.lit(7),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 17 == 0, 500).otherwise(200),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(d)
+    raw = spark.read.text(d)
+    parsed = raw.select(
+        F.regexp_extract("value", _CLF_REGEX, 1).alias("client_ip"),
+        F.regexp_extract("value", _CLF_REGEX, 3).alias("path"),
+        F.regexp_extract("value", _CLF_REGEX, 4).cast("int").alias("status"),
+        F.regexp_extract("value", _CLF_REGEX, 5).cast("long").alias("bytes"),
+    ).where(F.col("path") != "")
+    return parsed.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("client_ip").alias("n_client_ips"),
+        F.sum("bytes").alias("total_bytes"),
+        F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).cast("long")
+        .alias("n_errors"),
+    )

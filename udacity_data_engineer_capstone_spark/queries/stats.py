@@ -2175,3 +2175,117 @@ def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator replaces."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_CAPTURE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (the significance gate for ts_theil_sen)
+# ---------------------------------------------------------------------------
+
+# S = Σ_{i<j} sign(x_j − x_i) over the daily-count series; Var(S) with
+# the tie correction; z with the ±1 continuity correction. S and the
+# tie table are exact integers; z is one double expression.
+_MK_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x) AS tt
+  WHERE t > 1
+),
+stat AS (
+  SELECT p.s, n.n,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) / 18.0 AS var_s
+  FROM pairs p CROSS JOIN n_row n CROSS JOIN ties t
+)
+SELECT n, s AS s_stat,
+       CAST(FLOOR(var_s * 1000) AS BIGINT) AS var_milli,
+       CAST(FLOOR(
+         CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+              WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+              ELSE 0.0 END * 1000
+       ) AS BIGINT) AS z_milli,
+       CASE WHEN s > 0 AND (s - 1) / SQRT(var_s) > 1.96 THEN 'increasing'
+            WHEN s < 0 AND (s + 1) / SQRT(var_s) < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM stat
+"""
+
+
+@query("stat_mann_kendall", oracle=_MK_SQL, tags=("stats", "timeseries"))
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on daily event volume: the
+    non-parametric significance gate that says whether
+    ``ts_theil_sen``'s slope estimate is distinguishable from noise —
+    rank-based, so outliers and non-normality don't fake a trend.
+    Includes the tie-corrected variance and ±1 continuity correction.
+
+    Scale shape: the pair sum is a self-join over the DAILY series
+    (calendar-sized — 10 years is ~3.7k rows, ~7M pairs, trivial);
+    only the daily rollup ever scans raw events. For century-scale
+    series switch to the O(n log n) inversion-count formulation."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sequential probability ratio test: always-valid daily monitoring
+# ---------------------------------------------------------------------------
+
+# H0: daily purchase share = 0.20 vs H1: = 0.25, α = β = 0.05. Each
+# day's log-likelihood-ratio increment is conv·ln(p1/p0) +
+# (n−conv)·ln((1−p1)/(1−p0)) — quantized to exact integer micro-nats
+# per day, then integer-cumsummed in day order, so the walk is
+# fold-order exact. Boundaries: ±ln(19) ≈ ±2.944439 nats.
+_SPRT_BOUND_MICRO = 2944439
+
+_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv,
+         CAST(COUNT(*) AS BIGINT) AS trials
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT day, conv, trials,
+         CAST(FLOOR(conv * LN(0.25 / 0.20) * 1000000
+                    + (trials - conv) * LN(0.75 / 0.80) * 1000000)
+              AS BIGINT) AS llr_micro
+  FROM daily
+),
+walk AS (
+  SELECT day, conv, trials,
+         CAST(SUM(llr_micro) OVER (ORDER BY day) AS BIGINT) AS cum_llr_micro
+  FROM scored
+)
+SELECT day, conv, trials, cum_llr_micro,
+       CASE WHEN cum_llr_micro >= {_SPRT_BOUND_MICRO} THEN 'accept_h1'
+            WHEN cum_llr_micro <= -{_SPRT_BOUND_MICRO} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM walk
+"""
+
+
+@query("stat_sequential_sprt", oracle=_SPRT_SQL, tags=("stats", "experiment"))
+def stat_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test monitoring the daily
+    purchase share (H0 20% vs H1 25%, α = β = 5%): the cumulative
+    log-likelihood walk with early-stop boundaries — the always-valid
+    alternative to peeking at ``stat_proportion_ztest`` daily (which
+    inflates false positives). Per-day increments are quantized to
+    exact integer micro-nats before the cumulative sum, so the walk is
+    identical on any partitioning.
+
+    Scale shape: one daily rollup over events, one cumulative window
+    over the calendar-sized series."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_SPRT_SQL)
