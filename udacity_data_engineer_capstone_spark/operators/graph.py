@@ -1224,3 +1224,72 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.filter(F.col("r") > 0).select(
         F.col("node").alias("node_id"), F.col("r").alias("ppr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (DeepWalk/node2vec corpus generation)
+# ---------------------------------------------------------------------------
+
+# One 4-step walker per node over the co-supply graph. The next hop
+# from node u at step t is neighbor-rank H(u,t) % degree(u), with
+# H a multiplicative integer hash — pseudo-random exploration that is
+# bit-identical across engines, partitionings, and reruns (a seeded
+# RNG cannot give the last two). Walks are what a graph-embedding
+# trainer (DeepWalk / node2vec) consumes as its "sentences".
+_WALK_STEPS = 3
+
+def _walk_sql() -> str:
+    steps = []
+    for t in range(1, _WALK_STEPS + 1):
+        steps.append(f"""
+s{t} AS (
+  SELECT s.walker, a.d AS node
+  FROM s{t - 1} s
+  JOIN deg ON deg.node = s.node
+  JOIN adj a
+    ON a.s = s.node
+   AND a.rnk = ((s.node * 2654435761 + {t} * 97531) % 999983) % deg.deg
+)""")
+    return (
+        """
+WITH pairs AS (
+  SELECT DISTINCT l.l_suppkey AS a, r.l_suppkey AS b
+  FROM lineitem l JOIN lineitem r ON l.l_orderkey = r.l_orderkey
+  WHERE l.l_suppkey <> r.l_suppkey
+),
+adj AS (
+  SELECT a AS s, b AS d,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS rnk
+  FROM pairs
+),
+deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY s
+),
+s0 AS (SELECT node AS walker, node FROM deg),"""
+        + ",".join(steps)
+        + f"""
+SELECT s0.walker AS start_node,
+       CAST(s{_WALK_STEPS}.node AS BIGINT) AS end_node,
+       CAST({_WALK_STEPS} AS INT) AS n_steps
+FROM s0 JOIN s{_WALK_STEPS} ON s{_WALK_STEPS}.walker = s0.walker
+"""
+    )
+
+
+@query("graph_random_walks", oracle=_walk_sql(), tags=("graph",))
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step random walks from every node of the
+    co-supply graph — the corpus-generation half of DeepWalk/node2vec.
+    The next hop is chosen by an integer hash of (node, step) modulo
+    the node's degree, so the 'random' walk is reproducible anywhere:
+    no RNG state, no partition sensitivity, and the oracle can replay
+    it exactly.
+
+    Scale shape: the ranked adjacency builds once (one window over the
+    edge list); each step is one equi-join of the walker frontier
+    against it (frontier is node-count-sized, never edge-sized).
+    Unrolled joins keep every step an AQE-visible plan stage; for
+    100-step walks move the loop into iterative DataFrame code with
+    localCheckpoint like ``graph_pagerank``."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_walk_sql())

@@ -491,3 +491,102 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# experiment readout: the full A/B report in one pass
+# ---------------------------------------------------------------------------
+
+# Composes the session's experiment toolkit into the one-page readout
+# an experimenter actually reads: assignment health (SRM), the
+# conversion delta (pooled z²), and the spend-per-user delta (Welch
+# t²) — each as a row with its exact-integer inputs and verdict.
+# Shared SQL text; every statistic is a fixed double expression over
+# exact integer moments (cf. stat_srm_check / stat_proportion_ztest /
+# stat_welch_ttest for the per-piece derivations).
+_READOUT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(((user_id * 2654435761 + 987654321) % 97) % 2 AS BIGINT) AS arm,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN spend_cents ELSE 0 END) AS BIGINT)
+           AS s_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN spend_cents ELSE 0 END) AS BIGINT)
+           AS s_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN spend_cents * spend_cents ELSE 0 END)
+              AS BIGINT) AS q_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN spend_cents * spend_cents ELSE 0 END)
+              AS BIGINT) AS q_b
+  FROM per_user
+)
+SELECT 'srm' AS metric, n_a AS value_a, n_b AS value_b,
+       CAST(FLOOR((n_a - n_b) * (n_a - n_b) * 1000.0 / (n_a + n_b))
+            AS BIGINT) AS stat_milli,
+       (n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)
+         AS flagged
+FROM m
+UNION ALL
+SELECT 'conversion_z2', conv_a, conv_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(
+              (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
+               * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+              / (CAST((conv_a + conv_b) AS DOUBLE)
+                 * (n_a + n_b - conv_a - conv_b) * n_a * n_b) * 1000
+            ) AS BIGINT) END,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN FALSE
+            ELSE (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
+                  * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+                 / (CAST((conv_a + conv_b) AS DOUBLE)
+                    * (n_a + n_b - conv_a - conv_b) * n_a * n_b)
+                 > 3.841459 END
+FROM m
+UNION ALL
+SELECT 'spend_welch_t2', s_a, s_b,
+       CAST(FLOOR(
+         (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         * (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         / ( (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+               / (n_a - 1) / n_a
+           + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+               / (n_b - 1) / n_b ) * 1000
+       ) AS BIGINT),
+       (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       * (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       / ( (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+             / (n_a - 1) / n_a
+         + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+             / (n_b - 1) / n_b )
+       > 3.841459
+FROM m
+"""
+
+
+@query("pipe_experiment_readout", oracle=_READOUT_SQL, tags=("pipeline", "experiment"))
+def pipe_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page A/B readout: assignment health (SRM chi²),
+    conversion delta (pooled z²), and spend-per-user delta (Welch t²)
+    over the same hash-assigned arms, one verdict row each — composed
+    from the experiment toolkit so the whole report is a single
+    two-aggregate pass (per-user rollup, then one 1-row moment
+    aggregate fanned into three report rows).
+
+    Scale shape: the only data-sized pass is the per-user rollup;
+    every statistic reads the 1-row moment table. Headroom: spend q_a
+    sums of squared cents hold to ~1e5-cent users × 1e8 rows."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_READOUT_SQL)

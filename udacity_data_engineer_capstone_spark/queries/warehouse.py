@@ -1138,3 +1138,50 @@ def snk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+# ---------------------------------------------------------------------------
+# chunked table checksum (migration / replication verification)
+# ---------------------------------------------------------------------------
+
+# Row checksum = md5 over a canonical '|'-joined rendering of the row
+# using only render-stable types (BIGINT, VARCHAR, DATE — doubles are
+# folded to integer cents first, because float-to-string formatting is
+# the one place engines legitimately differ). Chunk = o_orderkey % 16,
+# so after a migration the diverging chunk can be binary-searched
+# without re-hashing the whole table.
+_CHECKSUM_SQL = """
+WITH rows_cs AS (
+  SELECT CAST(o_orderkey % 16 AS BIGINT) AS chunk,
+         md5(concat_ws('|',
+             CAST(o_orderkey AS STRING),
+             o_orderstatus,
+             o_orderpriority,
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),
+             CAST(CAST(o_orderdate AS DATE) AS STRING))) AS cs
+  FROM orders
+)
+SELECT chunk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cs) AS BIGINT) AS n_distinct,
+       MIN(cs) AS min_checksum,
+       MAX(cs) AS max_checksum
+FROM rows_cs
+GROUP BY chunk
+"""
+
+
+@query("act_table_checksum", oracle=_CHECKSUM_SQL, tags=("action", "quality"))
+def act_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked content checksum of the orders table: a canonical
+    row rendering (stable types only — money folded to integer cents
+    because float formatting is engine-specific) hashed per row,
+    summarized per key-chunk. Run on both sides of a migration or
+    replication stream, the first differing chunk localizes corruption
+    16× faster than a whole-table compare — and the md5 discipline is
+    the same one the dedup family already trusts cross-engine.
+
+    Scale shape: map-side hash per row, one aggregate keyed by chunk;
+    no shuffle carries more than chunk-count rows of state per task."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CHECKSUM_SQL)
