@@ -941,3 +941,39 @@ def test_market_basket_pair_join_is_equi(spark, sf_dir):
     assert "SortMergeJoin" in text or "ShuffledHashJoin" in text or (
         "BroadcastHashJoin" in text
     ), text
+
+
+def test_apache_logs_parse_stays_jvm_side(spark, sf_dir):
+    """src_apache_logs: the regex parse must be whole-stage-codegen
+    column expressions — no Python evaluation node on the scan path."""
+    df = Q["src_apache_logs"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BatchEvalPython" not in text, text
+    assert "ArrowEvalPython" not in text, text
+
+
+def test_feature_assembly_broadcasts_high_water_mark(spark, sf_dir):
+    """evt_feature_vector_assembly: the 1-row corpus high-water mark
+    must broadcast onto the per-user rollup — never a sort-merge join,
+    never a cartesian over data-sized inputs."""
+    df = Q["evt_feature_vector_assembly"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "SortMergeJoin" not in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_random_walks_steps_are_equi_joins(spark, sf_dir):
+    """graph_random_walks: every step joins the frontier to the ranked
+    adjacency on (node, rank) equi keys — no cartesian pass."""
+    df = Q["graph_random_walks"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+
+
+def test_drift_centroids_join_is_equi(spark, sf_dir):
+    """emb_drift_centroid_shift: cohort centroid pairing must be an
+    equi join on (label, dim) — no nested-loop over vectors."""
+    df = Q["emb_drift_centroid_shift"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
