@@ -383,3 +383,22 @@ def test_kappa_and_capture_plausible_at_sf001(spark):
         engine.QUERIES["stat_capture_recapture"].fn(spark, SF_DIR_MED).collect()
     )
     assert c.m_overlap > 0 and c.abs_err_ppm < 300_000
+
+
+def test_length_sorted_batching_never_wastes_more(spark):
+    """The whole point of length bucketing: sorted batches can only cut
+    padding. On the sf0.01 corpus the improvement must be strict."""
+    from tests.conftest import SF_DIR_MED
+
+    rows = {
+        r.strategy: r
+        for r in engine.QUERIES["curate_padding_waste"].fn(spark, SF_DIR_MED)
+        .collect()
+    }
+    assert rows["length_sorted"].padding_tokens < (
+        rows["arrival_order"].padding_tokens
+    )
+    assert (
+        rows["length_sorted"].content_tokens
+        == rows["arrival_order"].content_tokens
+    )

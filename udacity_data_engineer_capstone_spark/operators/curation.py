@@ -1314,3 +1314,70 @@ def curate_drop_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             evidence.alias("evidence_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# padding-waste audit: does length-bucketed batching pay for itself?
+# ---------------------------------------------------------------------------
+
+# Fixed-size training batches pad every sequence to the batch max; the
+# audit compares arrival-order batching vs length-sorted batching on
+# the same corpus (token lengths proxied at n_chars/4). This is the
+# number that justifies (or kills) a pre-training sort stage.
+_PAD_BATCH = 8
+
+_PADDING_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(FLOOR(n_chars / 4.0) AS BIGINT) AS toks FROM documents
+),
+arrival AS (
+  SELECT toks,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1)
+                    / {_PAD_BATCH}.0) AS BIGINT) AS batch
+  FROM lens
+),
+sorted_b AS (
+  SELECT toks,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY toks, doc_id) - 1)
+                    / {_PAD_BATCH}.0) AS BIGINT) AS batch
+  FROM lens
+),
+per_batch AS (
+  SELECT 'arrival_order' AS strategy, batch,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS used,
+         CAST(MAX(toks) * COUNT(*) AS BIGINT) AS capacity
+  FROM arrival GROUP BY batch
+  UNION ALL
+  SELECT 'length_sorted', batch,
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(toks) AS BIGINT),
+         CAST(MAX(toks) * COUNT(*) AS BIGINT)
+  FROM sorted_b GROUP BY batch
+)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(used) AS BIGINT) AS content_tokens,
+       CAST(SUM(capacity - used) AS BIGINT) AS padding_tokens,
+       CAST(FLOOR(SUM(capacity - used) * 1000000.0 / SUM(capacity))
+            AS BIGINT) AS waste_ppm
+FROM per_batch
+GROUP BY strategy
+"""
+
+
+@query("curate_padding_waste", oracle=_PADDING_SQL, tags=("curation",))
+def curate_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for fixed-size training batches: every
+    sequence in a batch pads to the batch max, so batch composition is
+    money — this compares arrival-order batching against length-sorted
+    batching on identical data and reports the wasted-token fraction
+    of each. The measured gap is the budget case for a sort stage
+    before ``curate_pack_sequences``-style packing.
+
+    Scale shape: the global row_number orders are the audit-path cost
+    (rank over doc lengths); in production the same numbers come from
+    a per-shard window plus shard-offset stitch — identical output,
+    range-partitioned. Everything else is two hash aggregates."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_PADDING_SQL)

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import load_table, load_table_scaled
+from udacity_data_engineer_capstone_spark.catalog import (
+    load_table,
+    load_table_scaled,
+    register_views,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single non-alnum marks
@@ -1282,4 +1286,81 @@ def text_stopword_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.expr("df * 1000000 DIV n_docs").cast("long").alias("df_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: word pairs glued together more than chance
+# ---------------------------------------------------------------------------
+
+# pmi(a,b) = ln( c_ab · N_bigrams / (c_a · c_b) ) over adjacent word
+# pairs; all counts are exact integers, PMI is one double expression.
+# The min-count floor (5) is the standard noise gate — PMI of rare
+# pairs explodes.
+_PMI_MIN_COUNT = 5
+
+_PMI_TEMPLATE = """
+WITH toks AS (
+  {TOKENS}
+),
+bigrams AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bigrams WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bg)
+SELECT b.w1, b.w2, b.c_ab,
+       ua.c AS c_a, ub.c AS c_b,
+       CAST(FLOOR(LN(CAST(b.c_ab AS DOUBLE) * t.n / (ua.c * ub.c)) * 1000000)
+            AS BIGINT) AS pmi_micro
+FROM bg b
+JOIN uni ua ON ua.w = b.w1
+JOIN uni ub ON ub.w = b.w2
+CROSS JOIN tot t
+WHERE b.c_ab >= {MIN_COUNT}
+ORDER BY pmi_micro DESC, b.w1, b.w2
+LIMIT 50
+"""
+
+_PMI_TOKENS_DUCK = """
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w,
+         generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+  FROM documents
+"""
+
+_PMI_TOKENS_SPARK = """
+  SELECT doc_id, pe.w, pe.i
+  FROM documents
+  LATERAL VIEW posexplode(split(lower(text), '\\\\s+')) pe AS i, w
+"""
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=_PMI_TEMPLATE.format(TOKENS=_PMI_TOKENS_DUCK, MIN_COUNT=_PMI_MIN_COUNT),
+    tags=("text",),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information: adjacent
+    word pairs that co-occur far above what their individual
+    frequencies predict — the phrase detector ('new york', 'machine
+    learning') run before vocabulary building, and the
+    information-theoretic upgrade of ``text_bpe_pair_counts``'s raw
+    pair frequencies. Exact integer counts; one LN per surviving pair;
+    a min-count floor keeps rare-pair PMI from exploding.
+
+    Scale shape: tokenize map-side, one lead window per document
+    (partitioned by doc), two hash aggregates; unigram counts join
+    back at vocabulary width (AQE broadcasts)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _PMI_TEMPLATE.format(TOKENS=_PMI_TOKENS_SPARK, MIN_COUNT=_PMI_MIN_COUNT)
     )

@@ -918,3 +918,66 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLUSTER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# CIDR matching: classify client IPs against network blocks
+# ---------------------------------------------------------------------------
+
+# Client IPs derive from events (10.0.<user_id%256>.7, the same
+# rendering src_apache_logs writes); the block table is inline. An IP
+# matches a /p block when its integer form lies in [base, base+2^(32-p));
+# overlapping blocks resolve by LONGEST prefix — the routing-table rule.
+_CIDR_SQL = """
+WITH ips AS (
+  SELECT CAST(167772160 + (user_id % 256) * 256 + 7 AS BIGINT) AS ip_int,
+         user_id
+  FROM events
+),
+blocks AS (
+  SELECT 'corp-lan' AS block, CAST(24 AS BIGINT) AS prefix,
+         CAST(167772160 AS BIGINT) AS lo,
+         CAST(167772160 + 255 AS BIGINT) AS hi
+  UNION ALL
+  SELECT 'dc-east', 22,
+         CAST(167772160 + 4 * 256 AS BIGINT),
+         CAST(167772160 + 8 * 256 - 1 AS BIGINT)
+  UNION ALL
+  SELECT 'dc-east-gpu', 24,
+         CAST(167772160 + 5 * 256 AS BIGINT),
+         CAST(167772160 + 6 * 256 - 1 AS BIGINT)
+  UNION ALL
+  SELECT 'wide-10', 8, CAST(167772160 AS BIGINT),
+         CAST(167772160 + 16777215 AS BIGINT)
+),
+matched AS (
+  SELECT i.user_id, i.ip_int, b.block, b.prefix,
+         ROW_NUMBER() OVER (PARTITION BY i.user_id, i.ip_int
+                            ORDER BY b.prefix DESC, b.block) AS r
+  FROM ips i JOIN blocks b ON i.ip_int BETWEEN b.lo AND b.hi
+)
+SELECT block, CAST(prefix AS BIGINT) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(COUNT(DISTINCT ip_int) AS BIGINT) AS n_ips
+FROM matched
+WHERE r = 1
+GROUP BY block, prefix
+"""
+
+
+@query("fn_ip_cidr_match", oracle=_CIDR_SQL, tags=("function", "join"))
+def fn_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix CIDR classification of client IPs: integer IP
+    forms range-join against a network-block table and overlaps
+    resolve routing-table style (most-specific prefix wins, via one
+    ranking window). The request/IP rollup per block is what a
+    security or traffic dashboard reads; the 10.0.5.x IPs land in
+    'dc-east-gpu' even though 'dc-east' and 'wide-10' also contain
+    them.
+
+    Scale shape: the block table is routing-table-sized → broadcast;
+    the range predicate evaluates map-side against it; one window
+    keyed by IP + one hash aggregate. No data-sized shuffle beyond
+    the rollup."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CIDR_SQL)
