@@ -1787,3 +1787,49 @@ def evt_feature_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ARR_CLOSE=")",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# velocity rule: too many purchases inside a sliding hour
+# ---------------------------------------------------------------------------
+
+_VELOCITY_LIMIT = 3
+
+_VELOCITY_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts, CAST({{EPOCH}} AS BIGINT) AS sec
+  FROM events WHERE event_type = 'purchase'
+),
+windowed AS (
+  SELECT user_id, ts,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS purchases_in_hour
+  FROM purchases
+),
+peaks AS (
+  SELECT user_id,
+         CAST(MAX(purchases_in_hour) AS BIGINT) AS peak_hour_purchases,
+         CAST(COUNT(*) AS BIGINT) AS total_purchases
+  FROM windowed GROUP BY user_id
+)
+SELECT user_id, total_purchases, peak_hour_purchases,
+       peak_hour_purchases >= {_VELOCITY_LIMIT} AS velocity_flagged
+FROM peaks
+"""
+
+
+@query("evt_fraud_velocity", oracle=_VELOCITY_SQL.format(EPOCH="EPOCH(ts)"), tags=("events", "quality"))
+def evt_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity fraud rule: each user's peak number of purchases inside
+    ANY sliding 60-minute window (an event-anchored RANGE frame over
+    epoch seconds — windows between events don't need checking because
+    the count only changes at an event). Users at or above the limit
+    are flagged — the rate-limit primitive of card-fraud and
+    abuse-detection rulebooks.
+
+    Scale shape: one user-partitioned range-frame window over the
+    purchase subset + one rollup; both shuffles are user-keyed and the
+    filter prunes to the purchase stream before any window state."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_VELOCITY_SQL.format(EPOCH="unix_timestamp(ts)"))

@@ -1293,3 +1293,66 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint like ``graph_pagerank``."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_walk_sql())
+
+
+# ---------------------------------------------------------------------------
+# ego-network reach: 1-hop and 2-hop neighborhood sizes
+# ---------------------------------------------------------------------------
+
+# Hub cap: only each node's first _EGO_CAP neighbors (by id — a
+# deterministic truncation) participate in the 2-hop expansion, so the
+# join fan-out is bounded by n·cap² instead of Σ deg² — on the dense
+# co-supply graph at sf0.1 the uncapped form is a 1e9-row fan-out
+# (observed OOM); the capped form is the same discipline as
+# dedup_ngram_jaccard's document-frequency cap.
+_EGO_CAP = 50
+
+_EGO_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l.l_suppkey AS a, r.l_suppkey AS b
+  FROM lineitem l JOIN lineitem r ON l.l_orderkey = r.l_orderkey
+  WHERE l.l_suppkey <> r.l_suppkey
+),
+capped AS (
+  SELECT a, b FROM (
+    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn
+    FROM pairs
+  ) t WHERE rn <= {{cap}}
+),
+two_hop AS (
+  SELECT DISTINCT p1.a, p2.b AS n2
+  FROM capped p1 JOIN capped p2 ON p2.a = p1.b
+  WHERE p2.b <> p1.a
+),
+reach AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS reach2
+  FROM (SELECT a, b AS n FROM capped
+        UNION SELECT a, n2 FROM two_hop) u
+  GROUP BY a
+),
+deg AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS deg1 FROM capped GROUP BY a
+)
+SELECT d.a AS node_id, d.deg1, r.reach2,
+       CAST(FLOOR(r.reach2 * 1000.0 / d.deg1) AS BIGINT)
+         AS expansion_milli
+FROM deg d JOIN reach r ON r.a = d.a
+""".format(cap=_EGO_CAP)
+
+
+@query("graph_ego_network_stats", oracle=_EGO_SQL, tags=("graph",))
+def graph_ego_network_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego-network reach per node: direct degree, distinct ≤2-hop
+    neighborhood size, and the expansion ratio — the
+    friend-of-a-friend audience number behind influence/virality
+    estimates, and (read across nodes) a small-world diagnostic for
+    the co-supply graph.
+
+    Scale shape: the adjacency is degree-capped (first 50 neighbors
+    per node, deterministic) BEFORE the 2-hop self-join, bounding
+    fan-out to n·cap² — the uncapped Σ deg(v)² form OOMs on the dense
+    co-supply graph at sf0.1 already. Reach is therefore "reach over
+    the truncated adjacency"; for exact reach on hub-heavy graphs use
+    an HLL sketch per ego instead."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_EGO_SQL)

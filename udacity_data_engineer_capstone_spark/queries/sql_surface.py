@@ -981,3 +981,85 @@ def fn_ip_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CIDR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# star-except projection (schema-evolution-proof column dropping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_select_except",
+    oracle="""
+SELECT * EXCLUDE (c_name, c_acctbal) FROM customer ORDER BY c_custkey
+""",
+    tags=("sql", "projection"),
+)
+def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-except projection — ``SELECT * EXCEPT (...)`` (Spark) ≙
+    ``SELECT * EXCLUDE (...)`` (DuckDB): drop the sensitive/unneeded
+    columns by NAME and keep everything else, so the projection
+    survives upstream schema evolution (a new column flows through
+    without a code change, unlike an explicit column list). The
+    PII-minimizing sibling of ``prj_drop``.
+
+    Scale shape: pure projection — column pruning reaches the scan
+    and the dropped columns are never read."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM customer ORDER BY c_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validation (payment-card style data cleaning)
+# ---------------------------------------------------------------------------
+
+# Synthetic 16-digit account numbers minted from the customer key; the
+# last digit is chosen so that ~half the numbers fail Luhn (parity of
+# the key), making both verdicts observable. The doubled-digit rule
+# sum(d*2 > 9 ? d*2-9 : d*2) unrolls over the 16 fixed positions —
+# pure integer/substring expressions shared by both engines.
+def _luhn_sql() -> str:
+    acct = (
+        "CONCAT('4', LPAD(CAST(c_custkey AS STRING), 14, '0'),"
+        " CAST(c_custkey % 10 AS STRING))"
+    )
+    terms = []
+    for pos in range(1, 17):
+        d = f"CAST(substr(acct, {pos}, 1) AS BIGINT)"
+        if pos % 2 == 1:  # doubled positions (odd index from left, 16-digit)
+            terms.append(
+                f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)"
+            )
+        else:
+            terms.append(d)
+    total = " + ".join(terms)
+    return f"""
+WITH accts AS (
+  SELECT c_custkey, {acct} AS acct FROM customer
+),
+checked AS (
+  SELECT c_custkey, acct, CAST({total} AS BIGINT) AS luhn_sum
+  FROM accts
+)
+SELECT CAST(luhn_sum % 10 = 0 AS BOOLEAN) AS luhn_valid,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM checked
+GROUP BY luhn_sum % 10 = 0
+"""
+
+
+@query("fn_luhn_checksum", oracle=_luhn_sql(), tags=("function", "quality"))
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over synthetic 16-digit
+    account numbers — the classic ingest-time cleaning rule for
+    payment-card-shaped fields (a mistyped digit flips the verdict).
+    The doubled-digit sum unrolls into 16 fixed substring/integer
+    terms, identical text on both engines, summarized by verdict.
+
+    Scale shape: map-side expressions + one 2-group aggregate."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_luhn_sql())
