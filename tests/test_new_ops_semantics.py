@@ -402,3 +402,33 @@ def test_length_sorted_batching_never_wastes_more(spark):
         rows["length_sorted"].content_tokens
         == rows["arrival_order"].content_tokens
     )
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """4 users, horizon 7d, high-water day 20: durations {0:churn,
+    2:churn+censor, 16:censor}; n-at-risk 4/3/1; S = 3/4 then 1/2,
+    flat through the censored tail."""
+    out = tempfile.mkdtemp(prefix="engine_km_")
+    day = lambda d: _TS0 + dt.timedelta(days=d)
+    mk = lambda eid, d, uid: Row(event_id=eid, ts=day(d), user_id=uid,
+                                 event_type="view", value=1.0, props="{}")
+    rows = [
+        mk(1, 0, 1), mk(2, 2, 1),          # u1: duration 2, churned
+        mk(3, 0, 2),                        # u2: duration 0, churned
+        mk(4, 0, 3), mk(5, 16, 3),          # u3: duration 16, censored
+        mk(6, 18, 4), mk(7, 20, 4),         # u4: duration 2, censored (hw)
+    ]
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    got = {
+        r.duration_days: r
+        for r in engine.QUERIES["evt_survival_km"].fn(spark, out).collect()
+    }
+    assert set(got) == {0, 2, 16}
+    assert (got[0].n_at_risk, got[0].churned, got[0].censored) == (4, 1, 0)
+    assert got[0].survival_ppm == 749999  # floor-quantized ln dust
+    assert (got[2].n_at_risk, got[2].churned, got[2].censored) == (3, 1, 1)
+    assert got[2].survival_ppm == 499999  # floor(0.5·1e6 − quantize dust)
+    assert (got[16].n_at_risk, got[16].churned) == (1, 0)
+    assert got[16].survival_ppm == got[2].survival_ppm

@@ -1381,3 +1381,53 @@ def curate_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned. Everything else is two hash aggregates."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_PADDING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+# key_i = u_i^(1/w_i) with u from a deterministic integer hash — the
+# top-k keys ARE a weighted sample without replacement. Deterministic
+# u (multiplicative hash mod a prime, midpoint-offset to (0,1)) makes
+# the "random" sample reproducible and cross-engine identical; ranking
+# uses the equivalent monotone form -ln(u)/w ascending.
+_AES_PRIME = 1000003
+_AES_K = 20
+
+_AES_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ((doc_id * 2654435761 + 12345) % {_AES_PRIME} + 0.5)
+           / {_AES_PRIME}.0 AS u
+  FROM documents
+  WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         -LN(u) / n_chars AS k
+  FROM keyed
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       CAST(FLOOR(k * 1000000000) AS BIGINT) AS key_nano
+FROM ranked
+ORDER BY k, doc_id
+LIMIT {_AES_K}
+"""
+
+
+@query("curate_weighted_sample", oracle=_AES_SQL, tags=("curation", "sampling"))
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    the 20 documents with the largest u^(1/weight) keys form an exact
+    length-weighted sample — the primitive behind 'sample training
+    docs proportional to length/quality, no duplicates'. The uniform
+    draw comes from a deterministic hash, so the sample is replayable
+    and the oracle can verify it; the uniform companion is
+    ``curate_reservoir_sample``.
+
+    Scale shape: map-side key per row + a global top-k (Spark's
+    TakeOrderedAndProject — partial top-k per partition, k-width
+    merge; never a full sort at 100 TB)."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_AES_SQL)

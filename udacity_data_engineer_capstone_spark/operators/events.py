@@ -1833,3 +1833,97 @@ def evt_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter prunes to the purchase stream before any window state."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_VELOCITY_SQL.format(EPOCH="unix_timestamp(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival: the statistically-correct churn curve
+# ---------------------------------------------------------------------------
+
+# Duration = active days (last − first event day) per user; a user
+# whose last activity is within the censoring horizon of the corpus
+# high-water mark is CENSORED (still alive as far as the data knows),
+# not churned — the distinction naive retention curves ignore. The
+# product-limit estimator multiplies (1 − d/n) over event times; each
+# factor's ln is quantized to nano-units so the running product is an
+# exact integer cumsum, and one exp at the end recovers S(t).
+_KM_HORIZON_DAYS = 7
+
+_KM_SQL = f"""
+WITH bounds AS (
+  SELECT MAX(CAST(ts AS DATE)) AS hw FROM events
+),
+users AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+),
+spans AS (
+  SELECT u.user_id,
+         CAST({{DDIFF_DUR}} AS BIGINT) AS duration,
+         CAST({{DDIFF_CENS}} AS BIGINT) < {_KM_HORIZON_DAYS} AS censored
+  FROM users u CROSS JOIN bounds b
+),
+times AS (
+  SELECT duration AS t,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM spans GROUP BY duration
+),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+  FROM times
+),
+steps AS (
+  SELECT t, d, c, n_at_risk,
+         CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+              WHEN d < n_at_risk
+                THEN CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                                * 1000000000) AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS ln_nano
+  FROM risk
+),
+walk AS (
+  SELECT t, d, c, n_at_risk,
+         SUM(ln_nano) OVER (ORDER BY t) AS cum_ln_nano,
+         MIN(CASE WHEN d >= n_at_risk THEN 0 ELSE 1 END)
+           OVER (ORDER BY t) AS alive
+  FROM steps
+)
+SELECT t AS duration_days, n_at_risk, d AS churned, c AS censored,
+       CASE WHEN alive = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(EXP(cum_ln_nano / 1000000000.0) * 1000000)
+                      AS BIGINT) END AS survival_ppm
+FROM walk
+"""
+
+
+@query(
+    "evt_survival_km",
+    oracle=_KM_SQL.format(
+        DDIFF_DUR="u.last_day - u.first_day",
+        DDIFF_CENS="b.hw - u.last_day",
+    ),
+    tags=("events", "stats"),
+)
+def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve of user lifetime
+    (days between first and last activity), with right-censoring:
+    users still active within 7 days of the corpus high-water mark are
+    censored, not counted as churn — the correction that makes this
+    the churn curve a subscription business can actually act on,
+    unlike ``evt_retention``'s naive cohort fractions. The running
+    product is an exact integer cumsum of quantized log factors, so
+    the curve is identical on any partitioning.
+
+    Scale shape: one per-user rollup (the only data-sized pass), then
+    windows over the DURATION timeline (bounded by distinct lifetime
+    lengths — calendar-sized)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _KM_SQL.format(
+            DDIFF_DUR="datediff(u.last_day, u.first_day)",
+            DDIFF_CENS="datediff(b.hw, u.last_day)",
+        )
+    )

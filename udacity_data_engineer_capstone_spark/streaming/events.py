@@ -939,3 +939,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+_HOURLY_VELOCITY_ORACLE = """
+SELECT user_id,
+       date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "stream_velocity_alerts",
+    oracle=_HOURLY_VELOCITY_ORACLE,
+    tags=("streaming", "quality"),
+)
+def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``evt_fraud_velocity`` rule as a LIVE alert: watermarked
+    tumbling-hour purchase counts per user, emitting only windows at
+    or above the limit — the streaming half of a fraud rulebook, with
+    the batch SQL as its oracle (rule parity between the offline
+    backtest and the online detector is the property fraud teams
+    actually need).
+
+    Scale shape: state is one count per (user, open window); the
+    watermark expires closed windows, so state is bounded by active
+    users per hour, not history."""
+    src = stage_events_dir(spark, sf_dir)
+    alerts = (
+        stream_events(spark, src)
+        .where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .where(F.col("n_purchases") >= 2)
+        .select(
+            "user_id",
+            F.col("window.start").alias("window_start"),
+            "n_purchases",
+        )
+    )
+    return run_to_memory(alerts, output_mode="complete")
