@@ -432,3 +432,32 @@ def test_kaplan_meier_hand_computed(spark):
     assert got[2].survival_ppm == 499999  # floor(0.5·1e6 − quantize dust)
     assert (got[16].n_at_risk, got[16].churned) == (1, 0)
     assert got[16].survival_ppm == got[2].survival_ppm
+
+
+def test_skyline_dominance_hand_computed(spark):
+    """Frontier = {(5,1), (10,5), (20,8)}: equal-size-but-pricier and
+    equal-price-but-smaller parts are dominated."""
+    out = tempfile.mkdtemp(prefix="engine_sky_")
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    rows = [
+        Row(p_partkey=1, p_size=5, p_retailprice=10.0),
+        Row(p_partkey=2, p_size=3, p_retailprice=10.0),   # dominated (price tie)
+        Row(p_partkey=3, p_size=5, p_retailprice=20.0),   # dominated by 1
+        Row(p_partkey=4, p_size=8, p_retailprice=20.0),   # frontier
+        Row(p_partkey=5, p_size=8, p_retailprice=30.0),   # dominated by 4
+        Row(p_partkey=6, p_size=1, p_retailprice=5.0),    # frontier (cheapest)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(out, "part.parquet")
+    )
+    got = sorted(
+        (r.p_partkey, r.size)
+        for r in engine.QUERIES["agg_skyline_pareto"].fn(spark, out).collect()
+    )
+    assert got == [(1, 5), (4, 8), (6, 1)]

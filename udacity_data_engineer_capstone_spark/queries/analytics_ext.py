@@ -781,3 +781,52 @@ def agg_topn_plus_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     point).""".replace("{n}", str(_TOPN_OTHERS_N))
     register_views(spark, sf_dir, ("customer", "orders", "nation"))
     return spark.sql(_TOPN_OTHERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier): cheapest part for every size level
+# ---------------------------------------------------------------------------
+
+# A part is on the (min price, max size) skyline iff no other part is
+# both <= price and >= size with one strict. Window formulation: order
+# by price; a row survives iff its size beats the running max size of
+# all STRICTLY cheaper rows (integer-cents RANGE frame), and it is the
+# best-size (tie-broken) representative of its exact price point.
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+w AS (
+  SELECT p_partkey, price_cents, size,
+         MAX(size) OVER (ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper_size,
+         ROW_NUMBER() OVER (PARTITION BY price_cents
+                            ORDER BY size DESC, p_partkey) AS price_rank
+  FROM pts
+)
+SELECT p_partkey, price_cents, size
+FROM w
+WHERE price_rank = 1
+  AND (best_cheaper_size IS NULL OR size > best_cheaper_size)
+ORDER BY price_cents
+"""
+
+
+@query("agg_skyline_pareto", oracle=_SKYLINE_SQL, tags=("agg", "analytics"))
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query over (price ↓, size ↑): the
+    parts no purchaser can strictly improve on — the multi-criteria
+    shortlist behind 'best camera under every budget' product pages
+    and trade-off dashboards. Two windows over an integer-cents order
+    replace the naive O(n²) dominance self-join.
+
+    Scale shape: one global sort by price (range-partitioned at
+    cluster scale) and two windows on it; output is frontier-sized.
+    For d > 2 criteria, pre-partition by one dimension's bands and
+    merge band frontiers — same windows per band."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_SKYLINE_SQL)

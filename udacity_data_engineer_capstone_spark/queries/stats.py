@@ -2289,3 +2289,153 @@ def stat_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the calendar-sized series."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_SPRT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# extreme-value tail: peaks-over-threshold GPD moment fit
+# ---------------------------------------------------------------------------
+
+# Exceedances y = cents − u over a fixed threshold follow (EVT) a
+# generalized Pareto; the method-of-moments fit is
+#   xi = (1 − m²/s²)/2,  beta = m·(m²/s² + 1)/2
+# from the exceedance mean/variance — both exact-integer-moment
+# derived. The p99.9 return level is u + beta/xi·((N·0.001/n_u)^(−xi)−1).
+_POT_THRESHOLD_CENTS = 20000
+
+_POT_SQL = f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN c > {_POT_THRESHOLD_CENTS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exceed,
+         CAST(SUM(CASE WHEN c > {_POT_THRESHOLD_CENTS}
+                       THEN c - {_POT_THRESHOLD_CENTS} ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN c > {_POT_THRESHOLD_CENTS}
+                       THEN (c - {_POT_THRESHOLD_CENTS})
+                            * (c - {_POT_THRESHOLD_CENTS}) ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM cents
+),
+fit AS (
+  SELECT n_total, n_exceed, s1, s2,
+         CAST(s1 AS DOUBLE) / n_exceed AS m,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_exceed)
+           / (n_exceed - 1) AS v
+  FROM agg
+)
+SELECT n_total, n_exceed, s1 AS sum_exceed_cents,
+       CAST(FLOOR((1.0 - m * m / v) / 2 * 1000) AS BIGINT) AS xi_milli,
+       CAST(FLOOR(m * (m * m / v + 1) / 2) AS BIGINT) AS beta_cents,
+       CAST(FLOOR(
+         {_POT_THRESHOLD_CENTS}
+         + (m * (m * m / v + 1) / 2) / ((1.0 - m * m / v) / 2)
+           * (POW(CAST(n_total AS DOUBLE) * 0.001 / n_exceed,
+                  -((1.0 - m * m / v) / 2)) - 1)
+       ) AS BIGINT) AS p999_return_level_cents
+FROM fit
+"""
+
+
+@query("stat_evt_pot", oracle=_POT_SQL, tags=("stats",))
+def stat_evt_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value tail fit (peaks-over-threshold, generalized
+    Pareto by method of moments): shape xi and scale beta from the
+    exceedance moments over a fixed threshold, plus the extrapolated
+    p99.9 return level — the SRE/risk estimate of 'how bad is the
+    value we have NOT seen yet', which empirical percentiles cannot
+    answer beyond the sample. Exceedance moments are exact integers;
+    the fit is one double expression chain.
+
+    Scale shape: a single map-side-combinable aggregate; the tail fit
+    reads one row. At 100 TB the threshold itself comes from
+    ``agg_percentiles`` in a prior pass."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_POT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Granger-lite: does yesterday's view count predict today's purchases?
+# ---------------------------------------------------------------------------
+
+# Restricted model  y_t ~ a + b·y_{t−1}; unrestricted adds c·x_{t−1}.
+# Both fit by centered normal equations from exact integer daily
+# counts; F = (RSS_r − RSS_u)/(RSS_u/(n−3)) with 1 numerator dof. The
+# descriptive companion is ts_cross_correlation; this one is the
+# inferential gate.
+_GRANGER_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT day, y,
+         LAG(y) OVER (ORDER BY day) AS yl,
+         LAG(x) OVER (ORDER BY day) AS xl
+  FROM daily
+),
+obs AS (
+  SELECT y, yl, xl FROM lagged WHERE yl IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(yl) AS BIGINT) AS sa,
+         CAST(SUM(xl) AS BIGINT) AS sb,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(yl * yl) AS BIGINT) AS saa,
+         CAST(SUM(xl * xl) AS BIGINT) AS sbb,
+         CAST(SUM(y * yl) AS BIGINT) AS sya,
+         CAST(SUM(y * xl) AS BIGINT) AS syb,
+         CAST(SUM(yl * xl) AS BIGINT) AS sab
+  FROM obs
+),
+cent AS (
+  SELECT n,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+         CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n AS caa,
+         CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n AS cbb,
+         CAST(sya AS DOUBLE) - CAST(sy AS DOUBLE) * sa / n AS cya,
+         CAST(syb AS DOUBLE) - CAST(sy AS DOUBLE) * sb / n AS cyb,
+         CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n AS cab
+  FROM m
+),
+fits AS (
+  SELECT n, cyy,
+         cyy - cya * cya / caa AS rss_r,
+         cyy - ( cya * (cbb * cya - cab * cyb)
+               + cyb * (caa * cyb - cab * cya) )
+               / (caa * cbb - cab * cab) AS rss_u
+  FROM cent
+)
+SELECT n AS n_obs,
+       CAST(FLOOR(rss_r * 1000) AS BIGINT) AS rss_restricted_milli,
+       CAST(FLOOR(rss_u * 1000) AS BIGINT) AS rss_unrestricted_milli,
+       CAST(FLOOR((rss_r - rss_u) / (rss_u / (n - 3)) * 1000) AS BIGINT)
+         AS f_milli,
+       (rss_r - rss_u) / (rss_u / (n - 3)) > 4.17
+         AS x_granger_causes_y_p05
+FROM fits
+"""
+
+
+@query("stat_granger_lite", oracle=_GRANGER_SQL, tags=("stats", "timeseries"))
+def stat_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F-test (one lag): does adding yesterday's
+    VIEW count to an autoregression of today's PURCHASE count reduce
+    the residual sum of squares more than chance (F₁,ₙ₋₃, ~4.17 at
+    p=0.05 for a month of days)? The inferential upgrade of
+    ``ts_cross_correlation``'s descriptive lead-lag scan. Both model
+    fits are closed-form centered normal equations over exact integer
+    daily moments.
+
+    Scale shape: one daily rollup scans events; everything after is a
+    lag window plus one moment aggregate on the calendar-sized
+    series."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_GRANGER_SQL)
