@@ -1927,3 +1927,73 @@ def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             DDIFF_CENS="datediff(b.hw, u.last_day)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# next-event prediction: train a transition model, evaluate out-of-time
+# ---------------------------------------------------------------------------
+
+# The simplest sequence model there is — predict the most frequent
+# next event type per current type — trained on the first half of the
+# calendar and EVALUATED on the second half: a genuine out-of-time
+# train/test split, the evaluation discipline every production model
+# inherits. Ties in the argmax break lexicographically (deterministic).
+_NXT_SPLIT = "2024-01-16 00:00:00"
+
+_NXT_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+train AS (
+  SELECT event_type AS prev, next_type AS nxt,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq
+  WHERE next_type IS NOT NULL
+    AND next_ts < TIMESTAMP '{_NXT_SPLIT}'
+  GROUP BY event_type, next_type
+),
+model AS (
+  SELECT prev, nxt AS predicted_next
+  FROM (SELECT prev, nxt,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, nxt) AS r
+        FROM train) ranked
+  WHERE r = 1
+),
+test AS (
+  SELECT event_type AS prev, next_type AS actual_next
+  FROM seq
+  WHERE next_type IS NOT NULL
+    AND ts >= TIMESTAMP '{_NXT_SPLIT}'
+)
+SELECT t.prev AS event_type, m.predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.actual_next = m.predicted_next
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(FLOOR(SUM(CASE WHEN t.actual_next = m.predicted_next
+                           THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+            AS BIGINT) AS accuracy_ppm
+FROM test t JOIN model m ON m.prev = t.prev
+GROUP BY t.prev, m.predicted_next
+"""
+
+
+@query("evt_next_event_eval", oracle=_NXT_SQL, tags=("events", "eval"))
+def evt_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time evaluation of a next-event model: the per-type
+    majority-transition predictor is fit on the first half of the
+    calendar and scored on the second — leakage-free by construction
+    (train pairs must COMPLETE before the split; test pairs start
+    after it). Reports per-type test accuracy, the baseline any
+    sequence model must beat before it earns a deployment.
+
+    Scale shape: one user-partitioned lead window builds transitions;
+    train counts and the argmax are transition-matrix-sized (types²);
+    the model broadcasts onto the test stream."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_NXT_SQL)

@@ -533,3 +533,62 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert "FROM events WHERE event_type = " not in sql
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# percentile read-out from the log2 histogram sketch
+# ---------------------------------------------------------------------------
+
+# The query side of agg_latency_histogram's write side: reconstruct
+# p50/p90/p99 from bucket counts alone. Each answer is the upper edge
+# (2^b − 1 cents) of the first bucket whose cumulative count reaches
+# ceil(q·total) — a guaranteed upper bound with the sketch's
+# 2× relative resolution, computed in pure integers.
+_HIST_PCT_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+buckets AS (
+  SELECT event_type,
+         CAST(FLOOR(LOG2(c)) + 1 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cents WHERE c >= 1
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, b, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY b)
+              AS BIGINT) AS running,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM buckets
+)
+SELECT event_type, MAX(total) AS n_values,
+       CAST(MIN(CASE WHEN running * 2 >= total THEN b END) AS BIGINT)
+         AS p50_bucket,
+       CAST(MIN(CASE WHEN running * 10 >= total * 9 THEN b END) AS BIGINT)
+         AS p90_bucket,
+       CAST(MIN(CASE WHEN running * 100 >= total * 99 THEN b END) AS BIGINT)
+         AS p99_bucket
+FROM cum
+GROUP BY event_type
+"""
+
+
+@query(
+    "agg_histogram_percentiles",
+    oracle=_HIST_PCT_SQL,
+    tags=("agg", "sketch"),
+)
+def agg_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile read-out from the mergeable log2 histogram — the
+    dashboard query that turns ``agg_latency_histogram``'s bucket
+    counts into p50/p90/p99 bucket answers without ever revisiting
+    raw values. Quantile thresholds use integer cross-multiplication
+    (running·k ≥ total·q), so no division enters the verdict.
+
+    Scale shape: sketch-sized everything — the only corpus pass is
+    the bucket build, and merged histograms from many partitions
+    answer the same query unchanged (the sketch property)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_HIST_PCT_SQL)
