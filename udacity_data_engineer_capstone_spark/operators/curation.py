@@ -1431,3 +1431,38 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge; never a full sort at 100 TB)."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_AES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# column masking policies (governance view for a restricted role)
+# ---------------------------------------------------------------------------
+
+# The masked projection an analyst role sees: stable join keys via
+# md5-prefix pseudonyms, names redacted to a suffix, balances coarsened
+# to bands. Masking is deterministic, so the masked view still joins
+# to itself across tables/releases — the property that makes
+# pseudonymization useful (and the one random tokens destroy).
+_MASK_SQL = """
+SELECT md5(CAST(c_custkey AS STRING)) AS cust_pseudo_id,
+       CONCAT('***', substr(c_name, length(c_name) - 2, 3)) AS name_masked,
+       c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000 AS acctbal_band_lo,
+       c_acctbal IS NOT NULL AS has_balance
+FROM customer
+"""
+
+
+@query("curate_column_masking", oracle=_MASK_SQL, tags=("curation", "privacy"))
+def curate_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking policy applied as a governance view:
+    pseudonymous stable keys (md5), suffix-only names, banded
+    balances, and an existence flag instead of the raw value — what a
+    restricted role queries instead of the base table. Deterministic
+    pseudonyms keep cross-table joins working, which is the entire
+    point of pseudonymization over tokenization; the k-anonymity and
+    l-diversity audits upstream decide whether the bands are coarse
+    enough to release.
+
+    Scale shape: pure map-side projection — zero shuffle."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_MASK_SQL)

@@ -2439,3 +2439,129 @@ def stat_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     series."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_GRANGER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# paired t-test: same users, before vs after the split
+# ---------------------------------------------------------------------------
+
+# Pairing removes between-user variance — the reason a paired test on
+# the same users is far more sensitive than stat_welch_ttest on two
+# independent groups. Differences are exact integer cents; t is one
+# double expression over their moments.
+_PAIRED_SPLIT = "2024-01-16 00:00:00"
+
+_PAIRED_SQL = f"""
+WITH halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PAIRED_SPLIT}'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS before_cents,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PAIRED_SPLIT}'
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS after_cents,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PAIRED_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PAIRED_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  SELECT after_cents - before_cents AS d
+  FROM halves WHERE n_before > 0 AND n_after > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         CAST(SUM(d * d) AS BIGINT) AS q
+  FROM pairs
+)
+SELECT n AS n_pairs,
+       CAST(FLOOR(CAST(s AS DOUBLE) * 1000 / n) AS BIGINT)
+         AS mean_diff_millicents,
+       CAST(FLOOR(
+         (CAST(s AS DOUBLE) / n)
+         / SQRT(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                / n) * 1000
+       ) AS BIGINT) AS t_milli,
+       ABS((CAST(s AS DOUBLE) / n)
+           / SQRT(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                  / n)) > 1.976 AS significant_p05
+FROM m
+"""
+
+
+@query("stat_paired_ttest", oracle=_PAIRED_SQL, tags=("stats", "experiment"))
+def stat_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-user spend before vs after the mid-month
+    split — each user is their own control, so between-user variance
+    cancels and the test detects shifts ``stat_welch_ttest`` (two
+    independent groups) would drown in noise. Only users active in
+    both halves pair; differences are exact integer cents.
+
+    Scale shape: one user-keyed aggregate, one 1-row moment rollup."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PAIRED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector: group trends that contradict the pooled trend
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH pts AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+),
+gm AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY grp
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sxy) AS BIGINT) AS sxy,
+         CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(syy) AS BIGINT) AS syy
+  FROM gm
+),
+corr AS (
+  SELECT g.grp, g.n,
+         (g.n * g.sxy - g.sx * g.sy)
+           / SQRT(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                  * (g.n * g.syy - g.sy * g.sy)) AS r_grp,
+         (t.n * t.sxy - t.sx * t.sy)
+           / SQRT(CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE)
+                  * (t.n * t.syy - t.sy * t.sy)) AS r_pool
+  FROM gm g CROSS JOIN tot t
+)
+SELECT grp, n,
+       CAST(FLOOR(r_grp * 1000000) AS BIGINT) AS corr_group_micro,
+       CAST(FLOOR(r_pool * 1000000) AS BIGINT) AS corr_pooled_micro,
+       (r_grp > 0.01 AND r_pool < -0.01)
+         OR (r_grp < -0.01 AND r_pool > 0.01) AS sign_reversed
+FROM corr
+"""
+
+
+@query("stat_simpson_detector", oracle=_SIMPSON_SQL, tags=("stats", "quality"))
+def stat_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the discount↔quantity correlation
+    within every return-flag stratum next to the pooled correlation,
+    flagging strata whose trend direction CONTRADICTS the pooled one
+    (beyond a ±0.01 dead zone) — the aggregation-bias audit that says
+    whether a corpus-level trend is real or an artifact of mixing
+    strata. All moments are exact integers; two fixed correlation
+    expressions.
+
+    Scale shape: one grouped moment aggregate; the pooled row is the
+    SUM of group moments (no second scan), broadcast back."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SIMPSON_SQL)
