@@ -1466,3 +1466,73 @@ def curate_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side projection — zero shuffle."""
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_MASK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure: delete a subject's rows everywhere, prove the residue is zero
+# ---------------------------------------------------------------------------
+
+# The deletion list is deterministic (user_id % 13 == 3 "erasure
+# requests"); the audit row per table carries before/deleted/after
+# counts and the residue check the DPO actually signs off on. The
+# rewritten copies land in a temp location like every sink op here.
+_GDPR_SQL = """
+WITH del AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 3
+),
+ev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN user_id % 13 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted
+  FROM events
+)
+SELECT 'events' AS table_name, n_before, n_deleted,
+       n_before - n_deleted AS n_after,
+       CAST(0 AS BIGINT) AS residue_rows,
+       TRUE AS erasure_complete
+FROM ev
+"""
+
+
+@query("curate_gdpr_erasure", oracle=_GDPR_SQL, tags=("curation", "privacy"))
+def curate_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure pipeline with proof: anti-join the deletion
+    list out of the events table, REWRITE the table (the rewritten
+    parquet is what production would atomically swap in), then
+    re-scan the rewritten copy counting residue rows for the deleted
+    subjects — the audit row reports before/deleted/after and a
+    residue count the oracle pins at zero. The erasure is verified
+    against the physically rewritten data, not the plan.
+
+    Scale shape: the deletion list is request-sized → broadcast
+    anti-join; the rewrite is the unavoidable cost of physical
+    erasure (at 100 TB, partition-scoped rewrites via
+    ``snk_dynamic_partition_overwrite``'s mechanism)."""
+    import tempfile as _tmp
+
+    d = _tmp.mkdtemp(prefix="engine_gdpr_")
+    ev = load_table(spark, sf_dir, "events")
+    del_list = ev.where(F.col("user_id") % 13 == 3).select("user_id").distinct()
+    kept = ev.join(F.broadcast(del_list), "user_id", "left_anti")
+    kept.write.mode("overwrite").parquet(d)
+
+    rewritten = spark.read.parquet(d)
+    residue = rewritten.join(
+        F.broadcast(del_list), "user_id", "left_semi"
+    ).count()
+    n_before = ev.count()
+    n_after = rewritten.count()
+    return spark.createDataFrame(
+        [
+            (
+                "events",
+                n_before,
+                n_before - n_after,
+                n_after,
+                residue,
+                residue == 0,
+            )
+        ],
+        "table_name string, n_before bigint, n_deleted bigint,"
+        " n_after bigint, residue_rows bigint, erasure_complete boolean",
+    )

@@ -1997,3 +1997,64 @@ def evt_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model broadcasts onto the test stream."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_NXT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# alert throttling: suppress repeats inside a cooldown window
+# ---------------------------------------------------------------------------
+
+_THROTTLE_COOLDOWN_SEC = 6 * 3600
+
+_THROTTLE_SQL = f"""
+WITH alerts AS (
+  SELECT user_id, ts, event_id, CAST({{EPOCH}} AS BIGINT) AS sec
+  FROM events WHERE event_type = 'error'
+),
+spaced AS (
+  SELECT user_id, ts, event_id, sec,
+         LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS prev_sec
+  FROM alerts
+),
+islands AS (
+  SELECT user_id, ts, event_id, sec,
+         CAST(SUM(CASE WHEN prev_sec IS NULL
+                       OR sec - prev_sec > {_THROTTLE_COOLDOWN_SEC}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY sec, event_id)
+              AS BIGINT) AS burst_id
+  FROM spaced
+),
+ranked AS (
+  SELECT user_id, ts, event_id, burst_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, burst_id
+                            ORDER BY sec, event_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY user_id, burst_id) AS BIGINT)
+           AS suppressed_count
+  FROM islands
+)
+SELECT user_id, ts AS alert_ts, event_id, burst_id,
+       suppressed_count - 1 AS n_suppressed
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@query(
+    "evt_alert_throttle",
+    oracle=_THROTTLE_SQL.format(EPOCH="EPOCH(ts)"),
+    tags=("events", "quality"),
+)
+def evt_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert throttling with gap-based cooldown: the FIRST error per
+    user opens a burst; subsequent errors within 6 h of their
+    predecessor chain into the same burst and are suppressed, and the
+    emitted alert carries how many it swallowed — the dedup rule that
+    keeps a flapping job from paging 400 times. Chained (gap-based)
+    cooldown, not fixed-window: a burst stays silenced for as long as
+    errors keep arriving, the behavior on-call actually wants.
+
+    Scale shape: two user-partitioned windows (lag + running sum) and
+    a per-burst rank — one user-keyed shuffle serves all three."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_THROTTLE_SQL.format(EPOCH="unix_timestamp(ts)"))
