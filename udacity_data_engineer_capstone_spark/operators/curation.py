@@ -1536,3 +1536,62 @@ def curate_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, n_before bigint, n_deleted bigint,"
         " n_after bigint, residue_rows bigint, erasure_complete boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# license filter: legal-compliance gate for pretraining corpora
+# ---------------------------------------------------------------------------
+
+# License markers are planted deterministically (the corpus itself is
+# synthetic): policy allows permissive, blocks copyleft, quarantines
+# unknown-marker docs for review. Classification order matters — the
+# first matching rule wins, like a real license scanner.
+_LICENSE_SQL = """
+WITH marked AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0
+                THEN text || ' Licensed under the MIT License.'
+              WHEN doc_id % 11 = 1
+                THEN text || ' Licensed under Apache License 2.0.'
+              WHEN doc_id % 11 = 2
+                THEN text || ' subject to the GNU GPL v3 license'
+              WHEN doc_id % 11 = 3
+                THEN text || ' All Rights Reserved.'
+              ELSE text END AS text
+  FROM documents
+),
+classified AS (
+  SELECT doc_id, source,
+         CASE WHEN text LIKE '%MIT License%'
+                OR text LIKE '%Apache License%' THEN 'permissive'
+              WHEN text LIKE '%GPL%' THEN 'copyleft'
+              WHEN text LIKE '%All Rights Reserved%' THEN 'proprietary'
+              ELSE 'unmarked' END AS license_class
+  FROM marked
+)
+SELECT license_class,
+       CASE license_class
+            WHEN 'permissive' THEN 'keep'
+            WHEN 'unmarked' THEN 'keep'
+            WHEN 'copyleft' THEN 'quarantine'
+            ELSE 'drop' END AS policy_action,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM classified
+GROUP BY license_class
+"""
+
+
+@query("curate_license_filter", oracle=_LICENSE_SQL, tags=("curation",))
+def curate_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-compliance gate over the corpus: classify every
+    document by its license marker (first matching rule wins, scanner
+    style), then apply the training-data policy — permissive and
+    unmarked train, copyleft quarantines for review, proprietary
+    drops — and report the class × action counts legal signs off on.
+    Markers are planted deterministically since the synthetic corpus
+    carries none.
+
+    Scale shape: map-side LIKE cascade + one small-keyed aggregate."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_LICENSE_SQL)

@@ -2058,3 +2058,52 @@ def evt_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-burst rank — one user-keyed shuffle serves all three."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_THROTTLE_SQL.format(EPOCH="unix_timestamp(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# behavior-profile segmentation via event-type bitmasks
+# ---------------------------------------------------------------------------
+
+# Each user's event-type SET packs into one integer bitmask (bit per
+# type, alphabetical); equal masks = identical behavioral profile.
+# Set-valued segmentation as pure integer aggregation — no arrays, no
+# strings in the shuffle.
+_BITMASK_SQL = """
+WITH bits AS (
+  SELECT user_id,
+         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+              WHEN 'view' THEN 16 ELSE 32 END AS bit
+  FROM events
+),
+profiles AS (
+  SELECT user_id, CAST(BIT_OR(bit) AS BIGINT) AS profile_mask
+  FROM bits GROUP BY user_id
+)
+SELECT profile_mask,
+       CONCAT(CASE WHEN profile_mask % 2 = 1 THEN 'c' ELSE '-' END,
+              CASE WHEN (profile_mask / 2) % 2 >= 1 THEN 'e' ELSE '-' END,
+              CASE WHEN (profile_mask / 4) % 2 >= 1 THEN 'p' ELSE '-' END,
+              CASE WHEN (profile_mask / 8) % 2 >= 1 THEN 's' ELSE '-' END,
+              CASE WHEN (profile_mask / 16) % 2 >= 1 THEN 'v' ELSE '-' END)
+         AS profile_label,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM profiles
+GROUP BY profile_mask
+"""
+
+
+@query("agg_behavior_bitmask", oracle=_BITMASK_SQL, tags=("agg", "events"))
+def agg_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral segmentation by event-type SET: each user's distinct
+    event types pack into one integer bitmask (BIT_OR aggregate), and
+    equal masks are identical profiles — set-valued grouping without
+    arrays or strings ever entering the shuffle, plus a decoded
+    'cepsv' label for humans. The segment counts feed audience sizing
+    and the bitmask itself is the O(1)-width join key for
+    profile-targeted queries.
+
+    Scale shape: two integer hash aggregates (user, then mask) — both
+    map-side combinable."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BITMASK_SQL)
