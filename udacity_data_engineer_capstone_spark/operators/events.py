@@ -2075,6 +2075,7 @@ WITH bits AS (
               WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
               WHEN 'view' THEN 16 ELSE 32 END AS bit
   FROM events
+  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
 ),
 profiles AS (
   SELECT user_id, CAST(BIT_OR(bit) AS BIGINT) AS profile_mask
@@ -2095,13 +2096,15 @@ GROUP BY profile_mask
 
 @query("agg_behavior_bitmask", oracle=_BITMASK_SQL, tags=("agg", "events"))
 def agg_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral segmentation by event-type SET: each user's distinct
-    event types pack into one integer bitmask (BIT_OR aggregate), and
-    equal masks are identical profiles — set-valued grouping without
-    arrays or strings ever entering the shuffle, plus a decoded
-    'cepsv' label for humans. The segment counts feed audience sizing
-    and the bitmask itself is the O(1)-width join key for
-    profile-targeted queries.
+    """Behavioral segmentation by event-type SET over the first-three-
+    days onboarding window (a full month saturates every profile to
+    all-types — the window is where profiles actually differ): each
+    user's distinct event types pack into one integer bitmask (BIT_OR
+    aggregate), and equal masks are identical profiles — set-valued
+    grouping without arrays or strings ever entering the shuffle,
+    plus a decoded 'cepsv' label for humans. The segment counts feed
+    audience sizing and the bitmask itself is the O(1)-width join key
+    for profile-targeted queries.
 
     Scale shape: two integer hash aggregates (user, then mask) — both
     map-side combinable."""
