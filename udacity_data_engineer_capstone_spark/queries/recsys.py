@@ -32,9 +32,10 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.catalog import load_table
 from udacity_data_engineer_capstone_spark.registry import query
 
 # Baskets larger than this are excluded from pair mining (quadratic
@@ -87,6 +88,47 @@ LIMIT 50
 )
 
 
+def _kept_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped, basket-size-capped (basket, item) set, materialized
+    ONCE: the SQL CTE form re-scans the fact for every reference
+    (pair-join sides, item counts, basket count — four parquet scans in
+    the plan); localCheckpoint pins the id-width intermediate so all
+    consumers reuse a single scan — the same reuse device the graph
+    operators use for static adjacency."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    bsize = F.count(F.lit(1)).over(Window.partitionBy("okey"))
+    kept = (
+        items.withColumn("bsize", bsize)
+        .where((F.col("bsize") >= 2) & (F.col("bsize") <= _MAX_BASKET))
+        .drop("bsize")
+    )
+    return kept.localCheckpoint(eager=True)
+
+
+def _pair_counts(kept: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    item_cnt = kept.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    nb = kept.agg(F.countDistinct("okey").alias("n_baskets"))
+    return pairs, item_cnt, nb
+
+
 @query("rec_market_basket", oracle=_BASKET_SQL, tags=("recsys", "join", "agg"))
 def rec_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets: top-50 co-purchased part
@@ -94,13 +136,50 @@ def rec_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(b|a), and lift vs independence — the classic market-basket
     output a merchandising team reads directly.
 
-    One SQL text runs verbatim on both engines: dedup to (basket,
-    item), window-count to enforce the basket-size cap, equi self-join
-    on the basket key to expand pairs, two hash aggregates for pair and
-    item counts, and a deterministic top-50 (count desc, then the pair
-    key, so boundary ties are total-ordered)."""
-    register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_BASKET_SQL)
+    Dedup to (basket, item), window-count to enforce the basket-size
+    cap, equi self-join on the basket key to expand pairs, two hash
+    aggregates for pair and item counts, and a deterministic top-50
+    (count desc, then the pair key, so boundary ties are
+    total-ordered). The capped basket set materializes once (see
+    ``_kept_items``); the oracle SQL expresses the identical
+    computation as CTEs."""
+    pairs, item_cnt, nb = _pair_counts(_kept_items(spark, sf_dir))
+    ca = item_cnt.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.floor(
+                F.col("pair_cnt") * F.lit(1000000.0) / F.col("n_baskets")
+            )
+            .cast("long")
+            .alias("support_ppm"),
+            F.floor(F.col("pair_cnt") * F.lit(1000000.0) / F.col("cnt_a"))
+            .cast("long")
+            .alias("confidence_a_to_b_ppm"),
+            F.floor(
+                F.col("pair_cnt")
+                * F.col("n_baskets")
+                * F.lit(1000.0)
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            )
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "item_a", "item_b")
+        .limit(50)
+    )
 
 
 _JACCARD_SQL = (
@@ -134,6 +213,29 @@ def rec_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by similarity with a total-order tie-break.
 
     Shares the capped-basket pair expansion with
-    ``rec_market_basket`` — same equi-join scale shape."""
-    register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_JACCARD_SQL)
+    ``rec_market_basket`` — same equi-join scale shape and the same
+    single-scan materialization."""
+    pairs, item_cnt, _nb = _pair_counts(_kept_items(spark, sf_dir))
+    ca = item_cnt.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")
+    )
+    union_cnt = F.col("cnt_a") + F.col("cnt_b") - F.col("pair_cnt")
+    return (
+        pairs.where(F.col("pair_cnt") >= 2)
+        .join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            union_cnt.cast("long").alias("union_cnt"),
+            F.floor(F.col("pair_cnt") * F.lit(1000.0) / union_cnt)
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+        .orderBy(F.col("jaccard_milli").desc(), "item_a", "item_b")
+        .limit(50)
+    )
