@@ -393,7 +393,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _DF_CAP
     )
-    g = grams.join(rare.select("gram"), "gram")
+    # the df-capped inverted index feeds FOUR consumers (both pair-join
+    # sides, sizes, and — via scored — both output directions); without
+    # materialization each reference re-derives the whole
+    # tokenize→gram→cap pipeline from the corpus scan (observed: a
+    # 128-scan plan). One id+gram-width checkpoint = one corpus scan.
+    g = grams.join(rare.select("gram"), "gram").localCheckpoint(eager=True)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = g.alias("a")
@@ -635,7 +640,12 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= _DF_CAP
     )
-    g = grams.join(rare.select("gram"), "gram")
+    # the df-capped inverted index feeds FOUR consumers (both pair-join
+    # sides, sizes, and — via scored — both output directions); without
+    # materialization each reference re-derives the whole
+    # tokenize→gram→cap pipeline from the corpus scan (observed: a
+    # 128-scan plan). One id+gram-width checkpoint = one corpus scan.
+    g = grams.join(rare.select("gram"), "gram").localCheckpoint(eager=True)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = g.alias("a")
@@ -663,6 +673,9 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sa.n").alias("na"),
             F.col("sb.n").alias("nb"),
         )
+        # candidate-pair-sized; pins the expensive gram-gram join so the
+        # two output directions below don't each recompute it
+        .localCheckpoint(eager=True)
     )
     c_ab = F.col("common").cast("double") / F.col("na")
     c_ba = F.col("common").cast("double") / F.col("nb")
