@@ -1504,3 +1504,76 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             EPOCH="unix_timestamp(ts)", LEVELS=_HAAR_LEVELS_SPARK
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling: the lossless-for-pixels dashboard reduction
+# ---------------------------------------------------------------------------
+
+# M4 (visualization-oriented aggregation): split the series into one
+# bucket per output pixel column and keep 4 points each — first, last,
+# min, max — which provably reproduces the line rendering exactly.
+# Extremum points tie-break to the earliest index via integer encoding
+# (cents·1e5 + idx for min; cents·1e5 + (99999 − idx) for max), so the
+# selected POINTS, not just values, are engine-identical.
+_M4_BUCKETS = 24
+
+_M4_TEMPLATE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR({{EPOCH}} / 3600.0) AS BIGINT) AS h,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+),
+indexed AS (
+  SELECT event_type, cents,
+         h - MIN(h) OVER (PARTITION BY event_type) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+),
+binned AS (
+  SELECT event_type, cents, idx,
+         CAST(FLOOR(idx * {_M4_BUCKETS}.0 / (1 + MAX(idx) OVER
+              (PARTITION BY event_type))) AS BIGINT) AS bin
+  FROM indexed
+),
+m4 AS (
+  SELECT event_type, bin,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(MIN(idx) AS BIGINT) AS first_idx,
+         CAST(MAX(idx) AS BIGINT) AS last_idx,
+         CAST(MIN(cents * 100000 + idx) AS BIGINT) AS minenc,
+         CAST(MAX(cents * 100000 + (99999 - idx)) AS BIGINT) AS maxenc
+  FROM binned GROUP BY event_type, bin
+)
+SELECT event_type, bin, n_points, first_idx, last_idx,
+       CAST(FLOOR(minenc / 100000.0) AS BIGINT) AS min_cents,
+       minenc - CAST(FLOOR(minenc / 100000.0) AS BIGINT) * 100000
+         AS min_idx,
+       CAST(FLOOR(maxenc / 100000.0) AS BIGINT) AS max_cents,
+       99999 - (maxenc - CAST(FLOOR(maxenc / 100000.0) AS BIGINT) * 100000)
+         AS max_idx
+FROM m4
+"""
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=_M4_TEMPLATE.format(EPOCH="EPOCH(ts)"),
+    tags=("timeseries",),
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling of each hourly revenue series to 24 pixel
+    buckets × 4 points (first/last/min/max) — the
+    visualization-oriented aggregation that renders the same line a
+    full-resolution plot would, at 1/30th the points shipped to the
+    dashboard. Extremum POINT IDENTITY (not just value) is pinned by
+    integer tie-break encoding, so two engines pick the same pixels.
+
+    Scale shape: hourly rollup, two windows per series, one grouped
+    aggregate — series-keyed shuffles only; output is pixels × 4.
+    Headroom: the 1e5 encoding field holds ~11 years of hourly
+    indexes; widen for longer retentions."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_M4_TEMPLATE.format(EPOCH="unix_timestamp(ts)"))
