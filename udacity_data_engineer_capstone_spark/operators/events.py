@@ -1819,7 +1819,7 @@ FROM peaks
 """
 
 
-@query("evt_fraud_velocity", oracle=_VELOCITY_SQL.format(EPOCH="EPOCH(ts)"), tags=("events", "quality"))
+@query("evt_fraud_velocity", oracle=_VELOCITY_SQL.format(EPOCH="FLOOR(EPOCH(ts))"), tags=("events", "quality"))
 def evt_fraud_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Velocity fraud rule: each user's peak number of purchases inside
     ANY sliding 60-minute window (an event-anchored RANGE frame over
@@ -2042,7 +2042,7 @@ WHERE rn = 1
 
 @query(
     "evt_alert_throttle",
-    oracle=_THROTTLE_SQL.format(EPOCH="EPOCH(ts)"),
+    oracle=_THROTTLE_SQL.format(EPOCH="FLOOR(EPOCH(ts))"),
     tags=("events", "quality"),
 )
 def evt_alert_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,3 +2110,69 @@ def agg_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BITMASK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# bot detection: rate, coverage, and regularity heuristics per user
+# ---------------------------------------------------------------------------
+
+# Three classic behavioral signals, each exact-integer derived:
+# superhuman burst rate (events < 2 s apart), around-the-clock
+# coverage (distinct active hours-of-day), and inhumanly regular
+# timing (coefficient of variation of inter-arrival gaps below 10%).
+# Humans trip none; scrapers and replayers trip one or more.
+_BOT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST({EPOCH} AS BIGINT)
+           - CAST(LAG({EPOCH}) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+           AS gap_sec,
+         CAST({HOUR} AS BIGINT) AS hour_of_day
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CASE WHEN gap_sec < 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_burst_gaps,
+         CAST(COUNT(DISTINCT hour_of_day) AS BIGINT) AS active_hours_of_day,
+         CAST(SUM(gap_sec) AS BIGINT) AS s,
+         CAST(SUM(gap_sec * gap_sec) AS BIGINT) AS q
+  FROM gaps
+  WHERE gap_sec IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps, n_burst_gaps, active_hours_of_day,
+       CAST(FLOOR(
+         SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps)
+              / (n_gaps - 1))
+         / (CAST(s AS DOUBLE) / n_gaps) * 1000) AS BIGINT)
+         AS gap_cv_milli,
+       n_burst_gaps * 10 > n_gaps AS rate_flag,
+       active_hours_of_day >= 22 AS coverage_flag,
+       SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps)
+            / (n_gaps - 1))
+         / (CAST(s AS DOUBLE) / n_gaps) < 0.1 AS regularity_flag
+FROM per_user
+WHERE n_gaps >= 2
+"""
+
+
+@query(
+    "evt_bot_detection",
+    oracle=_BOT_SQL.format(EPOCH="FLOOR(EPOCH(ts))", HOUR="hour(ts)"),
+    tags=("events", "quality"),
+)
+def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-detection heuristics per user: burst rate (>10% of gaps
+    under 2 s), around-the-clock coverage (≥22 distinct hours of day),
+    and inhuman regularity (inter-arrival CV < 10%) — the three
+    behavioral signals abuse teams combine before any model. Gap
+    moments are exact integer seconds; the CV is one double
+    expression.
+
+    Scale shape: one user-partitioned lag window + one user-keyed
+    moment aggregate — a single shuffle."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_BOT_SQL.format(EPOCH="unix_timestamp(ts)", HOUR="hour(ts)"))

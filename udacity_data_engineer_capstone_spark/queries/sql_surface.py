@@ -1063,3 +1063,68 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-side expressions + one 2-group aggregate."""
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_luhn_sql())
+
+
+# ---------------------------------------------------------------------------
+# locale number parsing: EU-formatted amounts back to exact cents
+# ---------------------------------------------------------------------------
+
+# Render each order total as a German-style string ('1.234.567,89' —
+# dot thousands, comma decimals) with pure integer string ops (both
+# engines render identically), then PARSE it back and prove the round
+# trip per row. The parse chain is the ingest rule for any European
+# CSV drop; the render exists only because the synthetic data has no
+# dirty strings of its own.
+_LOCALE_SQL = """
+WITH cents_t AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+parts AS (
+  SELECT o_orderkey, cents,
+         CAST(FLOOR(cents / 100.0) AS BIGINT) AS d,
+         CAST(cents % 100 AS BIGINT) AS frac
+  FROM cents_t
+),
+rendered AS (
+  SELECT o_orderkey, cents,
+         CONCAT(
+           CASE WHEN d >= 1000
+                THEN CONCAT(CAST(CAST(FLOOR(d / 1000.0) AS BIGINT) AS STRING),
+                            '.',
+                            LPAD(CAST(d % 1000 AS STRING), 3, '0'))
+                ELSE CAST(d AS STRING) END,
+           ',', LPAD(CAST(frac AS STRING), 2, '0')) AS eu_text
+  FROM parts
+),
+parsed AS (
+  SELECT o_orderkey, cents, eu_text,
+         CAST(FLOOR(
+           CAST(REPLACE(REPLACE(eu_text, '.', ''), ',', '.') AS DOUBLE)
+           * 100 + 0.5) AS BIGINT) AS parsed_cents
+  FROM rendered
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN parsed_cents = cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_ok,
+       SUM(CASE WHEN parsed_cents = cents THEN 1 ELSE 0 END) = COUNT(*)
+         AS all_exact,
+       MIN(eu_text) AS sample_min_text,
+       MAX(eu_text) AS sample_max_text
+FROM parsed
+"""
+
+
+@query("fn_locale_number_parse", oracle=_LOCALE_SQL, tags=("function", "text"))
+def fn_locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EU-locale number parsing ('1.234,56' → exact cents): strip the
+    dot thousands separators, swap the decimal comma, cast, re-scale —
+    with a per-row round-trip proof against the integer-cents source
+    (render and parse must be exact inverses on every order). The
+    ingest-cleaning rule for European CSV drops, exercised end to end.
+
+    Scale shape: pure map-side string/integer expressions + one 1-row
+    rollup."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_LOCALE_SQL)

@@ -880,9 +880,10 @@ WITH per AS (
 ),
 hw AS (SELECT MAX(ts) AS corpus_ts FROM events)
 SELECT p.event_type, p.last_ts, p.n_events,
-       CAST(FLOOR((EPOCH(hw.corpus_ts) - EPOCH(p.last_ts)) / 60.0) AS BIGINT)
+       CAST(FLOOR((FLOOR(EPOCH(hw.corpus_ts)) - FLOOR(EPOCH(p.last_ts))) / 60.0)
+            AS BIGINT)
          AS minutes_behind,
-       FLOOR((EPOCH(hw.corpus_ts) - EPOCH(p.last_ts)) / 60.0)
+       FLOOR((FLOOR(EPOCH(hw.corpus_ts)) - FLOOR(EPOCH(p.last_ts))) / 60.0)
          <= {_FRESHNESS_SLA_MIN} AS fresh
 FROM per p CROSS JOIN hw
 """
