@@ -2565,3 +2565,156 @@ def stat_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM of group moments (no second scan), broadcast back."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_SIMPSON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# fixed-effect meta-analysis: pool per-source effects, test heterogeneity
+# ---------------------------------------------------------------------------
+
+# Effect per source = mean document length difference vs the corpus
+# mean; weight = inverse variance n_i/s²_i (delta-method on exact
+# integer moments). Pooled effect = Σwᵢdᵢ/Σwᵢ; Cochran's
+# Q = Σwᵢ(dᵢ−pooled)² with I² = max(0, (Q−df)/Q). Per-source
+# contributions are quantized to exact integers before the final sums
+# (the chi2 discipline), so pooling is fold-order exact.
+_META_SQL = """
+WITH src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+  FROM src
+),
+eff AS (
+  SELECT src.source, src.n,
+         CAST(src.s AS DOUBLE) / src.n - CAST(tot.s AS DOUBLE) / tot.n AS d,
+         (CAST(src.q AS DOUBLE) - CAST(src.s AS DOUBLE) * src.s / src.n)
+           / (src.n - 1) / src.n AS var_d
+  FROM src CROSS JOIN tot
+),
+quant AS (
+  SELECT source, n,
+         CAST(FLOOR(d * 1000) AS BIGINT) AS d_milli,
+         CAST(FLOOR(1000000.0 / var_d) AS BIGINT) AS w_micro
+  FROM eff
+),
+pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(w_micro) AS BIGINT) AS sw,
+         CAST(SUM(w_micro * d_milli) AS BIGINT) AS swd
+  FROM quant
+),
+qstat AS (
+  SELECT p.k, p.sw, p.swd,
+         CAST(SUM(CAST(FLOOR(
+           CAST(q.w_micro AS DOUBLE)
+           * (q.d_milli - CAST(p.swd AS DOUBLE) / p.sw)
+           * (q.d_milli - CAST(p.swd AS DOUBLE) / p.sw)
+           / 1000000000.0) AS BIGINT)) AS BIGINT) AS q_milli
+  FROM quant q CROSS JOIN pool p
+  GROUP BY p.k, p.sw, p.swd
+)
+SELECT k AS n_sources,
+       CAST(FLOOR(CAST(swd AS DOUBLE) / sw * 1000) AS BIGINT)
+         AS pooled_effect_microchars,
+       q_milli AS cochran_q_milli,
+       CASE WHEN q_milli > (k - 1) * 1000
+            THEN CAST(FLOOR((q_milli - (k - 1) * 1000) * 1000.0 / q_milli)
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS i2_milli,
+       q_milli > (k - 1) * 1000 + 2000 * CAST(FLOOR(SQRT(2.0 * (k - 1))
+                                                    * 1000) AS BIGINT)
+         AS heterogeneous
+FROM qstat
+"""
+
+
+@query("stat_meta_analysis", oracle=_META_SQL, tags=("stats",))
+def stat_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis of per-source document-length
+    effects: inverse-variance pooling of each source's deviation from
+    the corpus mean, with Cochran's Q and I² heterogeneity — the
+    machinery for combining an effect measured independently across
+    sources/sites/segments, and the I² answer to 'is one pooled
+    number even meaningful here?' (the ~2σ Q gate flags
+    heterogeneity). Per-source d/w quantize to exact integers before
+    pooling, so every sum is fold-order exact.
+
+    Scale shape: one grouped moment aggregate over the corpus;
+    everything downstream is source-count-sized."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_META_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha: do the engagement signals measure one construct?
+# ---------------------------------------------------------------------------
+
+# Items = per-user counts of each event type; alpha = k/(k−1) ·
+# (1 − Σ itemvar / totalvar). All variances come from exact integer
+# per-user counts; per-item variance contributions quantize to milli
+# before the cross-item sum.
+_CRONBACH_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS i1,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS i2,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS i3,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS i4,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS i5
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+         CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+         CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+         CAST(SUM(i4) AS BIGINT) AS s4, CAST(SUM(i4 * i4) AS BIGINT) AS q4,
+         CAST(SUM(i5) AS BIGINT) AS s5, CAST(SUM(i5 * i5) AS BIGINT) AS q5,
+         CAST(SUM(i1 + i2 + i3 + i4 + i5) AS BIGINT) AS st,
+         CAST(SUM((i1 + i2 + i3 + i4 + i5) * (i1 + i2 + i3 + i4 + i5))
+              AS BIGINT) AS qt
+  FROM per_user
+),
+vars_t AS (
+  SELECT n,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n)
+         + (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n)
+         + (CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * s4 / n)
+         + (CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * s5 / n) AS sum_item_ss,
+         CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n AS total_ss
+  FROM m
+)
+SELECT n AS n_users, CAST(5 AS BIGINT) AS k_items,
+       CAST(FLOOR(sum_item_ss * 1000 / n) AS BIGINT) AS sum_item_var_milli,
+       CAST(FLOOR(total_ss * 1000 / n) AS BIGINT) AS total_var_milli,
+       CAST(FLOOR(5.0 / 4.0 * (1.0 - sum_item_ss / total_ss) * 1000)
+            AS BIGINT) AS alpha_milli,
+       5.0 / 4.0 * (1.0 - sum_item_ss / total_ss) >= 0.7 AS internally_consistent
+FROM vars_t
+"""
+
+
+@query("stat_cronbach_alpha", oracle=_CRONBACH_SQL, tags=("stats",))
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five per-user engagement counts: do
+    the individual signals co-vary enough to justify summing them into
+    one 'engagement score' (the psychometric internal-consistency
+    gate, alpha ≥ 0.7 by convention)? A fixed double expression over
+    exact integer item moments; the item sums are evaluated in one
+    textual order in both engines.
+
+    Scale shape: one user-keyed conditional aggregate, one 1-row
+    moment rollup."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CRONBACH_SQL)
