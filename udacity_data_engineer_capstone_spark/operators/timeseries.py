@@ -1577,3 +1577,63 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes; widen for longer retentions."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_M4_TEMPLATE.format(EPOCH="unix_timestamp(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# hierarchical forecast reconciliation (bottom-up coherence)
+# ---------------------------------------------------------------------------
+
+# Per-type seasonal-naive forecasts (value 7 days earlier) never sum
+# to the total's own forecast; proportional reconciliation rescales
+# the bottom level so the hierarchy is coherent — the fix every
+# roll-up dashboard needs before per-segment forecasts are shown next
+# to the company number.
+_RECONCILE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, day, y,
+         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+),
+scoped AS (
+  SELECT event_type, day, y, fc FROM base WHERE fc IS NOT NULL
+),
+top AS (
+  SELECT day,
+         CAST(SUM(y) AS BIGINT) AS total_actual,
+         CAST(SUM(fc) AS BIGINT) AS bottom_sum
+  FROM scoped GROUP BY day
+),
+top_fc AS (
+  SELECT t.day, t.total_actual, t.bottom_sum,
+         CAST(SUM(d.y) AS BIGINT) AS top_forecast
+  FROM top t JOIN daily d ON d.day = t.day - INTERVAL 7 DAY
+  GROUP BY t.day, t.total_actual, t.bottom_sum
+)
+SELECT s.event_type, s.day, s.y AS actual,
+       CAST(s.fc AS BIGINT) AS base_forecast,
+       CAST(FLOOR(s.fc * 1000.0 * tf.top_forecast / tf.bottom_sum)
+            AS BIGINT) AS reconciled_milli,
+       tf.top_forecast, tf.bottom_sum
+FROM scoped s JOIN top_fc tf ON tf.day = s.day
+"""
+
+
+@query("ts_forecast_reconcile", oracle=_RECONCILE_SQL, tags=("timeseries",))
+def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation: per-type seasonal-naive
+    forecasts proportionally rescaled so they sum exactly to the
+    total-level forecast (bottom-up coherence) — without it, segment
+    dashboards contradict the company roll-up. Reconciled values are
+    floor-quantized milli-counts from exact integer forecasts.
+
+    Scale shape: one daily rollup, one 7-lag window per series, two
+    calendar-keyed aggregates — everything after the rollup is
+    calendar-sized. The segment dimension scales by adding series,
+    not shuffle width."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RECONCILE_SQL)

@@ -2718,3 +2718,61 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment rollup."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CRONBACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# calibration / expected calibration error of a score against outcomes
+# ---------------------------------------------------------------------------
+
+# A deterministic pseudo-model scores each user's conversion propensity
+# (hash noise + a true-label lift, so the score is informative but
+# imperfectly calibrated — exactly what the diagnostic must expose).
+# Reliability table: per decile bin, mean score vs observed rate; ECE =
+# Σ (n_bin/N)·|gap|, quantized per bin before the exact integer sum.
+_CALIB_SQL = """
+WITH scored AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS label,
+         CAST(((user_id * 2654435761 + 42) % 500000)
+              + MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                * 300000 + 100000 AS BIGINT) AS score_ppm
+  FROM events GROUP BY user_id
+),
+binned AS (
+  SELECT CAST(FLOOR(score_ppm / 100000.0) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(score_ppm) AS BIGINT) AS s_score,
+         CAST(SUM(label) AS BIGINT) AS s_label
+  FROM scored GROUP BY 1
+),
+gaps AS (
+  SELECT bin, n,
+         CAST(FLOOR(CAST(s_score AS DOUBLE) / n) AS BIGINT) AS mean_score_ppm,
+         CAST(FLOOR(s_label * 1000000.0 / n) AS BIGINT) AS obs_rate_ppm,
+         CAST(ABS(CAST(FLOOR(CAST(s_score AS DOUBLE) / n) AS BIGINT)
+                  - CAST(FLOOR(s_label * 1000000.0 / n) AS BIGINT))
+              AS BIGINT) AS gap_ppm
+  FROM binned
+)
+SELECT bin, n, mean_score_ppm, obs_rate_ppm, gap_ppm,
+       CAST(FLOOR(CAST(SUM(n * gap_ppm) OVER () AS DOUBLE)
+                  / SUM(n) OVER ()) AS BIGINT) AS ece_ppm
+FROM gaps
+"""
+
+
+@query("stat_calibration_ece", oracle=_CALIB_SQL, tags=("stats", "eval"))
+def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected calibration error for a propensity
+    score against realized conversions: per score decile, predicted
+    vs observed rate and the gap, with the n-weighted ECE the whole
+    table rolls up to — the diagnostic that says whether a model's
+    probabilities can be TRUSTED as probabilities (ranking metrics
+    like the transition-model accuracy can't). Gap quantizes per bin
+    before the exact weighted sum.
+
+    Scale shape: one user rollup, one decile-keyed aggregate — the
+    reliability table is always 10 rows no matter the corpus."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_CALIB_SQL)

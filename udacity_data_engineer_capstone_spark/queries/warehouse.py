@@ -1186,3 +1186,88 @@ def act_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle carries more than chunk-count rows of state per task."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_CHECKSUM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# vacuum: retire files no live snapshot references, prove readers survive
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+SELECT 'v1_only_files_removed' AS action,
+       CAST(3 AS BIGINT) AS n_files,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+            AS BIGINT) AS rows_affected,
+       TRUE AS live_snapshot_intact
+UNION ALL
+SELECT 'v2_readable_after_vacuum',
+       CAST(2 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1)
+            AS BIGINT),
+       TRUE
+"""
+
+
+@query("snk_vacuum_retention", oracle=_VACUUM_ORACLE, tags=("sink", "warehouse"))
+def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle step after ``snk_time_travel``: version 2 REPLACES
+    v1's files (a rewrite commit, not an append), so once v1 falls out
+    of retention its 3 files are vacuumable garbage. Vacuum deletes
+    exactly the files no live manifest references, and the audit
+    re-reads v2 THROUGH its manifest afterwards to prove readers
+    survive the physical deletion — the invariant (never touch a
+    live-referenced file) that makes lakehouse GC safe.
+
+    Scale shape: vacuum is manifest-set arithmetic (live files = union
+    of retained manifests; garbage = listing − live) — file-inventory
+    sized; the deletes are embarrassingly parallel."""
+    import json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="engine_vacuum_")
+    data_dir = os.path.join(d, "data")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def data_files() -> set[str]:
+        return {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+
+    def commit(version: int, files: set[str]) -> None:
+        with open(os.path.join(d, f"v{version}.json"), "w") as fh:
+            json.dump({"files": sorted(files)}, fh)
+
+    orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    v1_files = data_files()
+    commit(1, v1_files)
+    # v2 REPLACES v1 content (rewrite commit): new files, old ones now
+    # only referenced by the expiring v1 manifest
+    orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2).write.mode(
+        "append"
+    ).parquet(data_dir)
+    v2_files = data_files() - v1_files
+    commit(2, v2_files)
+
+    # retention: only v2 is live; garbage = listing - live
+    with open(os.path.join(d, "v2.json")) as fh:
+        live = set(json.load(fh)["files"])
+    garbage = data_files() - live
+    v1_rows = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in sorted(garbage)]
+    ).count()
+    for f in garbage:
+        os.remove(os.path.join(data_dir, f))
+
+    survivors = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in sorted(live)]
+    )
+    v2_rows = survivors.count()
+    assert data_files() == live, "vacuum must remove exactly the garbage"
+    return spark.createDataFrame(
+        [
+            ("v1_only_files_removed", len(garbage), v1_rows, True),
+            ("v2_readable_after_vacuum", len(live), v2_rows, True),
+        ],
+        "action string, n_files bigint, rows_affected bigint,"
+        " live_snapshot_intact boolean",
+    )
