@@ -1595,3 +1595,49 @@ def curate_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-side LIKE cascade + one small-keyed aggregate."""
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_LICENSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# active-learning selection: label where the model is least certain
+# ---------------------------------------------------------------------------
+
+# Uses the same deterministic propensity pseudo-score as
+# stat_calibration_ece; uncertainty = distance from 0.5. The batch an
+# annotation team should label next is the top-k MOST uncertain —
+# uniform sampling wastes labels on examples the model already knows.
+_AL_BATCH = 25
+
+_ACTIVE_LEARNING_SQL = f"""
+WITH scored AS (
+  SELECT user_id,
+         CAST(((user_id * 2654435761 + 42) % 500000)
+              + MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                * 300000 + 100000 AS BIGINT) AS score_ppm
+  FROM events GROUP BY user_id
+)
+SELECT user_id, score_ppm,
+       CAST(ABS(score_ppm - 500000) AS BIGINT) AS uncertainty_dist_ppm
+FROM scored
+ORDER BY ABS(score_ppm - 500000), user_id
+LIMIT {_AL_BATCH}
+"""
+
+
+@query(
+    "curate_active_learning",
+    oracle=_ACTIVE_LEARNING_SQL,
+    tags=("curation", "eval"),
+)
+def curate_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-sampling batch selection for annotation: the 25
+    examples whose propensity score sits closest to the 0.5 decision
+    boundary (deterministic tie-break on id) — each label there moves
+    the boundary most, which is why active learning beats uniform
+    labeling budgets. Pairs with ``stat_calibration_ece``: calibrate
+    first, then sample by uncertainty.
+
+    Scale shape: one user rollup + a global top-k
+    (TakeOrderedAndProject: per-partition k, k-width merge — no full
+    sort)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ACTIVE_LEARNING_SQL)

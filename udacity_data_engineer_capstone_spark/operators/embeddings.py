@@ -876,3 +876,74 @@ def emb_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " LATERAL VIEW posexplode(embedding) pe AS dim, x) AS t",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding outlier score: diagonal Mahalanobis against the corpus
+# ---------------------------------------------------------------------------
+
+# Per-dimension mean/variance from one exploded moment aggregate
+# (exact micro-unit integers), joined back onto the exploded vectors
+# and re-aggregated per vector — no driver collect, no broadcast of
+# raw data. The per-dim standardized squares are quantized to exact
+# integers before the per-vector sum (fold-order exact).
+_EMB_OUTLIER_TEMPLATE = """
+WITH parts AS (
+  SELECT vec_id, {DIM} AS dim,
+         CAST(floor(CAST({X} AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+  FROM {UNNESTED}
+),
+dimstats AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x_e6) AS BIGINT) AS s,
+         CAST(SUM(x_e6 * x_e6) AS BIGINT) AS q
+  FROM parts GROUP BY dim
+),
+scored AS (
+  SELECT p.vec_id,
+         CAST(FLOOR(
+           (p.x_e6 - CAST(d.s AS DOUBLE) / d.n)
+           * (p.x_e6 - CAST(d.s AS DOUBLE) / d.n)
+           / ((CAST(d.q AS DOUBLE) - CAST(d.s AS DOUBLE) * d.s / d.n)
+              / (d.n - 1))
+           * 1000) AS BIGINT) AS z2_milli
+  FROM parts p JOIN dimstats d ON d.dim = p.dim
+)
+SELECT vec_id,
+       CAST(SUM(z2_milli) AS BIGINT) AS mahalanobis2_milli,
+       SUM(z2_milli) > 2 * 64 * 1000 AS outlier_flag
+FROM scored
+GROUP BY vec_id
+"""
+
+_EMB_OUTLIER_ORACLE = _EMB_OUTLIER_TEMPLATE.format(
+    DIM="dim",
+    X="x",
+    UNNESTED="(SELECT vec_id, unnest(embedding) AS x,"
+    " unnest(range(0, len(embedding))) AS dim FROM embeddings)",
+)
+
+
+@query("emb_outlier_score", oracle=_EMB_OUTLIER_ORACLE, tags=("embedding", "quality"))
+def emb_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier audit: diagonal-Mahalanobis distance of every
+    vector from the corpus distribution (per-dimension standardized
+    squares, summed) — the cheap detector for corrupt, zeroed, or
+    off-manifold vectors before they poison an ANN index. Flag fires
+    at 2× the expected value (≈ dims for in-distribution vectors).
+    Per-dim stats come from one exploded moment aggregate joined back
+    — no driver collect, no raw-vector broadcast.
+
+    Scale shape: two posexplode passes (stats, scoring) + one
+    vector-keyed sum; the dim-stats side is dims-sized and
+    broadcasts."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        _EMB_OUTLIER_TEMPLATE.format(
+            DIM="dim",
+            X="x",
+            UNNESTED="(SELECT vec_id, pe.dim, pe.x FROM embeddings"
+            " LATERAL VIEW posexplode(embedding) pe AS dim, x) AS t",
+        )
+    )

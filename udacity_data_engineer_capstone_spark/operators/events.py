@@ -2176,3 +2176,46 @@ def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment aggregate — a single shuffle."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BOT_SQL.format(EPOCH="unix_timestamp(ts)", HOUR="hour(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# activity heatmap: day-of-week x hour-of-day matrix
+# ---------------------------------------------------------------------------
+
+_HEATMAP_SQL = """
+SELECT CAST({DOW} AS BIGINT) AS dow,
+       CAST(SUM(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS night_00_06,
+       CAST(SUM(CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 1 ELSE 0 END)
+            AS BIGINT) AS morning_06_12,
+       CAST(SUM(CASE WHEN hour(ts) >= 12 AND hour(ts) < 18 THEN 1 ELSE 0 END)
+            AS BIGINT) AS afternoon_12_18,
+       CAST(SUM(CASE WHEN hour(ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT)
+         AS evening_18_24,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events
+GROUP BY 1
+"""
+
+
+@query(
+    "evt_activity_heatmap",
+    # DuckDB numbers Sunday 0, Spark numbers Sunday 1 — shift the
+    # oracle to Spark's convention
+    oracle=_HEATMAP_SQL.format(DOW="dayofweek(ts) + 1"),
+    tags=("events", "agg"),
+)
+def evt_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × daypart activity matrix (the ops-dashboard
+    heatmap): one pivoted row per weekday with night/morning/
+    afternoon/evening counts plus totals and unique users — the
+    when-are-users-here view that staffs support rotations and
+    schedules maintenance windows. Day-of-week numbering is pinned to
+    Spark's 1=Sunday convention (DuckDB's 0-based dayofweek is shifted
+    in the oracle).
+
+    Scale shape: one conditional hash aggregate — 7 output rows at
+    any scale."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_HEATMAP_SQL.format(DOW="dayofweek(ts)"))
