@@ -1128,3 +1128,57 @@ def fn_locale_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_LOCALE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# semantic-version parsing and ordering
+# ---------------------------------------------------------------------------
+
+# Deterministic client versions minted from order keys; the sortable
+# form zero-pads each numeric field so STRING order == semver order —
+# the standard trick for version columns in engines without a semver
+# type. Latest-per-major via one ranking window.
+_SEMVER_SQL = """
+WITH versions AS (
+  SELECT CONCAT(CAST(o_orderkey % 4 AS STRING), '.',
+                CAST(o_orderkey % 12 AS STRING), '.',
+                CAST(o_orderkey % 100 AS STRING)) AS ver
+  FROM orders
+),
+counted AS (
+  SELECT ver, CAST(COUNT(*) AS BIGINT) AS n_clients FROM versions GROUP BY ver
+),
+parsed AS (
+  SELECT ver, n_clients,
+         CAST(split_part(ver, '.', 1) AS BIGINT) AS major,
+         CAST(split_part(ver, '.', 2) AS BIGINT) AS minor,
+         CAST(split_part(ver, '.', 3) AS BIGINT) AS patch
+  FROM counted
+),
+sortable AS (
+  SELECT ver, n_clients, major, minor, patch,
+         CONCAT(LPAD(CAST(major AS STRING), 4, '0'), '.',
+                LPAD(CAST(minor AS STRING), 4, '0'), '.',
+                LPAD(CAST(patch AS STRING), 4, '0')) AS sort_key
+  FROM parsed
+)
+SELECT ver, n_clients, major, minor, patch, sort_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY major
+                               ORDER BY minor DESC, patch DESC)
+            AS BIGINT) = 1 AS latest_in_major
+FROM sortable
+"""
+
+
+@query("fn_semver_parse", oracle=_SEMVER_SQL, tags=("function", "text"))
+def fn_semver_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version handling for a client-version column: parse
+    major/minor/patch, build the zero-padded sort key that makes
+    STRING order equal semver order (the '1.10.0' > '1.9.0' trap that
+    plain string sorting gets wrong), and mark the newest release per
+    major line — the deprecation-dashboard staple.
+
+    Scale shape: map-side parsing + one version-cardinality aggregate
+    + a ranking window over the (tiny) distinct-version table."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SEMVER_SQL)

@@ -983,3 +983,93 @@ def stream_velocity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(alerts, output_mode="complete")
+
+
+# Left-outer stream-stream join semantics: an unmatched view emits its
+# null-purchase row only once the GLOBAL watermark (min of both sides'
+# max event time, minus the 2 h delay) passes the end of its join
+# window (view_ts + 1 h) — rows younger than that are still pending
+# state when the availableNow drain ends and must NOT appear. The
+# oracle encodes exactly that eviction rule.
+_STREAM_LOJ_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS w
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+  FROM v JOIN p
+    ON p.user_id = v.user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+       v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM v CROSS JOIN wm
+WHERE v.view_ts + INTERVAL 1 HOUR < wm.w
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)
+"""
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle=_STREAM_LOJ_ORACLE,
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: views pair with same-user
+    purchases in the following hour, and a view with no purchase
+    emits its null row only after the global watermark proves no
+    match can still arrive — the outer-ness is TIME-GATED, the part
+    of streaming outer joins everyone gets wrong. Views whose join
+    window the final watermark hasn't passed are still pending and
+    correctly absent; the oracle encodes that eviction rule
+    explicitly.
+
+    Scale shape: state is bounded by the watermark exactly as in the
+    inner join; the null-emission adds no state, only eviction-time
+    output."""
+    src = stage_events_dir(spark, sf_dir)
+    views = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    return run_to_memory(joined, output_mode="append")
