@@ -461,3 +461,67 @@ def test_skyline_dominance_hand_computed(spark):
         for r in engine.QUERIES["agg_skyline_pareto"].fn(spark, out).collect()
     )
     assert got == [(1, 5), (4, 8), (6, 1)]
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _meta_docs_dir(spark, lengths_by_source):
+    out = tempfile.mkdtemp(prefix="engine_meta_")
+    rows, did = [], 0
+    for src, lengths in lengths_by_source.items():
+        for n in lengths:
+            did += 1
+            rows.append(
+                Row(doc_id=did, text="x", lang="en", source=src, n_chars=n)
+            )
+    spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def test_meta_analysis_heterogeneity_gate_hand_computed(spark):
+    """Hand-derived Cochran's Q for 3 sources, each n=5 with
+    within-source SS=8 (var_d = 0.4, w_micro = 2_500_000 exactly).
+
+    Divergent means (100/120/80, grand 100) give d_milli 0/+20000/
+    -20000, pooled 0, so q_milli = 2·floor(2.5e6·2e7²/1e9)/... =
+    2_000_000 (Q = 2000 ≫ df + 2σ = 6 in milli: 6000) → the
+    heterogeneous flag MUST fire. This is exactly the case the
+    pre-r5 1000×-inflated sigma gate (threshold 4_002_000) missed,
+    and oracle parity could never catch it (shared SQL)."""
+    het = _meta_docs_dir(
+        spark,
+        {
+            "a": [100, 102, 98, 100, 100],
+            "b": [120, 122, 118, 120, 120],
+            "c": [80, 82, 78, 80, 80],
+        },
+    )
+    row = engine.QUERIES["stat_meta_analysis"].fn(spark, het).collect()[0]
+    assert row.n_sources == 3
+    assert row.pooled_effect_microchars == 0
+    assert row.cochran_q_milli == 2_000_000
+    assert row.heterogeneous is True
+    # and just inside the gate: same spread shrunk to ±1 char gives
+    # q_milli = 5000 < 6000 = df·1000 + 2·floor(sqrt(2·df)·1000)
+    hom = _meta_docs_dir(
+        spark,
+        {
+            "a": [100, 102, 98, 100, 100],
+            "b": [101, 103, 99, 101, 101],
+            "c": [99, 101, 97, 99, 99],
+        },
+    )
+    row = engine.QUERIES["stat_meta_analysis"].fn(spark, hom).collect()[0]
+    assert row.cochran_q_milli == 5000
+    assert row.heterogeneous is False

@@ -794,10 +794,12 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Cosine is scale-invariant, so we compare per-label SUM vectors (exact
 # micro-unit integers) instead of mean vectors — no division ever
-# happens before the one final cosine expression. Headroom: with 1e6
-# quantization and |x| ≤ 1, per-(label,cohort,dim) sums hold to ~9e12
-# vectors/label and the dot products to ~3e5 vectors/label-cohort;
-# beyond that, drop quantization to 1e3 (same invariance argument).
+# happens before the one final cosine expression. The per-dim sums
+# stay exact BIGINT (headroom ~9e12 vectors/label at 1e6
+# quantization); the dot/norm ACCUMULATIONS run in DOUBLE, which has
+# no overflow cliff — sa*sb would wrap int64 past ~3e5 vectors per
+# label-cohort, and cosine tolerates the ~1e-14 relative float error
+# (dims-count terms per label) with a 1e-3 output quantum.
 _DRIFT_TEMPLATE = """
 WITH parts AS (
   SELECT label,
@@ -819,9 +821,9 @@ paired AS (
 ),
 dots AS (
   SELECT label,
-         CAST(SUM(sa * sb) AS BIGINT) AS dot,
-         CAST(SUM(sa * sa) AS BIGINT) AS na2,
-         CAST(SUM(sb * sb) AS BIGINT) AS nb2
+         SUM(CAST(sa AS DOUBLE) * sb) AS dot,
+         SUM(CAST(sa AS DOUBLE) * sa) AS na2,
+         SUM(CAST(sb AS DOUBLE) * sb) AS nb2
   FROM paired GROUP BY label
 ),
 counts AS (

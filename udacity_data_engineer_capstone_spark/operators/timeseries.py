@@ -1595,9 +1595,10 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 base AS (
-  SELECT event_type, day, y,
-         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
-  FROM daily
+  SELECT d.event_type, d.day, d.y, l.y AS fc
+  FROM daily d
+  LEFT JOIN daily l
+    ON l.event_type = d.event_type AND l.day = d.day - INTERVAL 7 DAY
 ),
 scoped AS (
   SELECT event_type, day, y, fc FROM base WHERE fc IS NOT NULL
@@ -1616,8 +1617,10 @@ top_fc AS (
 )
 SELECT s.event_type, s.day, s.y AS actual,
        CAST(s.fc AS BIGINT) AS base_forecast,
-       CAST(FLOOR(s.fc * 1000.0 * tf.top_forecast / tf.bottom_sum)
-            AS BIGINT) AS reconciled_milli,
+       CASE WHEN tf.bottom_sum = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(FLOOR(s.fc * 1000.0 * tf.top_forecast
+                            / tf.bottom_sum) AS BIGINT)
+       END AS reconciled_milli,
        tf.top_forecast, tf.bottom_sum
 FROM scoped s JOIN top_fc tf ON tf.day = s.day
 """
@@ -1629,10 +1632,13 @@ def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecasts proportionally rescaled so they sum exactly to the
     total-level forecast (bottom-up coherence) — without it, segment
     dashboards contradict the company roll-up. Reconciled values are
-    floor-quantized milli-counts from exact integer forecasts.
+    floor-quantized milli-counts from exact integer forecasts. Both
+    levels use the same CALENDAR lag (self-join on day − 7 days), so
+    series with missing days stay aligned with the total; a
+    zero bottom_sum yields NULL rather than a division blow-up.
 
-    Scale shape: one daily rollup, one 7-lag window per series, two
-    calendar-keyed aggregates — everything after the rollup is
+    Scale shape: one daily rollup, one calendar self-join per series,
+    two calendar-keyed aggregates — everything after the rollup is
     calendar-sized. The segment dimension scales by adding series,
     not shuffle width."""
     register_views(spark, sf_dir, ("events",))

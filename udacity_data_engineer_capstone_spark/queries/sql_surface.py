@@ -931,8 +931,10 @@ def sql_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CIDR_SQL = """
 WITH ips AS (
   SELECT CAST(167772160 + (user_id % 256) * 256 + 7 AS BIGINT) AS ip_int,
-         user_id
+         user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_req
   FROM events
+  GROUP BY user_id
 ),
 blocks AS (
   SELECT 'corp-lan' AS block, CAST(24 AS BIGINT) AS prefix,
@@ -951,13 +953,13 @@ blocks AS (
          CAST(167772160 + 16777215 AS BIGINT)
 ),
 matched AS (
-  SELECT i.user_id, i.ip_int, b.block, b.prefix,
+  SELECT i.user_id, i.ip_int, i.n_req, b.block, b.prefix,
          ROW_NUMBER() OVER (PARTITION BY i.user_id, i.ip_int
                             ORDER BY b.prefix DESC, b.block) AS r
   FROM ips i JOIN blocks b ON i.ip_int BETWEEN b.lo AND b.hi
 )
 SELECT block, CAST(prefix AS BIGINT) AS prefix,
-       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(n_req) AS BIGINT) AS n_requests,
        CAST(COUNT(DISTINCT ip_int) AS BIGINT) AS n_ips
 FROM matched
 WHERE r = 1

@@ -2626,8 +2626,8 @@ SELECT k AS n_sources,
             THEN CAST(FLOOR((q_milli - (k - 1) * 1000) * 1000.0 / q_milli)
                       AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS i2_milli,
-       q_milli > (k - 1) * 1000 + 2000 * CAST(FLOOR(SQRT(2.0 * (k - 1))
-                                                    * 1000) AS BIGINT)
+       q_milli > (k - 1) * 1000 + 2 * CAST(FLOOR(SQRT(2.0 * (k - 1))
+                                                 * 1000) AS BIGINT)
          AS heterogeneous
 FROM qstat
 """

@@ -918,19 +918,39 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ``dropDuplicatesWithinWatermark`` instead of ``dropDuplicates``:
     state for a key is retained only until the watermark passes its
     event time, so the seen-key set is BOUNDED (the production answer
-    to ``stream_dedup``'s unbounded state). The planted duplicates
-    carry the *same event time* as their originals, so they always fall
-    inside the 2-hour retention window and the output matches the exact
-    batch oracle; duplicates arriving later than the watermark bound
-    would (by design) escape — that is the documented contract of the
-    operator, not a bug.
+    to ``stream_dedup``'s unbounded state). The planted duplicate
+    shards are range-partitioned on ``ts`` exactly like the originals
+    and INTERLEAVED by modification time (each duplicate shard lands
+    0.4 s after the original shard covering the same event-time
+    range), so when a duplicate is discovered the watermark has not
+    yet passed its event time and the drop happens by matching LIVE
+    retained state — the within-watermark path itself, not the
+    late-row discard path. Output equals the exact batch oracle
+    (every event once) either way; the staging makes the state
+    mechanism the one doing the work.
 
     Scale shape: state is O(keys within the watermark horizon), not
     O(all keys ever) — the only streaming dedup that survives an
     unbounded stream."""
     src = stage_events_dir(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events")
-    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+    dup_tmp = tempfile.mkdtemp(prefix="engine_stream_dup_")
+    shutil.rmtree(dup_tmp)
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(dup_tmp)
+    )
+    orig_parts = sorted(p for p in os.listdir(src) if p.startswith("part-"))
+    dup_parts = sorted(p for p in os.listdir(dup_tmp) if p.startswith("part-"))
+    for i, p in enumerate(dup_parts):
+        anchor = orig_parts[min(i, len(orig_parts) - 1)]
+        anchor_m = os.path.getmtime(os.path.join(src, anchor))
+        dst = os.path.join(src, f"dup-{p}")
+        shutil.move(os.path.join(dup_tmp, p), dst)
+        os.utime(dst, (anchor_m + 0.4, anchor_m + 0.4))
+    shutil.rmtree(dup_tmp, ignore_errors=True)
 
     deduped = (
         stream_events(spark, src)
