@@ -853,11 +853,12 @@ def src_sas7bdat_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest an actual ``.sas7bdat`` binary file (not the parquet slot
     ``src_sas7bdat`` uses): stage an orders subset as a real SAS7BDAT
     via :mod:`..sources.sas7bdat`'s minimal writer, then read it back
-    with :func:`read_sas7bdat` — a chunked driver-side binary parse
-    (pandas' independent SAS reader) staged to parquet for the
-    distributed scan. Demonstrates the reference's saurfang-connector
-    slot (etl.py:103-107,227) as a working DataSource detail rather
-    than a documented substitution."""
+    with :func:`read_sas7bdat` — an EXECUTOR-SIDE binary parse (one
+    ``mapInPandas`` task per file running pandas' independent SAS
+    reader in bounded chunks; the driver only peeks the header) staged
+    to parquet by a distributed write for the scan. Demonstrates the
+    reference's saurfang-connector slot (etl.py:103-107,227) as a
+    working DataSource detail rather than a documented substitution."""
     import os
     import tempfile
 

@@ -12,17 +12,22 @@ Two halves, both built ONLY from the publicly documented format (the
 community-reverse-engineered SAS7BDAT layout as implemented by public
 readers — pandas ``pandas.io.sas.sas7bdat``, readstat, parso):
 
-- :func:`read_sas7bdat` — ingest a ``.sas7bdat`` into a Spark DataFrame.
-  The binary parse runs through pandas' reader (pure-Python + cython,
-  in-container, no new dependency) in bounded CHUNKS on the driver,
-  staged to parquet, then ``spark.read.parquet`` — the ingest-once
-  pattern the catalog's layout normalizer already uses. SAS7BDAT is a
-  single sequential container (page chain with one metadata preamble),
-  so a driver-side chunked convert-to-parquet is the honest distributed
-  story: scan-parallel work happens on the parquet copy. For
-  metadata-scale files the detour is negligible; for a 100 TB feed the
-  same convert-once runs as a fleet of per-file tasks (one file per
-  task — files are independent containers).
+- :func:`read_sas7bdat` — ingest one ``.sas7bdat`` file, a directory of
+  them, or an explicit file list into a Spark DataFrame. The binary
+  parse runs EXECUTOR-SIDE: the driver touches only file metadata (a
+  header-and-one-row schema peek on the first file), then ships the
+  file list as a one-row-per-partition DataFrame through
+  ``mapInPandas``, where each task opens its own file with pandas'
+  reader (pure-Python + cython, in-container, no new dependency) in
+  bounded ``chunk_rows`` chunks and Arrow-streams the rows out. The
+  parsed stream is staged to parquet by a distributed Spark write (one
+  shard per input file), then served via ``spark.read.parquet`` — the
+  ingest-once pattern the catalog's layout normalizer already uses,
+  with scan parallelism, pushdown, and pruning on the staged copy.
+  SAS7BDAT is a sequential container (page chain, one metadata
+  preamble), so per-FILE tasks are the right parallel grain: the
+  reference's feed is 12 monthly files (``readme.md:19``) → 12
+  concurrent parses, no driver bottleneck, memory bounded per task.
 
 - :func:`write_sas7bdat` — a minimal, standards-following writer
   (32-bit little-endian layout, uncompressed pages, double + string
@@ -256,22 +261,85 @@ def write_sas7bdat(
     os.replace(tmp, path)
 
 
-def read_sas7bdat(
-    spark: SparkSession, path: str, chunk_rows: int = 100_000
-) -> DataFrame:
-    """Read a ``.sas7bdat`` file into a Spark DataFrame.
+def _sas_file_list(path) -> list[str]:
+    """Expand a file path, a directory, or an explicit list into the
+    sorted absolute ``.sas7bdat`` file list (one parse task each)."""
+    if isinstance(path, (list, tuple)):
+        files = sorted(os.path.abspath(p) for p in path)
+    elif os.path.isdir(path):
+        files = sorted(
+            os.path.join(os.path.abspath(path), f)
+            for f in os.listdir(path)
+            if f.lower().endswith(".sas7bdat")
+        )
+    else:
+        files = [os.path.abspath(path)]
+    if not files:
+        raise ValueError(f"no .sas7bdat files under {path!r}")
+    return files
 
-    Chunked driver-side parse (bounded memory: ``chunk_rows`` rows per
-    batch) staged to a parquet copy, then read by Spark — scan
-    parallelism, pushdown, and column pruning all apply to the staged
-    copy. The stage is cached per (path, mtime, size) so repeated reads
-    parse the binary once.
-    """
+
+def _peek_spark_schema(path: str):
+    """Driver-side BOUNDED metadata peek: parse the header plus at most
+    one row (dtypes need the post-conversion view — dates surface as
+    datetime64 only after pandas applies the column format). Falls back
+    to the reader's raw column metadata for zero-row files. This is the
+    only binary access that ever happens on the driver."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    st = os.stat(path)
+    from pyspark.sql import types as T
+
+    with pd.read_sas(
+        path, format="sas7bdat", iterator=True, encoding="utf-8"
+    ) as rdr:
+        head = rdr.read(1)
+        if len(head.columns) == 0:  # zero-row file: header-only metadata
+            kinds = {
+                b"d": T.DoubleType(),
+                b"s": T.StringType(),
+            }
+            return T.StructType(
+                [
+                    T.StructField(
+                        n.decode() if isinstance(n, bytes) else str(n),
+                        kinds.get(t, T.StringType()),
+                    )
+                    for n, t in zip(rdr.column_names, rdr.column_types())
+                ]
+            )
+    fields = []
+    for name, dtype in zip(head.columns, head.dtypes):
+        if dtype.kind == "f":
+            t = T.DoubleType()
+        elif dtype.kind == "M":
+            t = T.TimestampType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(str(name), t))
+    return T.StructType(fields)
+
+
+def read_sas7bdat(
+    spark: SparkSession, path, chunk_rows: int = 100_000
+) -> DataFrame:
+    """Read ``.sas7bdat`` input (a file, a directory of files, or an
+    explicit file list) into a Spark DataFrame.
+
+    EXECUTOR-SIDE parse: the driver only lists files and peeks the
+    schema (header + ≤1 row of the first file); the file list is
+    repartitioned one-path-per-partition and each task parses its own
+    file via pandas' chunked reader (bounded memory: ``chunk_rows``
+    rows per Arrow batch) inside ``mapInPandas``. The parsed stream is
+    staged once to parquet by a DISTRIBUTED write — one shard per input
+    file, written by the executor tasks themselves — and served from
+    ``spark.read.parquet``, so scan parallelism, pushdown, and column
+    pruning apply to every downstream query. The stage is cached per
+    fingerprint of every input file's (path, mtime, size); repeated
+    reads parse the binary once.
+    """
+    import hashlib
+
+    files = _sas_file_list(path)
     stage_root = os.path.join(
         tempfile.gettempdir(), f"engine_sas7bdat_{os.getuid()}"
     )
@@ -279,25 +347,56 @@ def read_sas7bdat(
     own = os.stat(stage_root)
     if own.st_uid != os.getuid():  # same poisoning guard as the catalog
         stage_root = tempfile.mkdtemp(prefix="engine_sas7bdat_")
-    key = (
-        os.path.abspath(path).replace("/", "_").strip("_")
-        + f"-{st.st_mtime_ns}-{st.st_size}"
+    fp = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        fp.update(f"{f}|{st.st_mtime_ns}|{st.st_size};".encode())
+    base = (
+        os.path.abspath(path if isinstance(path, str) else files[0])
+        .replace("/", "_")
+        .strip("_")
     )
-    dst = os.path.join(stage_root, f"{key}.parquet")
-    if not os.path.exists(dst):
-        writer = None
-        tmp = f"{dst}.tmp.{os.getpid()}"
-        try:
-            with pd.read_sas(
-                path, format="sas7bdat", chunksize=chunk_rows, encoding="utf-8"
-            ) as rdr:
-                for chunk in rdr:
-                    tbl = pa.Table.from_pandas(chunk, preserve_index=False)
-                    if writer is None:
-                        writer = pq.ParquetWriter(tmp, tbl.schema)
-                    writer.write_table(tbl)
-        finally:
-            if writer is not None:
-                writer.close()
-        os.replace(tmp, dst)
+    dst = os.path.join(stage_root, f"{base}-{fp.hexdigest()[:16]}.parquet")
+    if os.path.exists(dst):
+        return spark.read.parquet(dst)
+
+    schema = _peek_spark_schema(files[0])
+    col_names = [f.name for f in schema.fields]
+
+    def _parse_files(batches, _cols=col_names, _chunk=chunk_rows):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"].tolist():
+                with pd.read_sas(
+                    p, format="sas7bdat", chunksize=_chunk, encoding="utf-8"
+                ) as rdr:
+                    for chunk in rdr:
+                        chunk.columns = [str(c) for c in chunk.columns]
+                        missing = [c for c in _cols if c not in chunk.columns]
+                        if missing:
+                            raise ValueError(
+                                f"{p}: columns {missing} absent "
+                                f"(schema drift across the file set)"
+                            )
+                        yield chunk[_cols]
+
+    # one path per partition, deterministically (parallelize slices the
+    # list evenly; DataFrame round-robin repartition does not guarantee
+    # a 1:1 row→partition placement) → exactly one parse task per file
+    paths_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in files], len(files)),
+        "path string",
+    )
+    parsed = paths_df.mapInPandas(_parse_files, schema=schema)
+    tmp = f"{dst}.tmp.{os.getpid()}"
+    parsed.write.parquet(tmp)
+    try:
+        os.rename(tmp, dst)  # atomic publish; loser of a race cleans up
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(dst):
+            raise
     return spark.read.parquet(dst)
