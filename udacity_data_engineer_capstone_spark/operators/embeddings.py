@@ -788,6 +788,77 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lloyd_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means FIT returning only the k×d centroid
+    list to the driver — the ``emb_kmeans_lloyd`` round machinery
+    exposed for index-training callers (``sim_ann_ivf``'s coarse
+    quantizer trains through this instead of collecting a data
+    sample). Per round: assignment is one Arrow-batched ``mapInPandas``
+    against the closed-over k×d centroid matrix (narrow map, no
+    shuffle); the update is one (cell, dim) hash aggregate with
+    map-side partials. The ONLY rows that ever reach the driver are
+    the k seed vectors and the k×d centroid coordinates per round —
+    never a data sample, so driver residency is O(k·d) regardless of
+    table size or embedding width. Seeding: the k lowest-id vectors
+    (deterministic). A cell that loses all members keeps its previous
+    centroid (a fit detail; the exact-arithmetic query variant drops
+    it to stay in lockstep with its unrolled SQL oracle)."""
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    cents = [list(map(float, r.v)) for r in q.orderBy("vec_id").limit(k).collect()]
+    dim = len(cents[0])
+
+    for _ in range(iters):
+        cent_list = [list(c) for c in cents]
+
+        def _assign(batches, _c=cent_list):
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.asarray(_c, dtype=np.float64)
+            cn = (cmat * cmat).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d = (
+                    (V * V).sum(axis=1, keepdims=True)
+                    - 2 * (V @ cmat.T)
+                    + cn[None, :]
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cell": np.argmin(d, axis=1).astype(np.int32),
+                    }
+                )
+
+        assigned = q.mapInPandas(_assign, schema="vec_id long, cell int")
+        upd = (
+            assigned.join(q, "vec_id")
+            .select("cell", F.posexplode("v").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.avg("x").alias("cx"))
+            .collect()  # k×d rows — constant-size driver fetch
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.j] = r.cx
+        cents = [
+            [by_cell[c][j] for j in range(dim)] if c in by_cell else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
 # ---------------------------------------------------------------------------
 # embedding drift: centroid shift between two ingestion cohorts
 # ---------------------------------------------------------------------------

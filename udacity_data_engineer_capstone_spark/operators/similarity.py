@@ -163,9 +163,13 @@ def ann_ivf_topk(
     """Approximate cosine top-k via IVF (inverted-file) coarse
     quantization: k-means cells + nprobe search.
 
-    - Centroids: seeded mini k-means on a driver-side sample (here the
-      whole table — testdata is tiny; at 100 TB you sample ~100k rows,
-      which is still driver-trivial, then broadcast).
+    - Centroids: the DISTRIBUTED Lloyd fit shared with
+      ``emb_kmeans_lloyd`` (:func:`..embeddings.lloyd_fit`) — every
+      assignment pass is a narrow Arrow-batched map over the full
+      table, updates are (cell, dim) hash aggregates, and the driver
+      only ever holds the k×d centroid coordinates (no data sample at
+      any embedding width — the FAISS-style sampled train was the one
+      byte-unbounded driver residency here).
     - Assignment: data × broadcast(centroids) → nearest cell per vector
       (small-side broadcast join + ranking window — no giant literal
       expressions, stays in codegen).
@@ -177,29 +181,15 @@ def ann_ivf_topk(
     tests/test_similarity.py.
     """
     n_cells, nprobe, iters = 16, 4, 5
-    max_fit_rows = 100_000
     if emb is None:
         emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
 
-    # --- driver-side seeded mini k-means over a BOUNDED sample: never
-    # collect the full table (a driver OOM at scale). count() is served
-    # from parquet metadata; sample() prunes at the scan, and the limit
-    # hard-caps what reaches the driver regardless of table size.
-    n_rows = emb.count()
-    fraction = min(1.0, (2.0 * max_fit_rows) / max(n_rows, 1))
-    fit_df = emb.sample(fraction=fraction, seed=_LSH_SEED)
-    sample = np.array([row.v for row in fit_df.limit(max_fit_rows).collect()])
-    rng = np.random.default_rng(_LSH_SEED)
-    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+    from udacity_data_engineer_capstone_spark.operators.embeddings import (
+        lloyd_fit,
+    )
 
-    cent_rows = [(int(c), [float(x) for x in centroids[c]]) for c in range(n_cells)]
+    centroids = lloyd_fit(emb, k=n_cells, iters=iters)
+    cent_rows = [(c, [float(x) for x in centroids[c]]) for c in range(n_cells)]
     cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
 
     dist2 = F.expr(
@@ -315,6 +305,7 @@ def ann_lsh_topk(
 PQ_M = 16       # subspaces (64 dims → 16 × 4-dim subvectors)
 PQ_K = 16       # codes per subspace → 4 bits/subspace, 8 B/vector total
 PQ_SHORTLIST = 100  # ADC shortlist size before exact rerank
+PQ_FIT_BYTES = 64 * 1024 * 1024  # driver budget for the codebook sample
 
 
 def ann_pq_topk(
@@ -326,9 +317,10 @@ def ann_pq_topk(
     256 B float32, a 32× shrink), and query scoring reads only the codes
     plus an M×K lookup table per query.
 
-    - **Codebooks**: per-subspace k-means on a bounded seeded sample
-      (same driver-trivial pattern as ``sim_ann_ivf``; never a full
-      collect).
+    - **Codebooks**: per-subspace k-means on a BYTE-bounded seeded
+      sample (capped at ``PQ_FIT_BYTES`` regardless of embedding
+      width — at 4096 dims the row cap alone would be ~3 GB on the
+      driver; never a full collect).
     - **Encoding**: one Arrow-batched pandas UDF — numpy distance to the
       broadcast codebooks, argmin per subspace. Narrow map, no shuffle.
     - **ADC scoring**: per query, an (M, K) table of subvector dot
@@ -345,11 +337,20 @@ def ann_pq_topk(
         emb = _as_double(load_table_scaled(spark, sf_dir, "embeddings"))
     dim, sub = 64, 64 // PQ_M
 
-    # --- codebook training on a bounded sample (driver-trivial)
+    # --- codebook training on a BYTE-bounded sample: the row cap is
+    # derived from a driver-memory budget so a wider embedding column
+    # shrinks the sample instead of growing the driver (100k rows of
+    # 4096-dim doubles would be ~3 GB; 64-dim stays at 100k rows).
     n_rows = emb.count()
-    fraction = min(1.0, 200_000.0 / max(n_rows, 1))
+    max_fit_rows = min(100_000, max(PQ_K * 64, PQ_FIT_BYTES // (8 * dim)))
+    fraction = min(1.0, (2.0 * max_fit_rows) / max(n_rows, 1))
     sample = np.array(
-        [r.v for r in emb.sample(fraction=fraction, seed=_LSH_SEED).limit(100_000).collect()]
+        [
+            r.v
+            for r in emb.sample(fraction=fraction, seed=_LSH_SEED)
+            .limit(max_fit_rows)
+            .collect()
+        ]
     )
     rng = np.random.default_rng(_LSH_SEED)
     codebooks = np.empty((PQ_M, PQ_K, sub))
