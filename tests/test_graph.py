@@ -83,3 +83,39 @@ def test_pagerank_suppliers_concentrate_rank(spark):
     assert by_side[1]["mean_rank"] > SCALE  # suppliers are hubs
     assert all(r["min_rank"] > 0 for r in stats)
     assert ITERS >= 4  # enough hops for mass to traverse the bipartite graph
+
+
+def test_adjacency_build_shared_across_graph_family(spark):
+    """graph_pagerank and graph_pagerank_personalized (and BFS/k-core/
+    LPA/assortativity) must reuse ONE session-cached adjacency build —
+    the r4 bench showed the pagerank pair paying the identical
+    edge-sized orders⋈lineitem DISTINCT twice (~11 s of a 103 s
+    bench)."""
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _GRAPH_CACHE,
+        _purchase_graph,
+        graph_pagerank_personalized,
+    )
+
+    g1 = _purchase_graph(spark, SF_DIR)
+    g2 = _purchase_graph(spark, SF_DIR)
+    assert g1 is g2  # second call is a dict hit, no rebuild
+    n_entries = len(_GRAPH_CACHE)
+    graph_pagerank(spark, SF_DIR).collect()
+    graph_pagerank_personalized(spark, SF_DIR).collect()
+    assert len(_GRAPH_CACHE) == n_entries  # both queries hit the cache
+
+
+def test_iterative_fixpoint_exit_fires_on_converging_state(spark):
+    """The exact-fixpoint signature probe: identical consecutive states
+    yield identical signatures (exit arms), any change flips them."""
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _state_signature,
+    )
+
+    a = spark.createDataFrame([(1, 10), (2, 20)], "node long, r long")
+    b = spark.createDataFrame([(2, 20), (1, 10)], "node long, r long")
+    c = spark.createDataFrame([(1, 10), (2, 21)], "node long, r long")
+    sa = _state_signature(a, ("node", "r"))
+    assert sa == _state_signature(b, ("node", "r"))  # order-insensitive
+    assert sa != _state_signature(c, ("node", "r"))

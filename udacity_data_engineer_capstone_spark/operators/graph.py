@@ -30,6 +30,8 @@ graph stage; extension surface (SURVEY §6).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,6 +55,94 @@ deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
         FROM bidir GROUP BY s),
 pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM deg)
 """
+
+# ---------------------------------------------------------------------------
+# shared purchase-graph adjacency: built once per (session, sf_dir)
+# ---------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _purchase_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The bipartite purchase graph every iterative operator here walks:
+    distinct (customer, supplier) edges symmetrized, hash-partitioned by
+    source ONCE and localCheckpointed, plus the derived degree table,
+    (s, d, deg) adjacency, and node set. Cached per (application,
+    sf_dir), so graph_pagerank / graph_pagerank_personalized / BFS /
+    k-core / LPA / assortativity share ONE adjacency build instead of
+    each re-running the identical orders⋈lineitem DISTINCT — the only
+    edge-sized shuffle in the family, now paid once per session like a
+    materialized view. At 100 TB this build dominates every individual
+    query's cost; amortizing it across the graph workload is the same
+    move a production graph pipeline makes by staging the edge list."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("s"),
+            (F.col("l_suppkey") * 2 + 1).alias("d"),
+        )
+        .distinct()
+    )
+    bidir = (
+        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        bidir.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    adj = (
+        bidir.join(deg.withColumnRenamed("s", "node"), bidir["s"] == F.col("node"))
+        .select("s", "d", "deg")
+        # hash-partition the static edge list by its join key ONCE: each
+        # Pregel round's join then reuses this distribution instead of
+        # re-exchanging the (big) adjacency — edges stay put, only the
+        # node-sized rank/label vector moves.
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=False)
+    out = {"bidir": bidir, "deg": deg, "adj": adj, "nodes": nodes}
+    _GRAPH_CACHE[key] = out
+    return out
+
+
+def _state_signature(df: DataFrame, cols: tuple[str, ...]) -> tuple[int, int]:
+    """O(1)-width fixpoint probe for iterative state: (row count, XOR
+    fold of 64-bit row hashes). Equal consecutive signatures means the state is
+    unchanged (collision odds ~2^-64 on deterministic data), every
+    remaining round is the identity, and the loop may stop WITHOUT
+    diverging from the fixed-round unrolled oracle. One scalar
+    partial+final aggregate per round over the node-sized (never
+    edge-sized) state — the probe piggybacks on the checkpoint
+    materialization the round performs anyway.
+
+    Measured honesty note (sf0.001–0.1): damped integer PageRank/PPR
+    still move every node's rank at round 6 (deltas shrink ~0.85×/round
+    from a 1e9 base — exact fixpoint needs ~tens of rounds), and
+    synchronous LPA two-colors the bipartite purchase graph into a
+    stable OSCILLATION (labels alternate sides each round, never
+    equal). So at these SFs the early exit is armed but does not fire
+    for those three; it fires where fixpoints exist (BFS frontier
+    exhaustion, k-core peel, and any production graph whose rank lanes
+    quantize to stability before the round cap)."""
+    hashed = df.select(
+        F.xxhash64(*[F.col(c) for c in cols]).alias("h")
+    )
+    r = hashed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(h)").alias("sig"),  # XOR fold: no ANSI overflow
+    ).collect()[0]
+    return (r["n"], r["sig"])
+
 
 _PR_STEP = """
 pr{i} AS (
@@ -81,38 +171,21 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six damped PageRank iterations over the purchase graph in exact
     integer micro-units (see module docstring). The adjacency (src, dst,
-    src-degree) is built once and checkpointed; each round joins it to
-    the rank vector and re-aggregates. Rank mass ≈ conserved (modulo
-    integer truncation), so high-degree suppliers surface with rank ≫
-    SCALE."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    adj = (
-        bidir.join(deg.withColumnRenamed("s", "node"), bidir["s"] == F.col("node"))
-        .select("s", "d", "deg")
-        # hash-partition the static edge list by its join key ONCE: each
-        # round's join then reuses this distribution instead of
-        # re-exchanging the (big) adjacency — the Pregel shape: edges
-        # stay put, only the rank vector moves. The rank vector itself
-        # arrives hash-partitioned on node from the previous round's
-        # groupBy, so the per-round shuffle is the message aggregation
-        # only.
-        .repartition(F.col("s"))
-        .localCheckpoint(eager=False)  # static across rounds: scan once
-    )
-    ranks = deg.select(
+    src-degree) comes from the SESSION-SHARED checkpointed build
+    (:func:`_purchase_graph` — one edge-sized shuffle amortized across
+    the whole graph family); each round joins it to the rank vector,
+    re-aggregates, and probes the exact-fixpoint signature, stopping
+    early when a round changes nothing (parity-safe: remaining oracle
+    rounds would be identity — see :func:`_state_signature` for why
+    that exit is measured NOT to fire at test SFs). Rank mass ≈
+    conserved (modulo integer truncation), so high-degree suppliers
+    surface with rank ≫ SCALE."""
+    g = _purchase_graph(spark, sf_dir)
+    adj = g["adj"]
+    ranks = g["deg"].select(
         F.col("s").alias("node"), F.lit(SCALE).cast("long").alias("r")
     )
+    prev_sig = None
     for _ in range(ITERS):
         ranks = (
             adj.join(ranks, adj["s"] == ranks["node"])
@@ -125,6 +198,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # O(1) lineage per round
         )
+        sig = _state_signature(ranks, ("node", "r"))
+        if sig == prev_sig:
+            break  # exact fixpoint: every remaining round is identity
+        prev_sig = sig
     return ranks.select(F.col("node").alias("node_id"), F.col("r").alias("pr_rank"))
 
 
@@ -391,20 +468,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     peel depth (degeneracy ordering), which on power-law graphs is
     O(log n) in practice; per ADVICE r2 (clustering MAX_ITERS), we FAIL
     LOUDLY if the fixpoint is not reached within the oracle's unroll
-    depth instead of returning a non-fixpoint silently."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    cur = edges.union(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=False)
+    depth instead of returning a non-fixpoint silently. The starting
+    edge list is the session-shared checkpointed build
+    (:func:`_purchase_graph`)."""
+    cur = _purchase_graph(spark, sf_dir)["bidir"]
     n_edges = cur.count()
     for _ in range(_KCORE_MAX_ROUNDS):
         survivors = (
@@ -497,21 +564,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates lineage) and FAILS LOUDLY if the diameter exceeds the
     oracle's unroll depth. Each round is one equi-join + hash aggregate
     on node id — hash-width shuffles; the frontier never leaves the
-    cluster."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = (
-        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .localCheckpoint(eager=False)
-    )
+    cluster. The edge list is the session-shared checkpointed build
+    (:func:`_purchase_graph`)."""
+    bidir = _purchase_graph(spark, sf_dir)["bidir"]
     levels = spark.createDataFrame(
         [(_BFS_SEED, 0)], "node long, lvl long"
     )
@@ -763,28 +818,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round, one equi-join of the static adjacency with
     the label vector and one (node, label) hash aggregate topped by a
     WindowGroupLimit rank — the Pregel message shape, like
-    ``graph_pagerank``. The adjacency is hash-partitioned once and
-    reused every round; labels are node-sized, never edge-sized, on
-    the shuffle.""".replace("{n}", str(_LPA_ITERS))
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = edges.union(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).repartition("s")
-    bidir = bidir.localCheckpoint(eager=True)
-    labels = bidir.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    ``graph_pagerank``. The adjacency comes from the session-shared
+    checkpointed build (:func:`_purchase_graph`); labels are
+    node-sized, never edge-sized, on the shuffle. An exact-fixpoint
+    signature probe exits early if labels stabilize — which on THIS
+    bipartite graph they measurably never do (synchronous LPA
+    two-colors it into a stable oscillation), so the fixed-K contract
+    with the oracle holds.""".replace("{n}", str(_LPA_ITERS))
+    g = _purchase_graph(spark, sf_dir)
+    bidir = g["bidir"]
+    labels = g["nodes"].select("node", F.col("node").alias("label"))
     from pyspark.sql import Window as W
 
+    prev_sig = None
     for _ in range(_LPA_ITERS):
         counted = (
             bidir.join(labels, bidir["s"] == labels["node"])
@@ -799,6 +845,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # O(1) lineage per round: each label frame is node-sized
         labels = labels.localCheckpoint(eager=False)
+        sig = _state_signature(labels, ("node", "label"))
+        if sig == prev_sig:
+            break  # labels stable: remaining rounds are identity
+        prev_sig = sig
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("community")
     )
@@ -944,21 +994,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: degree table joined onto the edge list twice
     (node-sized build sides), one exact int64 moment fold, constant
     output. Headroom: sum(ds*dt) <= m * dmax^2 — int64-safe through
-    ~1e10 edges at dmax 1e4; widen the lane past that."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = edges.union(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
-    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ~1e10 edges at dmax 1e4; widen the lane past that. Edge and degree
+    tables come from the session-shared build (:func:`_purchase_graph`)."""
+    g = _purchase_graph(spark, sf_dir)
+    bidir, deg = g["bidir"], g["deg"]
     gs = deg.withColumnRenamed("s", "node").alias("gs")
     gd = deg.withColumnRenamed("s", "node").alias("gd")
     dd = (
@@ -1059,21 +1098,9 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on node for the join, so one pass serves ALL sources (the
     multi-source trick: k BFS runs share every edge scan). Fixpoint
     loop with scalar count checks and lineage checkpoints; fails
-    loudly past the oracle's unroll depth."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = (
-        edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .localCheckpoint(eager=False)
-    )
+    loudly past the oracle's unroll depth. The edge list is the
+    session-shared checkpointed build (:func:`_purchase_graph`)."""
+    bidir = _purchase_graph(spark, sf_dir)["bidir"]
     levels = spark.createDataFrame(
         [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
     )
@@ -1169,30 +1196,15 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_pagerank`` cannot express. Zero-mass nodes are dropped
     (unreachable from the seeds in 6 damped rounds).
 
-    Scale shape: identical per-round cost to graph_pagerank (static
-    adjacency joined to the node-sized rank vector + hash agg); the
-    seed restriction is a map-side CASE. Exact integer micro-unit
-    lanes, unrolled-CTE oracle."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("s"),
-            (F.col("l_suppkey") * 2 + 1).alias("d"),
-        )
-        .distinct()
-    )
-    bidir = edges.union(
-        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).repartition("s")
-    deg = bidir.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    adj = (
-        bidir.join(deg.withColumnRenamed("s", "node"), bidir["s"] == F.col("node"))
-        .select("s", "d", "deg")
-        .localCheckpoint(eager=True)
-    )
-    nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=True)
+    Scale shape: identical per-round cost to graph_pagerank — and it
+    shares graph_pagerank's ADJACENCY BUILD outright via the
+    session-cached :func:`_purchase_graph` (the r4 bench showed the
+    pair paying the identical edge-sized build twice); the seed
+    restriction is a map-side CASE. Exact integer micro-unit lanes,
+    unrolled-CTE oracle, exact-fixpoint early exit per
+    :func:`_state_signature`."""
+    g = _purchase_graph(spark, sf_dir)
+    adj, nodes = g["adj"], g["nodes"]
     seed_base = (BASE * 2) // len(_PPR_SEEDS)
     in_seeds = F.col("node").isin(*_PPR_SEEDS)
     ranks = nodes.select(
@@ -1201,6 +1213,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("r"),
     )
+    prev_sig = None
     for _ in range(_PPR_ITERS):
         mass = (
             adj.join(ranks.withColumnRenamed("node", "s"), "s")
@@ -1221,6 +1234,10 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+        sig = _state_signature(ranks, ("node", "r"))
+        if sig == prev_sig:
+            break  # exact fixpoint: every remaining round is identity
+        prev_sig = sig
     return ranks.filter(F.col("r") > 0).select(
         F.col("node").alias("node_id"), F.col("r").alias("ppr_rank")
     )
