@@ -53,3 +53,95 @@ def test_running_user_totals_stateful(spark, sf_dir):
         .collect()
     }
     assert finals == truth
+
+
+def test_stateful_crash_recovery_resumes_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Exactly-once across a crash: kill the checkpointed
+    applyInPandasWithState drain mid-stream, restart it from the SAME
+    checkpoint, and prove (a) the first run was genuinely partial and
+    (b) the recovered run's final per-user states equal the batch
+    ground truth — which is only possible if both the source offsets
+    AND the per-user state store survived the restart (lost state
+    would restart every user's count at zero for the remaining
+    files). Sink: ``foreachBatch`` appending update snapshots to
+    parquet — a recovery-capable sink (the memory sink refuses
+    checkpoint restore); its at-least-once batch replays are harmless
+    because the readback takes the per-user MAX snapshot, which is
+    idempotent."""
+    import time
+    import uuid
+
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    src = stage_events_dir(spark, sf_dir)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "updates")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # 8 staged files -> 8 batches
+        .parquet(src)
+    )
+    counted = running_user_totals(stream)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def start():
+        return (
+            counted.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q1 = start()
+        deadline = time.time() + 90
+        while time.time() < deadline and q1.isActive:
+            lp = q1.lastProgress
+            if lp is not None and lp["batchId"] >= 1:
+                break  # a couple of batches committed: crash now
+            time.sleep(0.05)
+        crashed_while_active = q1.isActive
+        q1.stop()
+        q1.awaitTermination(60)
+        assert crashed_while_active, "drain finished before the crash"
+        finals_run1 = {
+            r.user_id: r.n
+            for r in spark.read.parquet(out_dir)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"))
+            .collect()
+        }
+
+        q2 = start()  # SAME checkpoint: must resume, not restart
+        q2.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    truth = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # (a) the crash was mid-stream: run 1 alone undercounts
+    assert finals_run1 != truth
+    # (b) recovered totals (max update snapshot across both runs) are
+    # exact — state and offsets both survived the restart
+    finals = {
+        r.user_id: r.n
+        for r in spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    }
+    assert finals == truth
