@@ -124,3 +124,50 @@ def test_dq_raises_on_empty_input(spark, tmp_path):
     )
     with pytest.raises(DataQualityError):
         i94.run(spark, paths, write=False)
+
+
+def test_cli_entry_runs_full_etl_from_ini_config(spark, tmp_path):
+    """CLI parity with `python etl.py` (readme.md:83): an INI config in
+    the reference's cp.cfg shape drives load→clean→build→DQ→write via
+    i94.main(); the partitioned star schema is re-read and
+    row-counted. The module is also invocable as `python -m ...` (the
+    __main__ hook is exercised subprocess-side via --help so the test
+    doesn't boot a second JVM)."""
+    import subprocess
+    import sys
+
+    base = str(tmp_path)
+    p = i94_fixtures.generate(base)
+    cfg_path = os.path.join(base, "cp.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write(
+            "[PATHS]\n"
+            f"SAS_LABELS_DESCRIPTION_FILE_PATH={p['labels']}\n"
+            f"IMMIGRATION_DATA_PATH={p['immigration']}\n"
+            f"DEMOGRAPHIC_DATA_PATH={p['demographics']}\n"
+            f"OUTPUT_PATH={p['output']}/\n"
+        )
+    assert i94.main([cfg_path]) == 0
+
+    out = p["output"]
+    fact = spark.read.parquet(f"{out}/immigrations")
+    assert 0 < fact.count() < 5000
+    # partitioned layout: partition columns come back from directories
+    assert {"year", "month", "state_code"} <= set(fact.columns)
+    demo = spark.read.parquet(f"{out}/port_demographics")
+    assert demo.count() > 0 and "state_code" in demo.columns
+    for name in ("mode", "visa_type", "state", "country", "port"):
+        assert spark.read.parquet(f"{out}/{name}").count() > 0
+
+    # missing config fails loudly, like a misconfigured reference run
+    with pytest.raises(FileNotFoundError):
+        i94.main([os.path.join(base, "nope.cfg")])
+
+    # the python -m surface exists and parses args
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "udacity_data_engineer_capstone_spark.pipelines.i94", "--help"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0 and "cp.cfg" in r.stdout

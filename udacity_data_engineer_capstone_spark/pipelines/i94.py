@@ -298,3 +298,63 @@ def run(spark: SparkSession, paths: I94Paths, write: bool = True) -> dict[str, D
         "country": countries,
         "port": ports,
     }
+
+
+# ---------------------------------------------------------------------------
+# CLI entry (parity with ``python etl.py`` — readme.md:83, etl.py:269-270)
+# ---------------------------------------------------------------------------
+
+
+def paths_from_config(config_path: str) -> I94Paths:
+    """Read the reference's ``cp.cfg`` INI shape (etl.py:11-17): a
+    ``[PATHS]`` section with SAS_LABELS_DESCRIPTION_FILE_PATH,
+    IMMIGRATION_DATA_PATH, DEMOGRAPHIC_DATA_PATH, OUTPUT_PATH."""
+    import configparser
+
+    cfg = configparser.ConfigParser()
+    if not cfg.read(config_path):
+        raise FileNotFoundError(f"config file not found: {config_path}")
+    return I94Paths(
+        labels=cfg.get("PATHS", "SAS_LABELS_DESCRIPTION_FILE_PATH"),
+        demographics=cfg.get("PATHS", "DEMOGRAPHIC_DATA_PATH"),
+        immigration=cfg.get("PATHS", "IMMIGRATION_DATA_PATH"),
+        output=cfg.get("PATHS", "OUTPUT_PATH").rstrip("/"),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m udacity_data_engineer_capstone_spark.pipelines.i94
+    [cp.cfg]`` ≙ ``python etl.py`` (the reference reads ``cp.cfg`` from
+    the working directory; the config path argument is the one
+    ergonomic addition): INI in → load → clean → star-schema build →
+    raising DQ → 7-table partitioned parquet star schema at
+    OUTPUT_PATH. Exits non-zero on missing config or DQ failure."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m udacity_data_engineer_capstone_spark.pipelines.i94",
+        description=(
+            "Run the i94 ETL: parse the SAS label dictionary, clean the "
+            "demographics CSV and immigration fact, build and write the "
+            "partitioned star schema (CLI parity with the reference's "
+            "`python etl.py`)."
+        ),
+    )
+    parser.add_argument(
+        "config",
+        nargs="?",
+        default="cp.cfg",
+        help="INI config with a [PATHS] section (default: ./cp.cfg)",
+    )
+    args = parser.parse_args(argv)
+    paths = paths_from_config(args.config)
+
+    from udacity_data_engineer_capstone_spark.session import get_spark
+
+    spark = get_spark("i94-etl")
+    run(spark, paths, write=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
