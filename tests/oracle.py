@@ -102,11 +102,30 @@ def _sort_key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
+def assert_no_decimal(name: str, sdf) -> None:
+    """Engine-wide invariant (COVERAGE.md; r2/r3 driver hash-fails):
+    NO registered query may emit a DECIMAL anywhere in its result
+    schema — including nested inside arrays/maps/structs. DECIMAL
+    precision drift (33,4 vs 38,4; HUGEINT promotion) is the one class
+    the driver's type-sensitive value hash punished; exact results ride
+    in BIGINT cents/micros lanes instead."""
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if "decimal" in f.dataType.simpleString().lower()
+    ]
+    assert not bad, (
+        f"{name}: DECIMAL in result schema (driver-hash-unstable) "
+        f"columns={bad}"
+    )
+
+
 def compare(spark, name: str, sf_dir: str) -> None:
     """Assert the Spark query and its oracle agree at ``sf_dir`` —
     column names, result types, row count, and exact values."""
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
+    assert_no_decimal(name, sdf)
     fields = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
     spark_cols = sorted(sdf.columns)
     spark_types = [fields[c] for c in spark_cols]

@@ -24,7 +24,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", NO_ORACLE)
 def test_query_runs(spark, sf_dir, name):
+    from tests.oracle import assert_no_decimal
+
     df = engine.QUERIES[name].fn(spark, sf_dir)
+    assert_no_decimal(name, df)
     assert df.count() >= 0
 
 

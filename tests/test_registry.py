@@ -58,3 +58,29 @@ def test_bench_headline_names_are_registered():
     engine.load_all()
     missing = [n for n in bench.HEADLINE if n not in engine.QUERIES]
     assert not missing, missing
+
+
+def test_no_decimal_invariant_guard(spark):
+    """COVERAGE.md's zero-DECIMAL-output sweep as a pytest invariant:
+    every registered query's result schema is checked by
+    tests.oracle.assert_no_decimal inside the parity gate (all
+    queries, sf0.001 + sf0.01, oracled or not) — so the r2/r3
+    driver-hash-fail class (DECIMAL precision drift / HUGEINT
+    promotion) cannot regress silently. This test pins the guard
+    itself: it must fire on any decimal, including nested ones."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle import assert_no_decimal
+
+    ok = spark.range(1).select(F.lit(1).cast("bigint").alias("x"))
+    assert_no_decimal("ok", ok)
+
+    flat = spark.range(1).select(F.lit(1).cast("decimal(18,4)").alias("d"))
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        assert_no_decimal("flat", flat)
+
+    nested = spark.range(1).select(
+        F.array(F.lit(1).cast("decimal(10,2)")).alias("arr")
+    )
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        assert_no_decimal("nested", nested)

@@ -19,6 +19,32 @@ from udacity_data_engineer_capstone_spark.registry import query
 
 SALT_BUCKETS = 8
 
+
+def salted_equijoin(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_expr,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """The manual salting pattern as a reusable operator: the fact side
+    gets a deterministic salt in [0, buckets); the dim side is
+    replicated buckets× with every salt value; the join key becomes
+    (key, salt), so each hot key's rows spread over ``buckets`` shuffle
+    partitions instead of landing on one straggler. Row-identical to
+    the plain equi-join (the dim replication matches exactly one salt
+    per fact row). ``salt_expr`` must be deterministic per row for
+    reproducible plans; distribution quality is what matters."""
+    f = fact.withColumn("salt", salt_expr.cast("int"))
+    d = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["salt"] == d["salt"])
+    ).drop("salt")
+
+
 _SALTED_ORACLE = """
 SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice,
        l.l_extendedprice * (1 - l.l_discount) AS net_price
@@ -36,17 +62,19 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Salt choice: ``l_linenumber % 8`` is deterministic (keeps the oracle
     exact); production salting uses a uniform random or hash salt —
-    distribution quality matters, determinism doesn't."""
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % SALT_BUCKETS).cast("int")
-    )
-    orders = load_table(spark, sf_dir, "orders").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
-    )
+    distribution quality matters, determinism doesn't. Skew ACTIVATION
+    (the hot key genuinely spreading over ``SALT_BUCKETS`` shuffle
+    partitions on Zipf data, and AQE's skew-split engaging on the
+    unsalted plan) is pinned in tests/test_skew.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
     return (
-        li.join(
+        salted_equijoin(
+            li,
             orders,
-            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+            "l_orderkey",
+            "o_orderkey",
+            F.col("l_linenumber") % SALT_BUCKETS,
         )
         .select(
             "l_orderkey",
