@@ -525,3 +525,30 @@ def test_meta_analysis_heterogeneity_gate_hand_computed(spark):
     row = engine.QUERIES["stat_meta_analysis"].fn(spark, hom).collect()[0]
     assert row.cochran_q_milli == 5000
     assert row.heterogeneous is False
+
+
+def test_chunk_overlap_windows_hand_computed(spark):
+    """50 tokens, size 30 / stride 20 -> chunks at 0 (30 toks), 20 (30
+    toks), 40 (10-token tail); consecutive chunks share exactly 10
+    tokens."""
+    out = tempfile.mkdtemp(prefix="engine_chunk_")
+    words = [f"w{i:02d}" for i in range(50)]
+    rows = [Row(doc_id=1, text=" ".join(words), lang="en", source="a",
+                n_chars=len(" ".join(words)))]
+    spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    import hashlib
+
+    got = {
+        r.chunk_idx: r
+        for r in engine.QUERIES["text_chunk_overlap"].fn(spark, out).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert (got[0].start_tok, got[0].n_toks) == (0, 30)
+    assert (got[1].start_tok, got[1].n_toks) == (20, 30)
+    assert (got[2].start_tok, got[2].n_toks) == (40, 10)
+    exp = lambda lo, hi: hashlib.md5(" ".join(words[lo:hi]).encode()).hexdigest()
+    assert got[0].chunk_md5 == exp(0, 30)
+    assert got[1].chunk_md5 == exp(20, 50)  # shares w20..w29 with chunk 0
+    assert got[2].chunk_md5 == exp(40, 50)  # shares w40..w49 with chunk 1

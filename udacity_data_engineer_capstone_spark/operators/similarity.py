@@ -947,3 +947,119 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END) * 1000000 DIV {_TRUNC_K} AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vector-index CDC maintenance: upserts + tombstones -> live index
+# ---------------------------------------------------------------------------
+
+# Synthetic change feed derived deterministically from the base table:
+# vec_id % 7 == 0 receives an updated vector (the reversed embedding,
+# version 1); vec_id % 11 == 3 receives a delete tombstone (version 2,
+# so a vector that is both updated and deleted resolves to DELETED —
+# the CDC total order). Last-writer-wins by version; tombstones drop.
+_INDEX_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT vec_id, embedding, label,
+         CAST(0 AS BIGINT) AS version, FALSE AS tombstone
+  FROM embeddings
+),
+updates AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding, label,
+         CAST(1 AS BIGINT) AS version, FALSE AS tombstone
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+deletes AS (
+  SELECT vec_id, embedding, label,
+         CAST(2 AS BIGINT) AS version, TRUE AS tombstone
+  FROM embeddings WHERE vec_id % 11 = 3
+),
+log AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+  UNION ALL SELECT * FROM deletes
+),
+live AS (
+  SELECT vec_id, embedding, label, version FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY version DESC) AS rn
+    FROM log
+  ) t WHERE rn = 1 AND NOT tombstone
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS sum_dim0_micro
+FROM live
+GROUP BY label
+"""
+
+
+@query(
+    "sim_index_upsert",
+    oracle=_INDEX_UPSERT_ORACLE,
+    tags=("similarity", "cdc"),
+)
+def sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index CDC maintenance — the operation a production ANN
+    deployment runs continuously: a change feed of embedding UPSERTS
+    and DELETE tombstones folds into the base index last-writer-wins
+    (by change version; a row both updated and deleted resolves to
+    deleted), and only live vectors remain indexable. The per-label
+    rollup checksums the surviving vector content (micro-quantized
+    first coordinate) so the oracle pins WHICH version of each vector
+    survived, not just how many.
+
+    Scale shape: the merge is one id-width shuffle (window by vec_id
+    over base ∪ delta — at 100 TB the delta is log-sized and the
+    window becomes a MERGE INTO / incremental compaction, same
+    semantics); no vector ever moves except grouped by its own id.
+    Downstream re-bucketing (LSH/IVF assignment of changed ids only)
+    is the ``dedup_incremental_minhash`` pattern applied to vectors."""
+    emb = load_table_scaled(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.lit(0).cast("long").alias("version"),
+        F.lit(False).alias("tombstone"),
+    )
+    updates = (
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.reverse("embedding").alias("embedding"),
+            "label",
+            F.lit(1).cast("long").alias("version"),
+            F.lit(False).alias("tombstone"),
+        )
+    )
+    deletes = (
+        emb.filter(F.col("vec_id") % 11 == 3)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.lit(2).cast("long").alias("version"),
+            F.lit(True).alias("tombstone"),
+        )
+    )
+    log = base.unionAll(updates).unionAll(deletes)
+    w = Window.partitionBy("vec_id").orderBy(F.col("version").desc())
+    live = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("tombstone")))
+    )
+    return live.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("sum_dim0_micro"),
+    )

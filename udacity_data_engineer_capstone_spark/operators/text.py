@@ -1364,3 +1364,76 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _PMI_TEMPLATE.format(TOKENS=_PMI_TOKENS_SPARK, MIN_COUNT=_PMI_MIN_COUNT)
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping sliding-window chunking (RAG ingestion)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 30   # tokens per chunk
+_CHUNK_STRIDE = 20  # tokens between chunk starts -> 10-token overlap
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, ' +') AS toks
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_SIZE}, n - start) AS BIGINT) AS n_toks,
+       md5(array_to_string(toks[start + 1 : least(start + {_CHUNK_SIZE}, n)],
+                           ' ')) AS chunk_md5
+FROM s
+"""
+
+
+@query("text_chunk_overlap", oracle=_CHUNK_OVERLAP_ORACLE, tags=("text",))
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG ingestion staple
+    (``udtf_chunk_text`` cuts disjoint chunks; retrieval wants ~33%
+    overlap so no answer span is split across a boundary with no chunk
+    containing it whole): token windows of {size} starting every
+    {stride} tokens, identified by an md5 over the joined window so the
+    oracle pins exact chunk CONTENT, not just counts. The tail chunk
+    may be short (never empty); every consecutive chunk pair shares
+    ``size - stride`` tokens (pinned in test_new_ops_semantics).
+
+    Scale shape: pure per-row array expressions (split → sequence →
+    explode → slice) — a narrow map over the corpus, zero shuffle,
+    whole-stage codegen; output is ~n_tokens/stride rows per doc. The
+    natural downstream is ``emb``-side encoding per chunk_md5 (dedup
+    of shared windows for free).""".replace(
+        "{size}", str(_CHUNK_SIZE)
+    ).replace("{stride}", str(_CHUNK_STRIDE))
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    t = docs.select(
+        "doc_id", F.split("text", " +").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("start"))
+        .cast("long")
+        .alias("n_toks"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(_CHUNK_SIZE)),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )

@@ -1093,3 +1093,138 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     return run_to_memory(joined, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# custom sessionization with EVENT-TIME STATE TIMEOUT
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+_SESSION_WM = "2 hours"
+
+# Sessions closed by a LATER event (gap rule) always emit; each user's
+# final open session emits only when the event-time timeout fires —
+# i.e. when the terminal watermark (max ts - 2h) has passed its
+# (last_ts + 30min) expiry. The oracle encodes exactly that contract.
+_SESSION_TIMEOUT_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, sid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY session_end DESC) AS rn_desc
+  FROM sess
+),
+wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT user_id, session_start, session_end, n_events,
+       CASE WHEN rn_desc > 1 THEN 'gap' ELSE 'timeout' END AS closed_by
+FROM ranked, wm
+WHERE rn_desc > 1
+   OR session_end + INTERVAL {_SESSION_GAP_MIN} MINUTE < wm.w
+"""
+
+
+@query(
+    "stream_session_timeout_state",
+    oracle=_SESSION_TIMEOUT_ORACLE,
+    tags=("streaming", "stateful"),
+)
+def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization through ``applyInPandasWithState`` with an
+    EVENT-TIME STATE TIMEOUT — the state-expiry path none of the other
+    stateful streams exercise: a user's open session lives in state
+    with ``setTimeoutTimestamp(last_ts + 30min)``; a later event inside
+    the gap extends it, a later event beyond the gap closes it
+    ('gap'), and if no event ever comes, the WATERMARK crossing the
+    expiry fires ``hasTimedOut`` and flushes it ('timeout') — which is
+    how a production sessionizer guarantees state is bounded by ACTIVE
+    sessions, not by users-ever-seen. Sessions still open at the
+    terminal watermark stay in state and never emit (the availableNow
+    analogue of append-mode's withheld tail; the oracle encodes it).
+
+    vs ``stream_session_counts``: that uses the built-in
+    ``session_window`` aggregate; this is the escape hatch for session
+    logic the built-in can't express (custom close reasons, per-session
+    payloads), at the same bounded-state guarantee."""
+    src = stage_events_dir(spark, sf_dir)
+    stream = stream_events(spark, src)
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        ts_us.sort()
+        cur = state.get if state.exists else None
+        closed = []
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_us:
+                cur = (cur[0], t, cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        state.update(cur)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.to_datetime(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.to_datetime(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": ["gap"] * len(closed),
+                }
+            )
+
+    sessions = (
+        stream.withWatermark("ts", _SESSION_WM)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long, closed_by string"
+            ),
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(sessions, output_mode="append")
