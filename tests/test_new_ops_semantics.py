@@ -552,3 +552,68 @@ def test_chunk_overlap_windows_hand_computed(spark):
     assert got[0].chunk_md5 == exp(0, 30)
     assert got[1].chunk_md5 == exp(20, 50)  # shares w20..w29 with chunk 0
     assert got[2].chunk_md5 == exp(40, 50)  # shares w40..w49 with chunk 1
+
+
+def test_mmr_rerank_matches_numpy_greedy_and_diversifies(spark):
+    """Replicate the exact integer MMR greedy in numpy over a crafted
+    candidate set containing an exact duplicate pair, assert the engine
+    emits the same 5-pick trace, and that the duplicate of an
+    already-picked vector is NOT selected (diversity engages)."""
+    import math
+
+    import numpy as np
+
+    out = tempfile.mkdtemp(prefix="engine_mmr_")
+    rng = np.random.default_rng(5)
+    vecs = {0: np.array([1.0, 0, 0, 0, 0, 0, 0, 0])}  # the query
+    for i in range(1, 9):
+        v = rng.normal(size=8)
+        v[0] = abs(v[0]) + 1.0  # keep everything on the query's side
+        vecs[i] = v / np.linalg.norm(v)
+    vecs[9] = vecs[1].copy()  # exact duplicate of candidate 1
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+        for i, v in vecs.items()
+    ]
+    spark.createDataFrame(rows, emb_schema).coalesce(1).write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    # numpy replica of the integer greedy (float32 roundtrip like parquet)
+    f32 = {i: np.array(v, dtype=np.float32).astype(np.float64)
+           for i, v in vecs.items()}
+    cos = lambda a, b: float(
+        np.dot(f32[a], f32[b])
+        / (math.sqrt(float(np.dot(f32[a], f32[a])))
+           * math.sqrt(float(np.dot(f32[b], f32[b]))))
+    )
+    rel = {i: math.floor(cos(0, i) * 1_000_000) for i in f32 if i != 0}
+    sim = {
+        (a, b): math.floor(cos(a, b) * 1_000_000)
+        for a in rel for b in rel if a != b
+    }
+    # tie-break: higher rel first, then smaller vec_id
+    picked = [sorted(rel, key=lambda i: (-rel[i], i))[0]]
+    while len(picked) < 5:
+        rest = [i for i in rel if i not in picked]
+        obj = {
+            i: 7 * rel[i] - 3 * max(sim[(i, p)] for p in picked)
+            for i in rest
+        }
+        picked.append(sorted(rest, key=lambda i: (-obj[i], i))[0])
+
+    got = sorted(
+        engine.QUERIES["sim_mmr_rerank"].fn(spark, out).collect(),
+        key=lambda r: r.pick_rank,
+    )
+    assert [r.vec_id for r in got] == picked
+    # the exact duplicate pair (1, 9): once one is picked, the other is
+    # never picked (its diversity penalty is maximal)
+    assert not ({1, 9} <= set(picked))

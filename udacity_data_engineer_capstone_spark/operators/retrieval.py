@@ -645,3 +645,111 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking over the embedding candidates
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA10 = 7   # λ = 0.7 in tenths: obj = 7·rel − 3·max_sim (decimicro)
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def _mmr_sql(dot_qe: str, dot_ab: str, norm: str) -> str:
+    """Unrolled greedy Maximal-Marginal-Relevance selection as CTEs.
+
+    All scores are floor-quantized to micro units BEFORE any
+    comparison, so every argmax is an integer comparison with a vec_id
+    tie-break — the greedy trace is bit-identical across engines. The
+    objective is kept in integer 'deci-micro' lanes: obj = 7·rel_micro
+    − 3·maxsim_micro (λ=0.7 scaled by 10)."""
+    ctes = [
+        f"""cand AS (
+  SELECT vec_id, v, rel_micro FROM (
+    SELECT e.vec_id, e.v,
+           CAST(floor({dot_qe} / ({norm.format(s='q')} * {norm.format(s='e')})
+                      * 1000000) AS BIGINT) AS rel_micro
+    FROM emb e CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) s ORDER BY rel_micro DESC, vec_id LIMIT {_MMR_CAND}
+)""",
+        f"""pair AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(floor({dot_ab} / ({norm.format(s='a')} * {norm.format(s='b')})
+                    * 1000000) AS BIGINT) AS sim_micro
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+)""",
+        f"""s1 AS (
+  SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id, rel_micro,
+         CAST(10 * rel_micro AS BIGINT) AS obj_decimicro
+  FROM cand ORDER BY rel_micro DESC, vec_id LIMIT 1
+)""",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = f"s{i - 1}"
+        sel_union = " UNION ALL ".join(
+            f"SELECT pick_rank, vec_id, rel_micro, obj_decimicro FROM s{j}"
+            for j in range(1, i)
+        )
+        ctes.append(f"sel{i - 1} AS ({sel_union})")
+        ctes.append(
+            f"""s{i} AS (
+  SELECT CAST({i} AS BIGINT) AS pick_rank, vec_id, rel_micro, obj_decimicro
+  FROM (
+    SELECT c.vec_id, c.rel_micro,
+           CAST({_MMR_LAMBDA10} * c.rel_micro
+                - {10 - _MMR_LAMBDA10} * MAX(p.sim_micro) AS BIGINT)
+             AS obj_decimicro
+    FROM cand c
+    JOIN pair p ON p.a_id = c.vec_id
+               AND p.b_id IN (SELECT vec_id FROM sel{i - 1})
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    GROUP BY c.vec_id, c.rel_micro
+  ) t ORDER BY obj_decimicro DESC, vec_id LIMIT 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{final}"
+
+
+_MMR_DUCK = (
+    "WITH emb AS (SELECT vec_id, list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    + _mmr_sql(
+        "list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i]))",
+        "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))",
+        "sqrt(list_sum(list_transform({s}.v, x -> x * x)))",
+    )[5:]  # drop the leading "WITH " — emb is prepended
+)
+
+_MMR_SPARK = (
+    "WITH emb AS (SELECT vec_id, transform(embedding,"
+    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    + _mmr_sql(
+        "aggregate(zip_with(q.v, e.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)",
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)",
+        "sqrt(aggregate(transform({s}.v, x -> x * x), 0D, (acc, x) -> acc + x))",
+    )[5:]
+)
+
+
+@query("sim_mmr_rerank", oracle=_MMR_DUCK, tags=("similarity", "retrieval"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversified top-k every RAG retriever runs after ANN:
+    from the query's top-20 cosine candidates, greedily pick 5
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ=0.7), so near-duplicate passages don't crowd out coverage. The
+    greedy trace is exact: scores quantize to integer micro-units
+    before every argmax, ties break on vec_id, and the oracle unrolls
+    the identical 5 rounds.
+
+    Scale shape: candidate generation is the ANN/brute-force stage
+    (here the top-20 window); the greedy runs on the CANDIDATE set
+    only — k·|cand| integer comparisons over a 20-row frame, trivially
+    driver-free as CTEs. The corpus-sized work never changes."""
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_MMR_SPARK)
