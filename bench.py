@@ -111,6 +111,12 @@ HEADLINE = [
     "ts_cross_correlation",       # lagged lead-lag Pearson (7 lags)
     "src_file_pruning_stats",     # real relayout + zone-map audit
     "cdc_incremental_agg",        # snapshot+delta partial-agg merge
+    # round-5 wave: RAG chunking + rerank, index maintenance,
+    # timeout-state sessionization
+    "text_chunk_overlap",         # overlapping sliding-window chunking
+    "sim_mmr_rerank",             # integer-exact MMR diversity rerank
+    "sim_index_upsert",           # vector-index CDC merge + tombstones
+    "stream_session_timeout_state",  # event-time-timeout sessionizer
 ]
 
 
