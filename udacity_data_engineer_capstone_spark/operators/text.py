@@ -1437,3 +1437,67 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix vs the labeled corpus
+# ---------------------------------------------------------------------------
+
+_LANGID_EVAL_ORACLE = f"""
+WITH pred AS ({_LANGID_ORACLE}),
+conf AS (
+  SELECT d.lang AS lang_true, p.lang_pred,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.lang_pred
+)
+SELECT lang_true, lang_pred, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang_true) AS BIGINT)
+         AS recall_ppm,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+         AS precision_ppm
+FROM conf
+"""
+
+
+@query("text_langid_eval", oracle=_LANGID_EVAL_ORACLE, tags=("text", "eval"))
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a first-class pipeline stage: the
+    ``text_langid`` heuristic scored against the corpus's labeled
+    ``lang`` column — full confusion matrix with per-cell recall (n /
+    true-class total) and precision (n / predicted-class total) in
+    exact integer ppm. A curation pipeline ships the filter AND its
+    measured quality; the diagonal of this matrix is the number a
+    reviewer signs off on before the filter gates terabytes.
+
+    Scale shape: the predictor is the same narrow map as text_langid;
+    the eval adds one (true, pred) hash aggregate (≤ |langs|² rows)
+    and two class-keyed windows over that tiny frame."""
+    register_views(spark, sf_dir, ("documents",))
+    pred = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    conf = (
+        docs.join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_true = Window.partitionBy("lang_true")
+    w_pred = Window.partitionBy("lang_pred")
+    return conf.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+    ).select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        (F.col("_num") / F.sum("n").over(w_true))
+        .cast("long")
+        .alias("recall_ppm"),
+        (F.col("_num") / F.sum("n").over(w_pred))
+        .cast("long")
+        .alias("precision_ppm"),
+    )

@@ -806,3 +806,63 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevents ('ab','c') / ('a','bc') collisions."""
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_SURROGATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# as-of join with a staleness tolerance
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MIN = 15
+
+_ASOF_TOL_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN last_click_ts >= ts - INTERVAL {_ASOF_TOL_MIN} MINUTE
+            THEN last_click_ts END AS fresh_click_ts,
+       last_click_ts IS NOT NULL
+         AND last_click_ts < ts - INTERVAL {_ASOF_TOL_MIN} MINUTE AS stale
+FROM tagged
+WHERE event_type = 'purchase'
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with BOUNDED STALENESS (pandas ``merge_asof``'s
+    ``tolerance``, kdb's windowed aj): the most recent prior click only
+    counts if it falls within 15 minutes of the purchase — older
+    matches surface as NULL plus a ``stale`` flag, which is how
+    feature-serving joins distinguish 'no signal' from 'signal too old
+    to use' (training-serving skew guard). Same running-max window
+    shape as ``join_asof_event`` (one user-keyed shuffle, never a
+    range self-join); the tolerance is a map-side CASE after it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tol = F.expr(f"INTERVAL {_ASOF_TOL_MIN} MINUTE")
+    tagged = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(
+            F.col("last_click_ts") >= F.col("ts") - tol, F.col("last_click_ts")
+        ).alias("fresh_click_ts"),
+        (
+            F.col("last_click_ts").isNotNull()
+            & (F.col("last_click_ts") < F.col("ts") - tol)
+        ).alias("stale"),
+    )

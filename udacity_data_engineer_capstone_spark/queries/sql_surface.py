@@ -1184,3 +1184,66 @@ def fn_semver_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     + a ranking window over the (tiny) distinct-version table."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SEMVER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# collation-aware comparison (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+# Case-mangled nation names: even keys uppercase, odd keys lowercase —
+# binary equality against the lowered dim finds only the odd half,
+# case-insensitive collation finds all 25.
+_COLLATION_ORACLE = """
+WITH mangled AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+              ELSE lower(n_name) END AS name_raw
+  FROM nation
+),
+dim AS (SELECT n_nationkey AS k, lower(n_name) AS name_lc FROM nation)
+SELECT
+  CAST((SELECT COUNT(*) FROM mangled m JOIN dim d
+        ON m.name_raw = d.name_lc) AS BIGINT) AS n_binary_matches,
+  CAST((SELECT COUNT(*) FROM mangled m JOIN dim d
+        ON m.name_raw COLLATE NOCASE = d.name_lc COLLATE NOCASE) AS BIGINT)
+    AS n_ci_matches,
+  CAST((SELECT COUNT(DISTINCT name_raw COLLATE NOCASE) FROM mangled)
+       AS BIGINT) AS n_ci_distinct
+"""
+
+
+@query("sql_collation_ci", oracle=_COLLATION_ORACLE, tags=("sql", "function"))
+def sql_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware string semantics — Spark 4's ``COLLATE
+    'UNICODE_CI'`` ≙ DuckDB's ``COLLATE NOCASE``: the same join and
+    DISTINCT that miss half the case-mangled keys under binary
+    comparison find all of them under a case-insensitive collation,
+    WITHOUT rewriting every predicate through lower() (which would
+    break index/stats use on a real engine and loses locale rules like
+    the Turkish I that lower() mishandles). Counts: 13 binary matches
+    (the lowercased half + none of the uppercase), 25 CI matches, 25
+    CI-distinct names.
+
+    Scale shape: collation is a comparator property — joins stay
+    equi-joins (hash on the collation key), no expression wrapping, no
+    pushdown loss."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """
+WITH mangled AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+              ELSE lower(n_name) END AS name_raw
+  FROM nation
+),
+dim AS (SELECT n_nationkey AS k, lower(n_name) AS name_lc FROM nation)
+SELECT
+  CAST((SELECT COUNT(*) FROM mangled m JOIN dim d
+        ON m.name_raw = d.name_lc) AS BIGINT) AS n_binary_matches,
+  CAST((SELECT COUNT(*) FROM mangled m JOIN dim d
+        ON collate(m.name_raw, 'UNICODE_CI')
+           = collate(d.name_lc, 'UNICODE_CI')) AS BIGINT) AS n_ci_matches,
+  CAST((SELECT COUNT(DISTINCT collate(name_raw, 'UNICODE_CI'))
+        FROM mangled) AS BIGINT) AS n_ci_distinct
+"""
+    )

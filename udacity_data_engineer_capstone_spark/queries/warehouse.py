@@ -1271,3 +1271,66 @@ def snk_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "action string, n_files bigint, rows_affected bigint,"
         " live_snapshot_intact boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# in-flight pipeline metrics via the Observation API
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+         AS n_null_price
+FROM orders
+"""
+
+
+@query("act_observe_metrics", oracle=_OBSERVE_ORACLE, tags=("action", "quality"))
+def act_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline metrics via Spark's ``Observation`` API — DQ counters
+    collected AS A SIDE EFFECT of the job the pipeline already runs,
+    with zero extra scans: the observed aggregates ride the existing
+    action (here a write-shaped count over the orders scan), and the
+    driver reads back a single metrics row. This is how a production
+    job gets rowcount/null-rate/sum-control totals without doubling its
+    I/O the way a separate DQ query would — the mechanism behind
+    act_count_dq's 'count once, not twice' fix of the reference's
+    double-compute defect (etl.py:252-257).
+
+    Scale shape: observed metrics are accumulator-style map-side
+    partials merged on the driver — constant size, no extra shuffle,
+    no second scan (the one collect is the 1-row metrics read)."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1))
+        .cast("long")
+        .alias("n_null_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_finished"],
+                m["sum_cents"],
+                m["n_null_price"],
+            )
+        ],
+        "n_rows long, n_finished long, sum_cents long, n_null_price long",
+    )
