@@ -977,3 +977,56 @@ def test_drift_centroids_join_is_equi(spark, sf_dir):
     text = plan_text(df)
     assert "CartesianProduct" not in text, text
     assert "BroadcastNestedLoopJoin" not in text, text
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """text_chunk_overlap must be a pure narrow map: split → sequence →
+    explode → slice with NO Exchange anywhere — the overlapping-window
+    chunker runs at scan parallelism over 100 TB or it's wrong."""
+    df = Q["text_chunk_overlap"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "Exchange" not in text, text
+    assert "BatchScan" in text or "Scan parquet" in text or "FileScan" in text
+
+
+def test_index_upsert_single_id_width_merge(spark, sf_dir):
+    """sim_index_upsert: the last-writer-wins merge is ONE window keyed
+    by vec_id — no cartesian, no join; the only exchanges are the
+    vec_id hash for the window and the label hash for the rollup."""
+    df = Q["sim_index_upsert"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
+    assert "hashpartitioning(vec_id" in text, text
+    assert "Window" in text
+
+
+def test_mmr_candidates_before_greedy(spark, sf_dir):
+    """sim_mmr_rerank: the corpus-sized stage is candidate scoring —
+    materialized ONCE (checkpointed view), never nested-looped against
+    itself (its only corpus-sized join partner is the 1-row query
+    vector); the pairwise stage must read the 20-row checkpoint, not
+    re-derive the corpus scan. The greedy is driver-side over the
+    candidate-sized integers, so the returned frame is local."""
+    from udacity_data_engineer_capstone_spark.operators.retrieval import (
+        _MMR_SPARK_CAND,
+        _MMR_SPARK_PAIR,
+    )
+
+    df = Q["sim_mmr_rerank"].fn(spark, sf_dir)  # registers mmr_cand_m
+    assert df.count() == 5
+    cand_text = plan_text(spark.sql(_MMR_SPARK_CAND))
+    assert "CartesianProduct" not in cand_text
+    pair_text = plan_text(spark.sql(_MMR_SPARK_PAIR))
+    # pairwise reads the materialized checkpoint, not the parquet scan
+    assert "Scan ExistingRDD" in pair_text
+    assert "Scan parquet" not in pair_text and "BatchScan" not in pair_text
+
+
+def test_langid_eval_no_second_corpus_scan_shape(spark, sf_dir):
+    """text_langid_eval: prediction is a narrow map; the eval adds one
+    (true, pred) hash aggregate and windows over the tiny confusion
+    frame — no cartesian, no corpus-sized window."""
+    df = Q["text_langid_eval"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text
+    assert "Window" in text and "hashpartitioning(lang_" in text

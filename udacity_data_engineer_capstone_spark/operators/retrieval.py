@@ -656,8 +656,21 @@ _MMR_CAND = 20
 _MMR_K = 5
 
 
-def _mmr_sql(dot_qe: str, dot_ab: str, norm: str) -> str:
-    """Unrolled greedy Maximal-Marginal-Relevance selection as CTEs.
+def _mmr_cand_sql(dot_qe: str, norm: str) -> str:
+    """Candidate CTE body: corpus-sized top-CAND cosine scoring."""
+    return f"""
+  SELECT vec_id, v, rel_micro FROM (
+    SELECT e.vec_id, e.v,
+           CAST(floor({dot_qe} / ({norm.format(s='q')} * {norm.format(s='e')})
+                      * 1000000) AS BIGINT) AS rel_micro
+    FROM emb e CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) s ORDER BY rel_micro DESC, vec_id LIMIT {_MMR_CAND}"""
+
+
+def _mmr_greedy_sql(dot_ab: str, norm: str) -> str:
+    """Unrolled greedy Maximal-Marginal-Relevance selection as CTEs
+    (expects a ``cand`` CTE in scope).
 
     All scores are floor-quantized to micro units BEFORE any
     comparison, so every argmax is an integer comparison with a vec_id
@@ -665,15 +678,6 @@ def _mmr_sql(dot_qe: str, dot_ab: str, norm: str) -> str:
     objective is kept in integer 'deci-micro' lanes: obj = 7·rel_micro
     − 3·maxsim_micro (λ=0.7 scaled by 10)."""
     ctes = [
-        f"""cand AS (
-  SELECT vec_id, v, rel_micro FROM (
-    SELECT e.vec_id, e.v,
-           CAST(floor({dot_qe} / ({norm.format(s='q')} * {norm.format(s='e')})
-                      * 1000000) AS BIGINT) AS rel_micro
-    FROM emb e CROSS JOIN (SELECT v FROM emb WHERE vec_id = 0) q
-    WHERE e.vec_id <> 0
-  ) s ORDER BY rel_micro DESC, vec_id LIMIT {_MMR_CAND}
-)""",
         f"""pair AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          CAST(floor({dot_ab} / ({norm.format(s='a')} * {norm.format(s='b')})
@@ -687,7 +691,6 @@ def _mmr_sql(dot_qe: str, dot_ab: str, norm: str) -> str:
 )""",
     ]
     for i in range(2, _MMR_K + 1):
-        prev = f"s{i - 1}"
         sel_union = " UNION ALL ".join(
             f"SELECT pick_rank, vec_id, rel_micro, obj_decimicro FROM s{j}"
             for j in range(1, i)
@@ -712,27 +715,41 @@ def _mmr_sql(dot_qe: str, dot_ab: str, norm: str) -> str:
     final = " UNION ALL ".join(
         f"SELECT * FROM s{j}" for j in range(1, _MMR_K + 1)
     )
-    return "WITH " + ",\n".join(ctes) + f"\n{final}"
+    return ",\n".join(ctes) + f"\n{final}"
 
 
 _MMR_DUCK = (
     "WITH emb AS (SELECT vec_id, list_transform(embedding,"
-    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
-    + _mmr_sql(
+    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\ncand AS ("
+    + _mmr_cand_sql(
         "list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i]))",
+        "sqrt(list_sum(list_transform({s}.v, x -> x * x)))",
+    )
+    + "),\n"
+    + _mmr_greedy_sql(
         "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))",
         "sqrt(list_sum(list_transform({s}.v, x -> x * x)))",
-    )[5:]  # drop the leading "WITH " — emb is prepended
+    )
 )
 
-_MMR_SPARK = (
+_MMR_SPARK_CAND = (
     "WITH emb AS (SELECT vec_id, transform(embedding,"
-    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
-    + _mmr_sql(
+    " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)\n"
+    + _mmr_cand_sql(
         "aggregate(zip_with(q.v, e.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)",
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)",
         "sqrt(aggregate(transform({s}.v, x -> x * x), 0D, (acc, x) -> acc + x))",
-    )[5:]
+    )
+)
+
+_MMR_SPARK_PAIR = (
+    "WITH cand AS (SELECT * FROM mmr_cand_m) "
+    "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+    "CAST(floor(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,"
+    " (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x))"
+    " * sqrt(aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x)))"
+    " * 1000000) AS BIGINT) AS sim_micro "
+    "FROM cand a JOIN cand b ON a.vec_id <> b.vec_id"
 )
 
 
@@ -749,7 +766,40 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidate generation is the ANN/brute-force stage
     (here the top-20 window); the greedy runs on the CANDIDATE set
-    only — k·|cand| integer comparisons over a 20-row frame, trivially
-    driver-free as CTEs. The corpus-sized work never changes."""
+    only. The corpus-sized work (candidate scoring) is distributed and
+    materialized ONCE (Spark inlines CTEs — the unrolled-SQL spelling
+    re-ran the corpus scan per greedy round, 14.1 s at sf0.1); the
+    pairwise candidate similarities are one more Spark job over the
+    20-row frame (exact same quantized expressions as the oracle); the
+    greedy itself then runs driver-side over ≤ |cand| ids and
+    |cand|² integer sims — SERVING-LAYER-sized by construction (the
+    rerank of a top-k always is), a bounded collect like the PQ lookup
+    tables. Pure integer argmax with vec_id tie-breaks reproduces the
+    oracle's unrolled trace bit-for-bit."""
     register_views(spark, sf_dir, ("embeddings",))
-    return spark.sql(_MMR_SPARK)
+    cand = spark.sql(_MMR_SPARK_CAND).localCheckpoint()
+    cand.createOrReplaceTempView("mmr_cand_m")
+    rel = {
+        r["vec_id"]: r["rel_micro"]
+        for r in cand.select("vec_id", "rel_micro").collect()
+    }
+    sim = {
+        (r["a_id"], r["b_id"]): r["sim_micro"]
+        for r in spark.sql(_MMR_SPARK_PAIR).collect()
+    }
+    first = sorted(rel, key=lambda i: (-rel[i], i))[0]
+    out = [(1, first, rel[first], 10 * rel[first])]
+    picked = [first]
+    for k in range(2, _MMR_K + 1):
+        rest = [i for i in rel if i not in picked]
+        obj = {
+            i: _MMR_LAMBDA10 * rel[i]
+            - (10 - _MMR_LAMBDA10) * max(sim[(i, p)] for p in picked)
+            for i in rest
+        }
+        pick = sorted(rest, key=lambda i: (-obj[i], i))[0]
+        out.append((k, pick, rel[pick], obj[pick]))
+        picked.append(pick)
+    return spark.createDataFrame(
+        out, "pick_rank long, vec_id long, rel_micro long, obj_decimicro long"
+    )

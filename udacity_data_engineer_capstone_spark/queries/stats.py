@@ -2776,3 +2776,151 @@ def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliability table is always 10 rows no matter the corpus."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_CALIB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: nonparametric paired before/after test
+# ---------------------------------------------------------------------------
+
+# Pairs: each user's event count in the first vs second half of the
+# observed span (split at the median epoch day — percentile_disc is
+# exact in both engines). Zero differences drop (standard Wilcoxon);
+# tied |d| get AVERAGE ranks, carried exactly as rank×2 integers
+# (2·RANK + ties − 1). W⁺, W⁻ are exact integer x2 lanes; the normal
+# approximation z (with tie correction) is quantized to milli.
+_WILCOXON_SQL = """
+WITH med AS (
+  SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+              (ORDER BY CAST(ts AS DATE)) AS DATE) AS md
+  FROM events
+),
+pairs AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) <= md THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >  md THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM events CROSS JOIN med GROUP BY user_id, md
+),
+d AS (
+  SELECT user_id, n2 - n1 AS diff, abs(n2 - n1) AS absd
+  FROM pairs WHERE n2 <> n1
+),
+ranked AS (
+  SELECT user_id, diff, absd,
+         CAST(2 * RANK() OVER (ORDER BY absd)
+              + COUNT(*) OVER (PARTITION BY absd) - 1 AS BIGINT) AS ar_x2,
+         CAST(COUNT(*) OVER (PARTITION BY absd) AS BIGINT) AS tie_n
+  FROM d
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN diff > 0 THEN ar_x2 ELSE 0 END) AS BIGINT)
+           AS w_plus_x2,
+         CAST(SUM(CASE WHEN diff < 0 THEN ar_x2 ELSE 0 END) AS BIGINT)
+           AS w_minus_x2
+  FROM ranked
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie_term
+  FROM (SELECT absd, CAST(COUNT(*) AS BIGINT) AS t
+        FROM d GROUP BY absd) g
+  WHERE t > 1
+)
+SELECT a.n AS n_pairs, a.w_plus_x2, a.w_minus_x2,
+       CAST(FLOOR(
+         (CAST(a.w_plus_x2 AS DOUBLE) / 2 - CAST(a.n AS DOUBLE) * (a.n + 1) / 4)
+         / SQRT(CAST(a.n AS DOUBLE) * (a.n + 1) * (2 * a.n + 1) / 24
+                - CAST(t.tie_term AS DOUBLE) / 48)
+         * 1000) AS BIGINT) AS z_milli
+FROM agg a CROSS JOIN ties t
+"""
+
+
+@query("stat_wilcoxon_signed_rank", oracle=_WILCOXON_SQL, tags=("stats",))
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user activity (first vs
+    second half of the observed span): the NONPARAMETRIC complement to
+    ``stat_paired_ttest`` — rank-based, so one whale user changing by
+    10,000 events cannot swamp the verdict the way it swamps a mean.
+    Zero diffs drop, tied |d| take exact average ranks (integer ×2
+    lanes), and the tie-corrected normal z is milli-quantized.
+
+    Scale shape: one user-keyed aggregate (partial+final), then the
+    rank window over the |pairs|-sized diff table — user-count rows,
+    corpus never re-scanned. The median-day split is a 1-row scalar
+    broadcast."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_WILCOXON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe: robust homogeneity-of-variance across groups
+# ---------------------------------------------------------------------------
+
+# z_ij = |cents_ij − group-median cents| (exact integers: percentile_disc
+# on integer cents); the F statistic folds from exact integer moments
+# (Σz, Σz², n per group) in IEEE-exact double expressions, milli-quantized.
+_LEVENE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+gm AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+           AS med
+  FROM v GROUP BY event_type
+),
+z AS (
+  SELECT v.event_type, abs(v.cents - gm.med) AS zv
+  FROM v JOIN gm ON gm.event_type = v.event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(zv) AS BIGINT) AS s,
+         CAST(SUM(zv * zv) AS BIGINT) AS q
+  FROM z GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS ss
+  FROM g
+),
+parts AS (
+  SELECT t.k, t.nn,
+         SUM(CAST(g.n AS DOUBLE)
+             * (CAST(g.s AS DOUBLE) / g.n - CAST(t.ss AS DOUBLE) / t.nn)
+             * (CAST(g.s AS DOUBLE) / g.n - CAST(t.ss AS DOUBLE) / t.nn))
+           AS between_ss,
+         SUM(CAST(g.q AS DOUBLE)
+             - CAST(g.s AS DOUBLE) * g.s / g.n) AS within_ss
+  FROM g CROSS JOIN tot t GROUP BY t.k, t.nn
+)
+SELECT k AS n_groups, nn AS n_total,
+       CAST(FLOOR(between_ss / (k - 1) / (within_ss / (nn - k)) * 1000)
+            AS BIGINT) AS f_milli,
+       between_ss / (k - 1) / (within_ss / (nn - k))
+         > 1.0 + 4.0 / SQRT(CAST(nn AS DOUBLE)) AS heteroscedastic
+FROM parts
+"""
+
+
+@query("stat_brown_forsythe", oracle=_LEVENE_SQL, tags=("stats",))
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with MEDIAN centers): are the event
+    types' value spreads actually comparable? — the gate before any
+    pooled-variance analysis (ANOVA, t-tests) on heterogeneous
+    segments, robust to the heavy tails that break classic Levene.
+    Deviations are exact integers (|cents − group median|), the F
+    statistic folds from exact moments, and the verdict uses a
+    rough large-sample gate (F > 1 + 4/√N).
+
+    Scale shape: one grouped exact median (per-group sort at test SFs;
+    at 100 TB swap percentile_disc for the t-digest approx — the
+    moment fold is unchanged), one grouped moment aggregate, constant
+    output."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_LEVENE_SQL)

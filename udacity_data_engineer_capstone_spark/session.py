@@ -27,6 +27,14 @@ def get_spark(app_name: str = "udacity_data_engineer_capstone_spark") -> SparkSe
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
     )
+    # Parity with the reference's enableHiveSupport() (etl.py:228),
+    # opt-in: this engine uses temp views and needs no metastore, but a
+    # deployment with an existing Hive catalog can turn it on without
+    # code changes (SPARK_GRAFT_HIVE=1 → derby/remote metastore per
+    # spark-defaults). Off by default so tests never create a
+    # metastore_db directory.
+    if os.environ.get("SPARK_GRAFT_HIVE"):
+        builder = builder.enableHiveSupport()
     return configure(builder).getOrCreate()
 
 
