@@ -2788,19 +2788,22 @@ def stat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tied |d| get AVERAGE ranks, carried exactly as rank×2 integers
 # (2·RANK + ties − 1). W⁺, W⁻ are exact integer x2 lanes; the normal
 # approximation z (with tie correction) is quantized to milli.
-_WILCOXON_SQL = """
-WITH med AS (
-  SELECT CAST(percentile_disc(0.5) WITHIN GROUP
-              (ORDER BY CAST(ts AS DATE)) AS DATE) AS md
-  FROM events
+_WILCOXON_TEMPLATE = """
+WITH d0 AS (
+  SELECT user_id, {EPOCH_DAY} AS day_n FROM events
+),
+med AS (
+  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY day_n)
+              AS BIGINT) AS md
+  FROM d0
 ),
 pairs AS (
   SELECT user_id,
-         CAST(SUM(CASE WHEN CAST(ts AS DATE) <= md THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN day_n <= md THEN 1 ELSE 0 END)
               AS BIGINT) AS n1,
-         CAST(SUM(CASE WHEN CAST(ts AS DATE) >  md THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN day_n >  md THEN 1 ELSE 0 END)
               AS BIGINT) AS n2
-  FROM events CROSS JOIN med GROUP BY user_id, md
+  FROM d0 CROSS JOIN med GROUP BY user_id, md
 ),
 d AS (
   SELECT user_id, n2 - n1 AS diff, abs(n2 - n1) AS absd
@@ -2836,8 +2839,16 @@ SELECT a.n AS n_pairs, a.w_plus_x2, a.w_minus_x2,
 FROM agg a CROSS JOIN ties t
 """
 
+_WILCOXON_ORACLE = _WILCOXON_TEMPLATE.format(
+    EPOCH_DAY="CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+    " AS BIGINT)"
+)
+_WILCOXON_SPARK = _WILCOXON_TEMPLATE.format(
+    EPOCH_DAY="CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+)
 
-@query("stat_wilcoxon_signed_rank", oracle=_WILCOXON_SQL, tags=("stats",))
+
+@query("stat_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE, tags=("stats",))
 def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilcoxon signed-rank test on paired per-user activity (first vs
     second half of the observed span): the NONPARAMETRIC complement to
@@ -2851,7 +2862,7 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never re-scanned. The median-day split is a 1-row scalar
     broadcast."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_WILCOXON_SQL)
+    return spark.sql(_WILCOXON_SPARK)
 
 
 # ---------------------------------------------------------------------------
