@@ -1334,3 +1334,75 @@ def act_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_finished long, sum_cents long, n_null_price long",
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity trio)
+# ---------------------------------------------------------------------------
+
+# QI = (nation, balance band); sensitive attribute = market segment.
+# Distance between a cell's segment distribution and the global one is
+# total variation distance (the categorical EMD): TVD = ½·Σ|p_cell −
+# p_global| — computed in EXACT integer lanes: p_cell − p_global =
+# (n_cs·N − N_s·n_c)/(n_c·N), so Σ|numerator| is an exact BIGINT and
+# one final integer division yields ppm (numerator ≤ 2·n_c·N ≈ 4.5e8
+# at sf0.1; ×1e6 stays far inside int64).
+_T_CLOSE_T_PPM = 300_000  # t = 0.3
+
+_T_CLOSE_TEMPLATE = """
+WITH cell AS (
+  SELECT c_nationkey AS nation,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_cs
+  FROM customer GROUP BY 1, 2, 3
+),
+cell_tot AS (
+  SELECT nation, bal_band, CAST(SUM(n_cs) AS BIGINT) AS n_c
+  FROM cell GROUP BY 1, 2
+),
+gseg AS (
+  SELECT segment, CAST(SUM(n_cs) AS BIGINT) AS n_s FROM cell GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM gseg),
+expanded AS (
+  SELECT ct.nation, ct.bal_band, ct.n_c, g.segment, g.n_s, t.n
+  FROM cell_tot ct CROSS JOIN gseg g CROSS JOIN tot t
+),
+dist AS (
+  SELECT e.nation, e.bal_band, e.n_c, e.n,
+         CAST(SUM(abs(COALESCE(c.n_cs, 0) * e.n - e.n_s * e.n_c))
+              AS BIGINT) AS absnum
+  FROM expanded e
+  LEFT JOIN cell c
+    ON c.nation = e.nation AND c.bal_band = e.bal_band
+   AND c.segment = e.segment
+  GROUP BY e.nation, e.bal_band, e.n_c, e.n
+)
+SELECT nation, bal_band, n_c AS cell_size,
+       CAST(absnum * 1000000 {IDIV} (2 * n_c * n) AS BIGINT) AS tvd_ppm
+FROM dist
+WHERE absnum * 1000000 {IDIV} (2 * n_c * n) > {T}
+"""
+
+
+@query(
+    "curate_t_closeness",
+    oracle=_T_CLOSE_TEMPLATE.format(IDIV="//", T=_T_CLOSE_T_PPM),
+    tags=("curation", "privacy"),
+)
+def curate_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-privacy trio
+    (``curate_k_anonymity``: cells big enough; ``curate_l_diversity``:
+    enough distinct sensitive values; here: the cell's sensitive
+    DISTRIBUTION must stay within t of the global one, or the cell
+    leaks via skew even when k and l pass — the classic 'everyone in
+    this small town is in the BUILDING segment' disclosure). Distance
+    is total variation (categorical EMD) in exact integer ppm lanes;
+    cells beyond t = 0.3 emit for suppression/generalization.
+
+    Scale shape: two hash aggregates (cell, global) + a
+    segments-×-cells expansion joined back at QI width — the expansion
+    factor is |sensitive domain| (5), not data size."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_T_CLOSE_TEMPLATE.format(IDIV="DIV", T=_T_CLOSE_T_PPM))
