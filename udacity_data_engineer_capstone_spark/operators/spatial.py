@@ -195,3 +195,204 @@ def fn_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _POINTS_CTE carries DuckDB's MATERIALIZED hint; Spark's parser
     # doesn't take it (and Spark has no equivalent inline hint to need)
     return spark.sql(_geohash_sql("DIV").replace("AS MATERIALIZED (", "AS ("))
+
+
+# ---------------------------------------------------------------------------
+# grid-accelerated DBSCAN (density clustering without a cartesian pass)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 30_000   # eps: 3% of the span — sparse at sf0.001, mixed
+_DBSCAN_MINPTS = 8     # |N_eps(p)| including p itself
+
+_DBSCAN_ORACLE = f"""
+WITH RECURSIVE {_POINTS_CTE.strip()},
+pairs AS MATERIALIZED (
+  SELECT a.user_id AS a_id, b.user_id AS b_id
+  FROM points a JOIN points b ON a.user_id < b.user_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+nbr AS MATERIALIZED (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM nbr GROUP BY u),
+core AS MATERIALIZED (
+  SELECT u FROM deg WHERE n + 1 >= {_DBSCAN_MINPTS}
+),
+cedges AS MATERIALIZED (
+  SELECT n.u AS s, n.v AS d
+  FROM nbr n
+  JOIN core c1 ON c1.u = n.u
+  JOIN core c2 ON c2.u = n.v
+),
+reach(src, dst) AS (
+  SELECT s, d FROM cedges
+  UNION
+  SELECT r.src, e.d
+  FROM reach r JOIN cedges e ON r.dst = e.s
+  WHERE e.d <> r.src
+),
+core_label AS MATERIALIZED (
+  SELECT c.u, LEAST(c.u, COALESCE(MIN(r.dst), c.u)) AS cluster
+  FROM core c LEFT JOIN reach r ON r.src = c.u
+  GROUP BY c.u
+),
+border AS (
+  SELECT n.u, CAST(MIN(cl.cluster) AS BIGINT) AS cluster
+  FROM nbr n
+  JOIN core_label cl ON cl.u = n.v
+  WHERE n.u NOT IN (SELECT u FROM core)
+  GROUP BY n.u
+)
+SELECT p.user_id,
+       CASE WHEN cl.u IS NOT NULL THEN 'core'
+            WHEN b.u IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.cluster, b.cluster) AS BIGINT) AS cluster
+FROM points p
+LEFT JOIN core_label cl ON cl.u = p.user_id
+LEFT JOIN border b ON b.u = p.user_id
+"""
+
+
+@query("spatial_dbscan_grid", oracle=_DBSCAN_ORACLE, tags=("spatial", "iterative"))
+def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the deterministic point cloud, grid-accelerated:
+    eps-neighbor pairs come from the COMPLETE 3×3 cell bucketing (the
+    ``join_spatial_grid`` construction at eps cell size — geometric,
+    not probabilistic), core points have ≥ minPts neighbors including
+    self, clusters are connected components of the core-core graph
+    (large-star/small-star rounds — O(log n), deep-chain safe), and
+    border points take the MINIMUM adjacent core cluster (plain DBSCAN
+    is insertion-order-dependent there; min is the deterministic
+    refinement both engines share). Everything integer: coordinates,
+    distances, labels.
+
+    Scale shape: pair generation shuffles 9 narrow rows per point;
+    degree/core are one hash aggregate; the CC runs on the CORE
+    subgraph only; border assignment is one more equi-join. Nothing is
+    quadratic except per-cell local density — the same bound as the
+    radius join. The oracle brute-forces pairs and closes the core
+    graph with a recursive CTE."""
+    from udacity_data_engineer_capstone_spark.operators.clustering import (
+        star_components,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                ((F.col("user_id") * _MULT_X) % 2147483647)
+                * ((F.col("user_id") * _MULT_X) % 2147483647)
+                % _SPAN
+            ).alias("x"),
+            (
+                ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                * ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                % _SPAN
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cell = lambda c: F.expr(f"{c} DIV {_DBSCAN_EPS}")  # noqa: E731
+    a = (
+        pts.select(
+            F.col("user_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            cell("x").alias("cx"),
+            cell("y").alias("cy"),
+        )
+        .withColumn("dx", F.expr("explode(sequence(-1, 1))"))
+        .withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = pts.select(
+        F.col("user_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(d2 <= _DBSCAN_EPS * _DBSCAN_EPS)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    nbr = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionAll(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.where(F.col("n") + 1 >= _DBSCAN_MINPTS).select("u")
+    core = core.localCheckpoint(eager=False)
+    cedges = (
+        nbr.join(core, "u", "left_semi")
+        .join(core.withColumnRenamed("u", "v"), "v", "left_semi")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("a_id"), F.col("v").alias("b_id"))
+    )
+    labels, _rounds = star_components(cedges)
+    core_label = (
+        core.join(labels, core["u"] == labels["u"], "left")
+        .select(
+            core["u"],
+            F.coalesce(labels["label"], core["u"]).cast("long").alias("cluster"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    border = (
+        nbr.join(core, "u", "left_anti")  # non-core side
+        .join(
+            core_label.select(
+                F.col("u").alias("v"), F.col("cluster").alias("vc")
+            ),
+            "v",
+        )
+        .groupBy("u")
+        .agg(F.min("vc").cast("long").alias("cluster"))
+    )
+    return (
+        pts.select("user_id")
+        .join(
+            core_label.select(
+                F.col("u").alias("user_id"),
+                F.col("cluster").alias("core_cluster"),
+            ),
+            "user_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("u").alias("user_id"),
+                F.col("cluster").alias("border_cluster"),
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cluster", "border_cluster")
+            .cast("long")
+            .alias("cluster"),
+        )
+    )

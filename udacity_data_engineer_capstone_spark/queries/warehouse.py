@@ -1406,3 +1406,72 @@ def curate_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor is |sensitive domain| (5), not data size."""
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_T_CLOSE_TEMPLATE.format(IDIV="DIV", T=_T_CLOSE_T_PPM))
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance for a JOIN view (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+# The join-IVM identity for insert-only deltas:
+#   (A0 ∪ dA) ⋈ (B0 ∪ dB) = (A0⋈B0) ∪ (dA⋈B0) ∪ (A0⋈dB) ∪ (dA⋈dB)
+# The engine materializes A0⋈B0 once (the standing view) and refreshes
+# with the three DELTA-sized join terms — at 100 TB the refresh cost is
+# |delta|·fanout, never |snapshot|². Deltas: late-arriving orders
+# (o_orderkey % 10 = 0) and newly-onboarded customers
+# (c_custkey % 7 = 0); the aggregate over the maintained view must
+# equal the full-recompute oracle.
+_IVM_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("cdc_incremental_join", oracle=_IVM_JOIN_ORACLE, tags=("cdc", "join"))
+def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the other half of IVM
+    (``cdc_incremental_agg`` merges aggregate partials; materialized
+    JOIN views refresh via the delta-join algebra): with insert-only
+    deltas dA (late orders) and dB (new customers), the maintained
+    view is the standing A0⋈B0 plus three DELTA-sized join terms
+    dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB. The standing term is localCheckpointed —
+    the refresh provably never re-joins snapshot against snapshot —
+    and every delta term broadcasts its delta side. The rollup over
+    the maintained view hash-matches the full-recompute oracle.
+
+    Scale shape: refresh cost is |delta| × join fanout; the snapshot's
+    raw rows are touched only by the delta probes (and at 100 TB those
+    probes prune by join-key partition/bucket)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    da = orders.filter(F.col("o_orderkey") % 10 == 0)
+    b0 = customer.filter(F.col("c_custkey") % 7 != 0)
+    db = customer.filter(F.col("c_custkey") % 7 == 0)
+
+    def j(a, b, broadcast_side=None):
+        if broadcast_side is not None:
+            b = F.broadcast(b) if broadcast_side == "b" else b
+            a = F.broadcast(a) if broadcast_side == "a" else a
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "c_mktsegment", "o_totalprice"
+        )
+
+    standing = j(a0, b0).localCheckpoint(eager=False)  # the materialized view
+    refreshed = (
+        standing
+        .unionAll(j(da, b0, broadcast_side="a"))   # delta orders probe B0
+        .unionAll(j(a0, db, broadcast_side="b"))   # delta customers probe A0
+        .unionAll(j(da, db, broadcast_side="b"))   # delta × delta
+    )
+    return refreshed.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
