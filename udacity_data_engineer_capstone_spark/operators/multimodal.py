@@ -854,3 +854,96 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, frame_idx long, l1 long, is_cut boolean"
     return media.mapInPandas(_cuts, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# media↔caption pairing audit (LAION-style pair integrity)
+# ---------------------------------------------------------------------------
+
+# Deterministic corruption pattern: media row missing for doc_id%7=3,
+# caption row missing for doc_id%5=0, caption carries a WRONG checksum
+# for doc_id%11=5 — the three failure modes a paired image-text corpus
+# audit must separate before training (a mismatched pair poisons
+# contrastive training worse than a missing one).
+_PAIR_AUDIT_ORACLE = """
+WITH media AS (
+  SELECT doc_id, source, md5(text) AS media_md5
+  FROM documents WHERE doc_id % 7 <> 3
+),
+caption AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 5 THEN md5('corrupt' || text)
+              ELSE md5(text) END AS ref_md5
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(m.source, c.source) AS source,
+       CAST(SUM(CASE WHEN m.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+                      AND m.media_md5 = c.ref_md5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_paired_ok,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_caption,
+       CAST(SUM(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_media,
+       CAST(SUM(CASE WHEN m.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+                      AND m.media_md5 <> c.ref_md5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_checksum_mismatch
+FROM media m FULL OUTER JOIN caption c ON c.doc_id = m.doc_id
+GROUP BY COALESCE(m.source, c.source)
+"""
+
+
+@query("mm_caption_pair_audit", oracle=_PAIR_AUDIT_ORACLE, tags=("multimodal", "quality"))
+def mm_caption_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-corpus integrity audit — the gate a multimodal
+    (image↔caption) dataset passes before contrastive training:
+    full-outer join media against captions on the pair key, verify the
+    caption's recorded media checksum against the actual payload md5,
+    and report the three failure modes separately (missing caption,
+    missing media, checksum mismatch — the last is the silent poison).
+    Corruptions are planted deterministically so both engines agree on
+    every count.
+
+    Scale shape: one id-width full-outer join (both sides shuffled by
+    the pair key) + a source-keyed rollup; payload checksums are
+    map-side md5 over the binary column, never a Python roundtrip."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("m_id"),
+        F.col("source").alias("m_source"),
+        F.md5(F.encode("text", "utf-8")).alias("media_md5"),
+    )
+    captions = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("source").alias("c_source"),
+        F.when(
+            F.col("doc_id") % 11 == 5,
+            F.md5(F.concat(F.lit("corrupt"), F.col("text"))),
+        )
+        .otherwise(F.md5(F.encode("text", "utf-8")))
+        .alias("ref_md5"),
+    )
+    joined = media.join(
+        captions, media["m_id"] == captions["c_id"], "full_outer"
+    )
+    ok = (
+        F.col("m_id").isNotNull()
+        & F.col("c_id").isNotNull()
+        & (F.col("media_md5") == F.col("ref_md5"))
+    )
+    mismatch = (
+        F.col("m_id").isNotNull()
+        & F.col("c_id").isNotNull()
+        & (F.col("media_md5") != F.col("ref_md5"))
+    )
+    return joined.groupBy(
+        F.coalesce("m_source", "c_source").alias("source")
+    ).agg(
+        F.sum(ok.cast("int")).cast("long").alias("n_paired_ok"),
+        F.sum(F.col("c_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_missing_caption"),
+        F.sum(F.col("m_id").isNull().cast("int"))
+        .cast("long")
+        .alias("n_missing_media"),
+        F.sum(mismatch.cast("int")).cast("long").alias("n_checksum_mismatch"),
+    )

@@ -1452,3 +1452,61 @@ def src_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("status") >= 500, 1).otherwise(0)).cast("long")
         .alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# file-metadata columns (_metadata) on a multi-file scan
+# ---------------------------------------------------------------------------
+
+_FILE_META_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS every_row_has_file
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@query("src_file_metadata", oracle=_FILE_META_ORACLE, tags=("source",))
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file columns on a parquet scan — row
+    provenance (which physical file produced each row, its size and
+    mtime) with ZERO storage cost, the primitive behind file-level
+    lineage, incremental reprocessing ('rows from files newer than X'),
+    and corrupt-file quarantine. A 4-shard staged write is read back
+    with ``_metadata.file_name``; the audit proves every row carries a
+    file, the distinct-file count equals the staged layout, and the
+    content checksum survives the round-trip.
+
+    Scale shape: metadata columns are populated by the reader per
+    split — no join, no extra I/O; the rollup is one hash aggregate."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_filemeta_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    if not os.path.exists(d):
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    back = spark.read.parquet(d).select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return back.agg(
+        F.countDistinct("file_name").cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        (F.sum(F.col("file_name").isNull().cast("int")) == 0).alias(
+            "every_row_has_file"
+        ),
+    )

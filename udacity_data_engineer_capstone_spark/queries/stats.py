@@ -2935,3 +2935,53 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     output."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_LEVENE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# overdispersion check: are daily counts Poisson, or do they cluster?
+# ---------------------------------------------------------------------------
+
+# Dispersion index D = s²/x̄ of per-day event counts for each type;
+# under Poisson D ≈ 1 with (n−1)·D ~ χ²(n−1), so the gate is
+# D > 1 + 2·sqrt(2/(n−1)) (the ~2σ cut). Counts are exact integers →
+# moments exact; one division + one sqrt, milli-quantized.
+_OVERDISP_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS q
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, s AS n_events,
+       CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000) AS BIGINT) AS mean_milli,
+       CAST(FLOOR(
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+         / (CAST(s AS DOUBLE) / n) * 1000) AS BIGINT) AS dispersion_milli,
+       (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+         / (CAST(s AS DOUBLE) / n)
+         > 1.0 + 2.0 * SQRT(2.0 / (n - 1)) AS overdispersed
+FROM m
+WHERE n > 1 AND s > 0
+"""
+
+
+@query("stat_overdispersion", oracle=_OVERDISP_SQL, tags=("stats",))
+def stat_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check on daily event counts per type:
+    dispersion index D = variance/mean with the ~2σ χ² gate — the
+    one-number answer to 'can I model these counts as Poisson, or do
+    they burst?' (overdispersed ⇒ negative-binomial / quasi-likelihood
+    models, and wider alert thresholds in ``evt_anomaly_zscore``-style
+    monitors; the per-user twin of this verdict is
+    ``evt_burstiness_fano``'s Fano factor).
+
+    Scale shape: one daily rollup + one per-type moment fold — both
+    map-side combinable; output is type-count rows."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_OVERDISP_SQL)
