@@ -617,3 +617,32 @@ def test_mmr_rerank_matches_numpy_greedy_and_diversifies(spark):
     # the exact duplicate pair (1, 9): once one is picked, the other is
     # never picked (its diversity penalty is maximal)
     assert not ({1, 9} <= set(picked))
+
+
+def test_dp_release_noise_is_two_sided(spark):
+    """40 cells all holding exactly 7 documents: released counts must
+    scatter BOTH below and above the true count (the r5 first-draft
+    expression collapsed to always-positive noise — a shared-SQL bug
+    oracle parity cannot see), and the mean absolute perturbation must
+    be Laplace(1)-sized, not zero and not huge."""
+    out = tempfile.mkdtemp(prefix="engine_dp_")
+    rows = []
+    did = 0
+    for s in range(8):
+        for lg in ("en", "de", "fr", "es", "zh"):
+            for _ in range(7):
+                did += 1
+                rows.append(
+                    Row(doc_id=did, text="x", lang=lg, source=f"s{s}",
+                        n_chars=1)
+                )
+    spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    got = engine.QUERIES["curate_dp_count_release"].fn(spark, out).collect()
+    assert len(got) == 40
+    released = [r.released_n for r in got]
+    assert any(v < 7 for v in released), "no downward noise — one-sided bug"
+    assert any(v > 7 for v in released), "no upward noise — one-sided bug"
+    mean_abs = sum(abs(v - 7) for v in released) / len(released)
+    assert 0.2 < mean_abs < 4.0  # E|Laplace(1)| = 1, rounded/clamped

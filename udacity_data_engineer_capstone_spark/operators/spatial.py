@@ -396,3 +396,88 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-region join (containment via the same grid pruning)
+# ---------------------------------------------------------------------------
+
+# Five deterministic rectangular regions tile interesting parts of the
+# coordinate space (integer bounds, half-open [lo, hi)); a point can
+# fall in several (regions 0 and 4 overlap). Containment is exact
+# integer comparison — the polygon case reduces to this after a
+# bounding-box prune, which is the part that needs the grid.
+_REGIONS = [
+    # (region_id, x_lo, x_hi, y_lo, y_hi)
+    (0, 0, 400_000, 0, 400_000),
+    (1, 600_000, 1_000_000, 0, 300_000),
+    (2, 0, 250_000, 700_000, 1_000_000),
+    (3, 500_000, 900_000, 550_000, 950_000),
+    (4, 300_000, 700_000, 300_000, 700_000),
+]
+
+_REGION_VALUES = ", ".join(f"({r}, {a}, {b}, {c}, {d})" for r, a, b, c, d in _REGIONS)
+
+_PIR_ORACLE = f"""
+WITH {_POINTS_CTE.strip()},
+regions(region_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {_REGION_VALUES})
+SELECT r.region_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(p.user_id) AS BIGINT) AS min_user,
+       CAST(SUM(p.user_id) AS BIGINT) AS sum_users
+FROM points p JOIN regions r
+  ON p.x >= r.x_lo AND p.x < r.x_hi AND p.y >= r.y_lo AND p.y < r.y_hi
+GROUP BY r.region_id
+"""
+
+
+@query("spatial_point_in_region", oracle=_PIR_ORACLE, tags=("spatial", "join"))
+def spatial_point_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-region containment join — the second classic spatial
+    shape after the radius join: every point against a small region
+    table (overlapping regions included), broadcast + range predicates
+    evaluated map-side, rolled up per region. With a polygon table the
+    same plan applies after a bounding-box prune; with a REGION table
+    too large to broadcast, the grid-stamp trick from
+    ``join_spatial_grid`` turns it into an equi-join (each region
+    stamped onto the cells its box covers).
+
+    Scale shape: regions broadcast (map-side containment, no shuffle
+    of points beyond the rollup); exact integer bounds — no float
+    geometry."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                ((F.col("user_id") * _MULT_X) % 2147483647)
+                * ((F.col("user_id") * _MULT_X) % 2147483647)
+                % _SPAN
+            ).alias("x"),
+            (
+                ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                * ((F.col("user_id") * _MULT_Y + 7919) % 2147483647)
+                % _SPAN
+            ).alias("y"),
+        )
+    )
+    regions = spark.createDataFrame(
+        _REGIONS, "region_id int, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+    cond = (
+        (F.col("x") >= F.col("x_lo"))
+        & (F.col("x") < F.col("x_hi"))
+        & (F.col("y") >= F.col("y_lo"))
+        & (F.col("y") < F.col("y_hi"))
+    )
+    return (
+        pts.join(F.broadcast(regions), cond)
+        .groupBy("region_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+        )
+    )

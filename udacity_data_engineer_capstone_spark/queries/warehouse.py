@@ -1475,3 +1475,82 @@ def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# differential-privacy count release (Laplace mechanism, seeded)
+# ---------------------------------------------------------------------------
+
+# Per-(source, lang) document counts released with Laplace(1/ε) noise,
+# ε = 1, sensitivity 1 (one document affects one cell count by 1).
+# The noise draw u ∈ (0,1) comes from the first 12 hex digits of
+# md5(cell ‖ salt) — DETERMINISTIC here so both engines (and reruns)
+# agree exactly; a production release draws the seed from a CSPRNG and
+# keeps it secret (a public seed voids the privacy guarantee — this
+# query demonstrates the MECHANISM: inverse-CDF Laplace, post-hoc
+# clamp, no true count in the output).
+
+
+def _dp_u48(hexpos: str, h: str) -> str:
+    terms = " + ".join(
+        f"CAST({hexpos}('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12)
+    )
+    return f"(CAST({terms} AS DOUBLE) + 0.5) / 281474976710656.0"
+
+
+def _dp_sql(hexpos: str, concat_md5: str) -> str:
+    u = _dp_u48(hexpos, "h")
+    return f"""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+seeded AS (
+  SELECT source, lang, n, {concat_md5} AS h FROM cells
+),
+noised AS (
+  SELECT source, lang, n, {u} AS u FROM seeded
+)
+SELECT source, lang,
+       CAST(GREATEST(
+         n + CAST(FLOOR(
+           (CASE WHEN u < 0.5 THEN LN(2.0 * u)
+                 ELSE -LN(2.0 * (1.0 - u)) END)
+           + 0.5) AS BIGINT),
+         0) AS BIGINT) AS released_n,
+       CAST(1000 AS BIGINT) AS epsilon_milli
+FROM noised
+"""
+
+
+# Standard Laplace inverse CDF at b = 1/eps = 1: u < 0.5 -> ln(2u)
+# (negative tail), u >= 0.5 -> -ln(2(1-u)) (positive tail);
+# floor(x+0.5) is the tie-deterministic rounding. The 0.5/2^48 offset
+# in u keeps both branches away from ln(0).
+_DP_ORACLE = _dp_sql(
+    "strpos", "md5(source || '|' || lang || '|dp-v1')"
+)
+_DP_SPARK = _dp_sql(
+    "instr", "md5(concat(source, '|', lang, '|dp-v1'))"
+)
+
+
+@query("curate_dp_count_release", oracle=_DP_ORACLE, tags=("curation", "privacy"))
+def curate_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    ε = 1, sensitivity 1) for the per-(source, lang) corpus histogram —
+    the fourth privacy surface beside k-anonymity / l-diversity /
+    t-closeness: instead of suppressing risky cells, EVERY released
+    count carries calibrated noise, so no cell's true value is
+    disclosed (small-count cells — exactly the k-anonymity violators —
+    get proportionally the most cover). Inverse-CDF Laplace from a
+    48-bit md5-seeded uniform, floor(x+0.5) rounding, zero clamp
+    (valid post-processing). Deterministic seed = test fixture; a real
+    release keeps the seed secret (see module comment).
+
+    Scale shape: one hash aggregate + a per-cell scalar expression —
+    the noise costs nothing at any scale."""
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_DP_SPARK)
