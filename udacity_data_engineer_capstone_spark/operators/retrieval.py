@@ -514,13 +514,25 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ord_global_topk`` pattern) before fusing."""
     bm = text_bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
     docs = load_table_scaled(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    # substring prefilter before the explode: docs with no query term
+    # contribute nothing to tf/df, and the rlike is a map-side gate the
+    # scan evaluates without materializing the token stream (the r5
+    # bench showed three corpus-sized explode scans here)
+    pat = "|".join(_BM25_TERMS)
+    qdocs = docs.filter(F.lower(F.col("text")).rlike(pat))
+    qtoks = (
+        qdocs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .localCheckpoint(eager=False)  # tf AND df read it: one explode
     )
-    qtoks = tokens.filter(F.col("term").isin(*_BM25_TERMS))
     tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = tokens.select(F.countDistinct("doc_id").alias("n"))
+    # |tokens-bearing docs| == |documents| (split of any string yields
+    # >= 1 token), so the corpus-wide token DISTINCT degenerates to a
+    # metadata-served row count
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
     ti = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))

@@ -590,3 +590,98 @@ def pipe_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums of squared cents hold to ~1e5-cent users × 1e8 rows."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_READOUT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus ingest: dedupe a new shard against the standing corpus
+# ---------------------------------------------------------------------------
+
+# New shard = doc_id % 9 == 0 (pretend late-arriving crawl batch);
+# standing corpus = the rest. Admission rules, in order:
+#   1. exact-dup against the CORPUS (md5 of text) -> rejected_dup
+#   2. exact-dup within the shard itself (keep min doc_id) -> rejected_dup
+#   3. quality floor n_chars >= 64                       -> rejected_quality
+# The per-source admission report is what an ingest dashboard shows per
+# crawl batch.
+_INC_INGEST_ORACLE = """
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id % 9 <> 0
+),
+shard AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h
+  FROM documents WHERE doc_id % 9 = 0
+),
+dedup_in_shard AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM shard
+),
+classified AS (
+  SELECT s.doc_id, s.source,
+         CASE WHEN c.h IS NOT NULL THEN 'rejected_dup'
+              WHEN s.rn > 1 THEN 'rejected_dup'
+              WHEN s.n_chars < 64 THEN 'rejected_quality'
+              ELSE 'ingested' END AS outcome
+  FROM dedup_in_shard s
+  LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON c.h = s.h
+)
+SELECT source,
+       CAST(SUM(CASE WHEN outcome = 'ingested' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ingested,
+       CAST(SUM(CASE WHEN outcome = 'rejected_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected_dup,
+       CAST(SUM(CASE WHEN outcome = 'rejected_quality' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rejected_quality
+FROM classified
+GROUP BY source
+"""
+
+
+@query("pipe_incremental_ingest", oracle=_INC_INGEST_ORACLE, tags=("pipeline", "dedup"))
+def pipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest — the nightly-crawl admission pipeline:
+    a new shard is deduplicated against the STANDING corpus (hash
+    anti-join: only md5 hashes shuffle, never text), then within
+    itself (min-doc-id representative), then quality-gated, and the
+    per-source admission report (ingested / dup / low-quality) is what
+    the batch review reads. The amortized-production sibling of
+    ``dedup_incremental_minhash`` for the exact-dup tier — at 100 TB
+    the corpus side is a pre-materialized hash index (or the
+    ``join_bloom_prefilter`` filter) rather than a rescan.
+
+    Scale shape: corpus-side work is one projection to (hash) — at
+    hash width, map-side combinable; the join keys are 32-char md5s;
+    the shard-internal window is shard-sized."""
+    docs = register_views(spark, sf_dir, ("documents",))["documents"]
+    corpus_h = (
+        docs.filter(F.col("doc_id") % 9 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    shard = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    in_shard = shard.withColumn("rn", F.row_number().over(w))
+    classified = in_shard.join(
+        corpus_h.withColumnRenamed("h", "ch"),
+        in_shard["h"] == F.col("ch"),
+        "left",
+    ).select(
+        "source",
+        F.when(F.col("ch").isNotNull(), F.lit("rejected_dup"))
+        .when(F.col("rn") > 1, F.lit("rejected_dup"))
+        .when(F.col("n_chars") < 64, F.lit("rejected_quality"))
+        .otherwise(F.lit("ingested"))
+        .alias("outcome"),
+    )
+    return classified.groupBy("source").agg(
+        F.sum((F.col("outcome") == "ingested").cast("int"))
+        .cast("long")
+        .alias("n_ingested"),
+        F.sum((F.col("outcome") == "rejected_dup").cast("int"))
+        .cast("long")
+        .alias("n_rejected_dup"),
+        F.sum((F.col("outcome") == "rejected_quality").cast("int"))
+        .cast("long")
+        .alias("n_rejected_quality"),
+    )
