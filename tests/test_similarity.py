@@ -55,3 +55,22 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     assert len(exact & pq) / len(exact) >= 0.8
     got2 = ann_pq_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+
+
+def test_binary_hamming_beats_random_baseline(spark, sf_dir):
+    """Sign-bit Hamming top-10 must retrieve a meaningfully better set
+    than chance: overlap with the exact cosine top-10 well above the
+    random baseline (10/n ~ 0.5%), though below the float ANN tiers —
+    it is the coarse pass, not the final ranking."""
+    import udacity_data_engineer_capstone_spark as engine
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    ham = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.QUERIES["sim_binary_hamming"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & ham) / len(exact)
+    assert recall >= 0.2, f"binary recall {recall} not above chance"

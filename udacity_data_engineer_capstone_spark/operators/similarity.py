@@ -1099,3 +1099,90 @@ def sim_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_dim0_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (binary) quantization + Hamming retrieval
+# ---------------------------------------------------------------------------
+
+_BQ_TOPK = 10
+
+
+def _bq_pack_duck(lo: int, hi: int) -> str:
+    return (
+        f"list_sum(list_transform(range({lo + 1}, {hi + 1}), i ->"
+        f" CASE WHEN embedding[i] >= 0"
+        f" THEN (CAST(1 AS BIGINT) << CAST(i - {lo + 1} AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def _bq_pack_spark(lo: int, hi: int) -> str:
+    return (
+        f"aggregate(transform(sequence({lo}, {hi - 1}), i ->"
+        f" CASE WHEN element_at(embedding, CAST(i + 1 AS INT)) >= 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), CAST(i - {lo} AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+_BQ_INNER = """
+WITH packed AS (
+  SELECT vec_id, {PACK_LO} AS w0, {PACK_HI} AS w1
+  FROM embeddings
+)
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       CAST(bit_count({XOR0}) + bit_count({XOR1}) AS BIGINT) AS hamming
+FROM packed q JOIN packed e ON e.vec_id <> q.vec_id
+WHERE q.vec_id < {NQ}
+"""
+
+_BQ_ORACLE = (
+    _BQ_INNER.format(
+        PACK_LO=_bq_pack_duck(0, 32),
+        PACK_HI=_bq_pack_duck(32, 64),
+        XOR0="xor(q.w0, e.w0)",
+        XOR1="xor(q.w1, e.w1)",
+        NQ=N_QUERIES,
+    )
+    + f"""QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY hamming, e.vec_id) <= {_BQ_TOPK}
+"""
+)
+
+_BQ_SPARK = (
+    "SELECT query_id, neighbor_id, hamming FROM (\n"
+    "SELECT query_id, neighbor_id, hamming,\n"
+    "       row_number() OVER (PARTITION BY query_id\n"
+    "                          ORDER BY hamming, neighbor_id) AS rn\n"
+    "FROM (\n"
+    + _BQ_INNER.format(
+        PACK_LO=_bq_pack_spark(0, 32),
+        PACK_HI=_bq_pack_spark(32, 64),
+        XOR0="(q.w0 ^ e.w0)",
+        XOR1="(q.w1 ^ e.w1)",
+        NQ=N_QUERIES,
+    )
+    + f") t ) w WHERE rn <= {_BQ_TOPK}"
+)
+
+
+@query("sim_binary_hamming", oracle=_BQ_ORACLE, tags=("similarity", "sketch"))
+def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding quantization + Hamming top-k — the cheapest
+    retrieval tier: each 64-dim vector collapses to its sign bits in
+    TWO int64 words (32×/16× smaller than float32/int8), and distance
+    is two XOR+popcounts — the shape behind binary-embedding serving
+    (and the coarse pass ahead of int8/float rerank). Sign-bit Hamming
+    is a monotone proxy for angular distance (Goemans–Williamson:
+    P[sign flip] = θ/π per random direction); retrieval quality vs the
+    exact baseline is property-tested, exact values oracle-checked.
+
+    Scale shape: packing is one codegen'd array fold (narrow map); the
+    5-query probe broadcasts; the per-query top-k is a
+    WindowGroupLimit. Words-per-vector grows as dims/64 — the same
+    plan at 4096 dims carries 64 words."""
+    from udacity_data_engineer_capstone_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    return spark.sql(_BQ_SPARK)
