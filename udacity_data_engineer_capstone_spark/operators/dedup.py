@@ -1095,3 +1095,50 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup index pre-flight: bucket-size profile of the SimHash index
+# ---------------------------------------------------------------------------
+
+_INDEX_STATS_ORACLE = f"""
+WITH fp AS ({_SIMHASH_ORACLE}),
+b AS (
+  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY simhash
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+         AS est_candidate_pairs
+FROM b
+"""
+
+
+@query("dedup_index_stats", oracle=_INDEX_STATS_ORACLE, tags=("dedup", "stats"))
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index pre-flight — ``stat_join_skew_diag`` for the
+    fingerprint equi-join: bucket-count / max-bucket / singleton /
+    Σ n·(n−1)/2 profile of the SimHash index BEFORE running the
+    candidate join, because the verify stage's cost is exactly the
+    candidate-pair count and one megabucket (all-empty docs, a
+    boilerplate fingerprint) turns a linear join quadratic. A sane
+    deployment gates the dedup job on this report and reroutes
+    megabuckets to salting or exact-hash pre-splitting.
+
+    Scale shape: the fingerprint map is the ``dedup_simhash`` narrow
+    pass; the profile is one hash aggregate at bucket width plus a
+    constant-width fold."""
+    fp = dedup_simhash(spark, sf_dir)
+    b = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+    return b.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum((F.col("n") == 1).cast("int")).cast("long").alias("n_singletons"),
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("est_candidate_pairs"),
+    )
