@@ -592,3 +592,76 @@ def agg_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer the same query unchanged (the sketch property)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_HIST_PCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# quantile serving from the mergeable log2 histogram
+# ---------------------------------------------------------------------------
+
+# The read side of ``agg_latency_histogram``: p50/p95/p99 BRACKETS from
+# cumulative bucket counts — rank thresholds via integer
+# cross-multiplication (cum·100 ≥ p·total), no division anywhere, so
+# the answer is exact given the histogram (value-exactness is bounded
+# by the bucket's log2 width, the HdrHistogram contract).
+_HISTQ_TEMPLATE = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE floor(value * 100 + 0.5) >= 1
+),
+b AS (
+  SELECT event_type, CAST(length({BITLEN}) AS BIGINT) AS bucket FROM v
+),
+h AS (
+  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY event_type, bucket
+),
+c AS (
+  SELECT event_type, bucket, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM h
+),
+q AS (
+  SELECT event_type, CAST(tot AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cum * 100 >= 50 * tot THEN bucket END)
+              AS BIGINT) AS p50_b,
+         CAST(MIN(CASE WHEN cum * 100 >= 95 * tot THEN bucket END)
+              AS BIGINT) AS p95_b,
+         CAST(MIN(CASE WHEN cum * 100 >= 99 * tot THEN bucket END)
+              AS BIGINT) AS p99_b
+  FROM c GROUP BY event_type, tot
+)
+SELECT event_type, n,
+       CAST(1 AS BIGINT) << CAST(p50_b - 1 AS INT) AS p50_lo_cents,
+       (CAST(1 AS BIGINT) << CAST(p50_b AS INT)) - 1 AS p50_hi_cents,
+       CAST(1 AS BIGINT) << CAST(p95_b - 1 AS INT) AS p95_lo_cents,
+       (CAST(1 AS BIGINT) << CAST(p95_b AS INT)) - 1 AS p95_hi_cents,
+       CAST(1 AS BIGINT) << CAST(p99_b - 1 AS INT) AS p99_lo_cents,
+       (CAST(1 AS BIGINT) << CAST(p99_b AS INT)) - 1 AS p99_hi_cents
+FROM q
+"""
+
+
+@query(
+    "agg_histogram_quantile_serve",
+    oracle=_HISTQ_TEMPLATE.format(BITLEN="bin(cents)"),
+    tags=("agg", "sketch"),
+)
+def agg_histogram_quantile_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SERVING from the mergeable log2 histogram — the read
+    path that makes ``agg_latency_histogram`` a complete latency-SLO
+    stack: p50/p95/p99 brackets recovered from cumulative bucket
+    counts with integer cross-multiplied rank thresholds (cum·100 ≥
+    p·n — no division, no float). The bracket width is the log2 bucket
+    (constant RELATIVE error), which is precisely what HdrHistogram
+    promises and what an SLO check needs ('p99 under 2.56 s' is a
+    bucket boundary question).
+
+    Scale shape: identical to the histogram (one hash aggregate with
+    map-side combine) plus bucket-count-sized windows — the sketch
+    merges associatively across shards/days and this read costs
+    nothing more."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_HISTQ_TEMPLATE.format(BITLEN="conv(cents, 10, 2)"))
