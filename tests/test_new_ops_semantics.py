@@ -646,3 +646,125 @@ def test_dp_release_noise_is_two_sided(spark):
     assert any(v > 7 for v in released), "no upward noise — one-sided bug"
     mean_abs = sum(abs(v - 7) for v in released) / len(released)
     assert 0.2 < mean_abs < 4.0  # E|Laplace(1)| = 1, rounded/clamped
+
+
+def test_wilcoxon_hand_computed(spark):
+    """7 users with hand-set per-day counts. Day-1 holds 16 of 30
+    events, so percentile_disc(0.5) lands on day 1 and the split is
+    day1 vs day2. Diffs (n2−n1): +1, +2, −3, +2, 0(drops), −1, −3 →
+    |d| avg-rank ×2: |1|→3 (ranks 1,2), |2|→7 (ranks 3,4), |3|→11
+    (ranks 5,6). W+×2 = 3+7+7 = 17, W−×2 = 3+11+11 = 25, n = 6
+    (checks: 17+25 = n(n+1) = 42)."""
+    out = tempfile.mkdtemp(prefix="engine_wlx_")
+    d1 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d2 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    counts = {  # user: (day1 events, day2 events)
+        1: (1, 2),   # +1
+        2: (1, 3),   # +2
+        3: (4, 1),   # -3
+        4: (2, 4),   # +2
+        5: (3, 3),   # 0 -> drops
+        6: (2, 1),   # -1
+        7: (3, 0),   # -3 (also tips the median day onto day 1)
+    }
+    rows, eid = [], 0
+    for u, (a, b) in counts.items():
+        for _ in range(a):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=d1, user_id=u,
+                            event_type="view", value=1.0, props="{}"))
+        for _ in range(b):
+            eid += 1
+            rows.append(Row(event_id=eid, ts=d2, user_id=u,
+                            event_type="view", value=1.0, props="{}"))
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    [r] = engine.QUERIES["stat_wilcoxon_signed_rank"].fn(spark, out).collect()
+    assert r.n_pairs == 6
+    assert r.w_plus_x2 == 17 and r.w_minus_x2 == 25
+
+
+def test_brown_forsythe_flags_only_heteroscedastic(spark):
+    """Two tight groups + one wide group: the dispersion gate must fire;
+    rebuilt with all groups tight, it must not."""
+    def build(spread_c):
+        out = tempfile.mkdtemp(prefix="engine_bf_")
+        rows, eid = [], 0
+        specs = {"a": [10, 11, 12, 10, 11, 12] * 4,
+                 "b": [10, 12, 11, 11, 10, 12] * 4,
+                 "c": spread_c * 4}
+        for et, vals in specs.items():
+            for v in vals:
+                eid += 1
+                rows.append(Row(event_id=eid, ts=_mins(eid), user_id=1,
+                                event_type=et, value=float(v), props="{}"))
+        spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(out, "events.parquet")
+        )
+        return out
+
+    wide = build([1, 40, 2, 38, 1, 41])
+    [r] = [x for x in
+           engine.QUERIES["stat_brown_forsythe"].fn(spark, wide).collect()]
+    assert r.heteroscedastic is True
+    tight = build([10, 12, 11, 11, 12, 10])
+    [r] = engine.QUERIES["stat_brown_forsythe"].fn(spark, tight).collect()
+    assert r.heteroscedastic is False
+
+
+def test_overdispersion_hand_cases(spark):
+    """Flat daily counts (variance 0 ≪ mean) must NOT flag; bursty
+    counts (variance ≫ mean) must flag."""
+    def build(daily_counts):
+        out = tempfile.mkdtemp(prefix="engine_od_")
+        rows, eid = [], 0
+        for d, n in enumerate(daily_counts):
+            for _ in range(n):
+                eid += 1
+                rows.append(Row(event_id=eid,
+                                ts=_TS0 + dt.timedelta(days=d, minutes=eid % 60),
+                                user_id=1, event_type="view",
+                                value=1.0, props="{}"))
+        spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(out, "events.parquet")
+        )
+        return out
+
+    flat = build([20] * 10)
+    [r] = engine.QUERIES["stat_overdispersion"].fn(spark, flat).collect()
+    assert r.overdispersed is False and r.dispersion_milli == 0
+    bursty = build([1, 1, 1, 1, 1, 95, 1, 1, 1, 1])
+    [r] = engine.QUERIES["stat_overdispersion"].fn(spark, bursty).collect()
+    assert r.overdispersed is True
+
+
+def test_histogram_quantile_brackets_hand_computed(spark):
+    """100 events worth 1 cent + 1 event worth 1000 cents (bucket 10:
+    512..1023): p50 bracket must be [1,1] (bucket 1), p99 still [1,1]
+    (cum 100/101 ≥ 99%), and rebuilt with 5 big events p99 moves to the
+    big bucket."""
+    def build(n_small, n_big):
+        out = tempfile.mkdtemp(prefix="engine_hq_")
+        rows = []
+        for i in range(n_small):
+            rows.append(Row(event_id=i + 1, ts=_mins(i), user_id=1,
+                            event_type="view", value=0.01, props="{}"))
+        for j in range(n_big):
+            rows.append(Row(event_id=10_000 + j, ts=_mins(j), user_id=1,
+                            event_type="view", value=10.0, props="{}"))
+        spark.createDataFrame(rows, _EVENTS_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(out, "events.parquet")
+        )
+        return out
+
+    [r] = engine.QUERIES["agg_histogram_quantile_serve"].fn(
+        spark, build(100, 1)
+    ).collect()
+    assert (r.p50_lo_cents, r.p50_hi_cents) == (1, 1)
+    assert (r.p99_lo_cents, r.p99_hi_cents) == (1, 1)
+    [r] = engine.QUERIES["agg_histogram_quantile_serve"].fn(
+        spark, build(100, 5)
+    ).collect()
+    assert (r.p50_lo_cents, r.p50_hi_cents) == (1, 1)
+    assert (r.p99_lo_cents, r.p99_hi_cents) == (512, 1023)
