@@ -177,15 +177,24 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document in exact integers. The df/corpus sides are tiny and
     broadcast; cost is ∝ corpus tokens, dominated by the tokenize map."""
     docs = load_table_scaled(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    # doc length = token-array SIZE: a per-row expression, equal by
+    # construction to COUNT(*) over the exploded stream but with no
+    # explode and no doc-keyed shuffle (the r5 bench showed two
+    # corpus-sized explodes here; this removes the bigger one)
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("dl")
     )
-    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
+    # query-term tf: substring-prefilter docs map-side, then explode
+    # only the matching sliver
     tf = (
-        tokens.filter(F.col("term").isin(*_BM25_TERMS))
+        docs.filter(F.lower(F.col("text")).rlike("|".join(_BM25_TERMS)))
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
