@@ -1643,3 +1643,78 @@ def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     not shuffle width."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RECONCILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# small-k periodogram: spectral energy at candidate cycles
+# ---------------------------------------------------------------------------
+
+# DFT energy at P ∈ {24 h, 168 h}: per term, cos/sin are micro-
+# quantized BEFORE the y-weighted sum (the ln discipline — a last-ulp
+# libm wobble is ~1e-10 of the grid step), with a generic phase offset
+# 0.1234567 rad so no sample angle lands on the exact .5/0/±1 cosine
+# values where a 1-ulp wobble could straddle a floor boundary. The
+# weighted sums are exact int64 (|y|·1e6·n_hours ≪ 2^63); the final
+# energy ratio squares them in double (each operand < 2^53 → exact
+# conversion, correctly-rounded square) and milli-quantizes.
+_PERIODOGRAM_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR({EPOCH} / 3600) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         h - MIN(h) OVER (PARTITION BY event_type) AS t
+  FROM hourly
+),
+periods AS (
+  SELECT CAST(24 AS BIGINT) AS p UNION ALL SELECT CAST(168 AS BIGINT)
+),
+terms AS (
+  SELECT i.event_type, pr.p, i.y,
+         CAST(FLOOR(cos(2 * pi() * i.t / pr.p + 0.1234567) * 1000000)
+              AS BIGINT) AS c,
+         CAST(FLOOR(sin(2 * pi() * i.t / pr.p + 0.1234567) * 1000000)
+              AS BIGINT) AS s
+  FROM idx i CROSS JOIN periods pr
+),
+sums AS (
+  SELECT event_type, p,
+         CAST(SUM(y * c) AS BIGINT) AS re_u,
+         CAST(SUM(y * s) AS BIGINT) AS im_u,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM terms GROUP BY event_type, p
+)
+SELECT event_type, p AS period_hours, n_hours,
+       CAST(FLOOR(
+         (CAST(re_u AS DOUBLE) * re_u + CAST(im_u AS DOUBLE) * im_u)
+         / (1000000.0 * 1000000.0)
+         / (CAST(sy AS DOUBLE) * sy)
+         * 1000000) AS BIGINT) AS energy_ppm_of_sq_mass
+FROM sums
+"""
+
+
+@query(
+    "ts_periodogram_energy",
+    oracle=_PERIODOGRAM_SQL.format(EPOCH="EPOCH(ts)"),
+    tags=("timeseries",),
+)
+def ts_periodogram_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain cycle detection: DFT energy of each type's
+    hourly series at the daily (24 h) and weekly (168 h) candidate
+    periods, as a share of squared total mass — the spectral
+    complement to ``stat_seasonality_profile``'s time-domain means
+    (a profile can look flat while a phase-shifted cycle carries
+    energy, and vice versa). High daily energy ⇒ hour-of-day features
+    and day-partitioned processing pay off.
+
+    Scale shape: one hourly rollup (the only data-sized pass), one
+    window for the series origin, then |periods|× calendar-sized term
+    rows into a hash aggregate — all exact integer lanes until two
+    final IEEE-exact squares."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_PERIODOGRAM_SQL.format(EPOCH="unix_timestamp(ts)"))
