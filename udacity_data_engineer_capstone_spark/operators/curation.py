@@ -1641,3 +1641,84 @@ def curate_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ACTIVE_LEARNING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit: near-dup pairs straddling train/val/test
+# ---------------------------------------------------------------------------
+
+_SPLIT_ASSIGN_EXPR = """
+CASE WHEN substr(md5(CAST({ID} AS STRING)), 1, 2) < 'cc' THEN 'train'
+     WHEN substr(md5(CAST({ID} AS STRING)), 1, 2) < 'e6' THEN 'val'
+     ELSE 'test' END
+"""
+
+
+def _split_leakage_oracle() -> str:
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        _MINHASH_ORACLE,
+    )
+
+    a = _SPLIT_ASSIGN_EXPR.format(ID="a_id").strip()
+    b = _SPLIT_ASSIGN_EXPR.format(ID="b_id").strip()
+    return f"""
+WITH pairs AS ({_MINHASH_ORACLE}),
+tagged AS (
+  SELECT a_id, b_id,
+         {a} AS split_a,
+         {b} AS split_b
+  FROM pairs
+)
+SELECT CASE WHEN split_a <= split_b THEN split_a ELSE split_b END AS split_lo,
+       CASE WHEN split_a <= split_b THEN split_b ELSE split_a END AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS leaks
+FROM tagged
+GROUP BY 1, 2, 4
+"""
+
+
+@query(
+    "curate_split_leakage",
+    oracle=_split_leakage_oracle(),
+    tags=("curation", "dedup", "eval"),
+)
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit — the eval-hygiene check the hash split
+    alone cannot give: ``curate_hash_split`` guarantees a document
+    lands in one split, but a NEAR-DUPLICATE of a test document
+    sitting in train still leaks the answer (the classic inflated-eval
+    bug). Joins the MinHash-LSH near-dup pairs with each endpoint's
+    split assignment and reports pair counts per split combination
+    with a ``leaks`` flag — any cross-split row means eval numbers are
+    soft until those pairs are collapsed to one side (the fix:
+    split by CLUSTER id from ``dedup_cluster_cc``, not by doc id).
+
+    Scale shape: the dedup pair table is the expensive input and is
+    already sub-quadratic; the split tags are per-row md5 expressions;
+    the rollup is a 6-cell hash aggregate."""
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    tag = lambda c: F.expr(_SPLIT_ASSIGN_EXPR.format(ID=c).strip())  # noqa: E731
+    tagged = pairs.select(
+        tag("a_id").alias("split_a"), tag("b_id").alias("split_b")
+    )
+    lo = F.when(F.col("split_a") <= F.col("split_b"), F.col("split_a")).otherwise(
+        F.col("split_b")
+    )
+    hi = F.when(F.col("split_a") <= F.col("split_b"), F.col("split_b")).otherwise(
+        F.col("split_a")
+    )
+    return (
+        tagged.select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+        .groupBy("split_lo", "split_hi", "leaks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select("split_lo", "split_hi", "n_pairs", "leaks")
+    )
