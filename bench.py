@@ -117,6 +117,10 @@ HEADLINE = [
     "sim_mmr_rerank",             # integer-exact MMR diversity rerank
     "sim_index_upsert",           # vector-index CDC merge + tombstones
     "stream_session_timeout_state",  # event-time-timeout sessionizer
+    # round-5 continuation: density clustering, eval hygiene, filter ablation
+    "spatial_dbscan_grid",        # grid-complete DBSCAN + star-CC cores
+    "curate_split_leakage",       # near-dup pairs straddling the split
+    "curate_quality_ablation",    # retention curve across quality cutoffs
 ]
 
 
