@@ -107,6 +107,28 @@ def test_salting_spreads_hot_key_across_partitions(spark, zipf):
         )
 
 
+def test_salting_with_signed_hash_salt_loses_no_rows(spark, zipf):
+    """ADVICE r5: Spark's hash() is signed and % keeps the sign, so the
+    natural production salt ``F.hash(...) % buckets`` used to yield
+    negative salts with no matching dim replica — silently dropping fact
+    rows. The helper now pmod-folds the salt itself; a signed hash salt
+    must produce the exact plain-join result."""
+    fact, dim = zipf
+    with _conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__enabled": "false",
+        },
+    ):
+        # hash() is signed: roughly half these salts are negative pre-pmod
+        salted = salted_equijoin(
+            fact, dim, "k", "dk", F.hash("payload") % SALT_BUCKETS
+        )
+        plain = fact.join(dim, fact["k"] == dim["dk"])
+        assert salted.count() == plain.count() == N_HOT + N_TAIL
+
+
 def test_aqe_skew_join_split_engages_on_zipf_key(spark, zipf):
     fact, dim = zipf
     with _conf(

@@ -3,6 +3,8 @@ custom stateful operator."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table
@@ -113,6 +115,14 @@ def test_stateful_crash_recovery_resumes_from_checkpoint(
         q1.stop()
         q1.awaitTermination(60)
         assert crashed_while_active, "drain finished before the crash"
+        # deterministic partiality probe: on a fast machine all 8
+        # micro-batches can commit between the break above and stop()
+        # taking effect; count the checkpoint's commit log instead of
+        # trusting the race (ADVICE r5)
+        commits_dir = os.path.join(ckpt, "commits")
+        committed_run1 = len(
+            [f for f in os.listdir(commits_dir) if not f.startswith(".")]
+        )
         finals_run1 = {
             r.user_id: r.n
             for r in spark.read.parquet(out_dir)
@@ -133,8 +143,12 @@ def test_stateful_crash_recovery_resumes_from_checkpoint(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    # (a) the crash was mid-stream: run 1 alone undercounts
-    assert finals_run1 != truth
+    # (a) the crash was mid-stream: run 1 alone undercounts — asserted
+    # only when the commit log proves run 1 was partial (< 8 of the 8
+    # staged single-file batches); otherwise the race lost and only the
+    # recovery property (b) is meaningful
+    if committed_run1 < 8:
+        assert finals_run1 != truth
     # (b) recovered totals (max update snapshot across both runs) are
     # exact — state and offsets both survived the restart
     finals = {

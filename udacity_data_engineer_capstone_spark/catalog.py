@@ -35,21 +35,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-# --- layout normalization ---------------------------------------------------
+# --- layout normalization (TEST-ENVIRONMENT SHIM — not a production path) ----
 #
 # Spark parallelizes parquet scans at ROW-GROUP granularity: a file with a
 # single row group decodes in one task no matter how many byte-range splits
 # the scheduler makes, so a big single-row-group input serializes every
 # downstream query's scan stage. That is a storage-layout defect, and the
-# warehouse-native fix is to normalize layout once at ingest (at 100 TB this
-# is the standard small-file/row-group compaction job — cf. the
-# ``snk_compaction_plan`` operator — run distributed; here the inputs are
-# driver-local test files, so a pyarrow rewrite suffices). Tables whose
-# layout already feeds the cores are read as-is. The rewrite is one-time,
-# keyed by (path, mtime, size) for staleness, written atomically into a
-# per-user 0700 cache dir (ADVICE round 2: no predictable world-shared
-# paths, no partial reads under concurrency). Oracles keep reading the
-# ORIGINAL files — only Spark's scan path is redirected, the rows are
+# warehouse-native fix is to normalize layout once at ingest — the
+# DISTRIBUTED rewrite implemented in ``maintenance.compact_parquet`` and
+# registered as ``snk_compaction_rewrite`` (planning half:
+# ``snk_compaction_plan``). THIS shim is the driver-local pyarrow twin of
+# that job, scoped to the test environment where inputs are small local
+# files; it must never carry production data (set
+# ``SPARK_GRAFT_DISABLE_LAYOUT_SHIM=1`` to hard-disable it and serve
+# original paths — a cluster deployment runs the maintenance job instead).
+# Tables whose layout already feeds the cores are read as-is (bypass pinned
+# in tests/test_maintenance.py). The rewrite is one-time, keyed by
+# (path, mtime, size) for staleness, written atomically into a per-user
+# 0700 cache dir (ADVICE round 2: no predictable world-shared paths, no
+# partial reads under concurrency). Oracles keep reading the ORIGINAL
+# files — only Spark's scan path is redirected, the rows are
 # byte-identical.
 
 _MIN_ROWS_TO_NORMALIZE = 50_000
@@ -76,8 +81,15 @@ def _layout_cache_dir() -> str | None:
 
 def _normalized_path(sf_dir: str, name: str) -> str:
     """Return a read path for the table with scan-parallel layout,
-    rewriting once into the cache dir if the source needs it."""
+    rewriting once into the cache dir if the source needs it.
+
+    TEST-ONLY shim (see module comment): production layout repair is
+    the distributed ``maintenance.compact_parquet`` job; this exists
+    because the test inputs are driver-local files. Disabled entirely
+    by ``SPARK_GRAFT_DISABLE_LAYOUT_SHIM=1``."""
     src = table_path(sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUT_SHIM"):
+        return src
     try:
         import pyarrow.parquet as pq
 

@@ -61,6 +61,26 @@ pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM deg)
 # ---------------------------------------------------------------------------
 
 _GRAPH_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# localCheckpointed adjacencies pin executor storage blocks: bound the
+# cache so a long-lived session iterating many sf_dirs doesn't
+# accumulate them — oldest entry evicted (and its blocks unpersisted).
+_GRAPH_CACHE_MAX = 4
+
+
+def _graph_cache_evict(entry: dict[str, DataFrame]) -> None:
+    for df in entry.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def invalidate_graph_cache() -> None:
+    """Explicit invalidation hook: drop every cached adjacency and
+    release its checkpointed blocks (e.g. after the underlying tables
+    are rewritten in place)."""
+    while _GRAPH_CACHE:
+        _graph_cache_evict(_GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))))
 
 
 def _purchase_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -111,6 +131,8 @@ def _purchase_graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=False)
     out = {"bidir": bidir, "deg": deg, "adj": adj, "nodes": nodes}
+    if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+        _graph_cache_evict(_GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE))))
     _GRAPH_CACHE[key] = out
     return out
 

@@ -19,6 +19,8 @@ linear left-fold, so Spark and the DuckDB oracle agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -108,8 +110,24 @@ N_PLANES = 4
 _LSH_SEED = 7
 
 # trained IVF coarse quantizers, one per (session, table, k, iters) —
-# the index-train-once/serve-many shape (see ann_ivf_topk)
+# the index-train-once/serve-many shape (see ann_ivf_topk). Bounded:
+# entries are k×d floats, but a long-lived session iterating many
+# sf_dirs shouldn't accumulate stale fits — oldest-first eviction.
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
+_IVF_CACHE_MAX = 8
+
+
+def _ivf_cache_put(key: tuple, centroids: list) -> None:
+    if len(_IVF_CENTROID_CACHE) >= _IVF_CACHE_MAX:
+        _IVF_CENTROID_CACHE.pop(next(iter(_IVF_CENTROID_CACHE)))
+    _IVF_CENTROID_CACHE[key] = centroids
+
+
+def invalidate_ivf_cache() -> None:
+    """Explicit invalidation hook (e.g. after the embeddings table is
+    rewritten in place — the (session, path, params) key can't see
+    content changes)."""
+    _IVF_CENTROID_CACHE.clear()
 
 
 def _plane_matrix(
@@ -196,9 +214,11 @@ def ann_ivf_topk(
     # (session, table, params), like the graph adjacency cache. Callers
     # passing a DERIVED emb frame opt in with a token proving the
     # derivation is deterministic per (session, sf_dir).
+    # abspath-normalized like _purchase_graph's key — relative vs
+    # absolute spellings of the same sf_dir must share one fit
     cache_key = (
-        (spark.sparkContext.applicationId, sf_dir, n_cells, iters,
-         fit_cache_token)
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_cells,
+         iters, fit_cache_token)
         if fit_cache_token
         else None
     )
@@ -211,7 +231,7 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = lloyd_fit(emb, k=n_cells, iters=iters)
         if cache_key:
-            _IVF_CENTROID_CACHE[cache_key] = centroids
+            _ivf_cache_put(cache_key, centroids)
     cent_rows = [(c, [float(x) for x in centroids[c]]) for c in range(n_cells)]
     cent_df = spark.createDataFrame(cent_rows, "cell int, cv array<double>")
 

@@ -35,8 +35,14 @@ def salted_equijoin(
     partitions instead of landing on one straggler. Row-identical to
     the plain equi-join (the dim replication matches exactly one salt
     per fact row). ``salt_expr`` must be deterministic per row for
-    reproducible plans; distribution quality is what matters."""
-    f = fact.withColumn("salt", salt_expr.cast("int"))
+    reproducible plans; distribution quality is what matters.
+
+    The salt is folded into [0, buckets) with ``pmod`` *inside* the
+    helper: Spark's ``%`` and ``hash()`` are signed, so a caller passing
+    the natural production salt (``F.hash(...) % buckets``) would
+    otherwise produce negative salts with no matching dim replica and
+    silently drop fact rows."""
+    f = fact.withColumn("salt", F.pmod(salt_expr.cast("int"), F.lit(buckets)))
     d = dim.withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -6,6 +6,7 @@ statistics. Registered with oracles like everything else.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1458,8 +1459,11 @@ def src_apache_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file-metadata columns (_metadata) on a multi-file scan
 # ---------------------------------------------------------------------------
 
+# n_files derives from the data: repartition(4) is round-robin, so the
+# number of NON-EMPTY shards (the only ones that can appear in
+# _metadata.file_name) is LEAST(4, row count) — exact at any SF.
 _FILE_META_ORACLE = """
-SELECT CAST(4 AS BIGINT) AS n_files,
+SELECT CAST(LEAST(4, COUNT(*)) AS BIGINT) AS n_files,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_cents,
@@ -1491,13 +1495,24 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"engine_filemeta_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}",
     )
     if not os.path.exists(d):
+        # atomic publish: stage into a tmp sibling, os.rename into the
+        # final path — a crash mid-write can no longer poison the cache
+        # (the (mtime,size) key only guards *source* identity, not write
+        # completeness). rename is atomic on the same filesystem; a
+        # concurrent publisher losing the race just discards its copy.
+        tmp = tempfile.mkdtemp(prefix="engine_filemeta_stage_",
+                               dir=tempfile.gettempdir())
         (
             load_table(spark, sf_dir, "orders")
             .filter(F.col("o_orderstatus") == "F")
             .repartition(4)
             .write.mode("overwrite")
-            .parquet(d)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, d)
+        except OSError:  # another process published first
+            shutil.rmtree(tmp, ignore_errors=True)
     back = spark.read.parquet(d).select(
         F.col("_metadata.file_name").alias("file_name"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
@@ -1506,7 +1521,7 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("file_name").cast("long").alias("n_files"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
-        (F.sum(F.col("file_name").isNull().cast("int")) == 0).alias(
-            "every_row_has_file"
-        ),
+        F.coalesce(
+            F.sum(F.col("file_name").isNull().cast("int")) == 0, F.lit(True)
+        ).alias("every_row_has_file"),
     )

@@ -302,6 +302,105 @@ def snk_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# small-file compaction EXECUTION (the distributed rewrite the plan feeds)
+# ---------------------------------------------------------------------------
+
+# The audit the rewrite must satisfy: byte-identical content (row count
+# + cents checksum recomputed from the ORIGINAL table by the oracle,
+# from the REWRITTEN files by Spark) and a layout that actually hit the
+# target (every output file ≤ 2× target, file count as planned).
+_COMPACT_EXEC_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS n_files_as_planned,
+       TRUE AS files_within_target
+FROM lineitem
+"""
+
+_COMPACT_EXEC_TARGET = 1 << 20  # 1 MiB output files at test scale
+
+
+@query(
+    "snk_compaction_rewrite",
+    oracle=_COMPACT_EXEC_ORACLE,
+    tags=("sink", "layout"),
+)
+def snk_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed compaction JOB — the execution half whose plan
+    ``snk_compaction_plan`` computes, and the production analog of the
+    test-env pyarrow shim in ``catalog._normalized_path`` (which this
+    job exists to replace at scale; the shim is marked test-only).
+
+    ``maintenance.compact_parquet`` lists the table's files (metadata
+    only — the one driver-side step every maintenance service has),
+    plans ``ceil(total_bytes/target)`` output files, and rewrites via
+    ``read → repartition(n) → write`` — executors move all data, row
+    groups capped at target/4 so even one file scans in parallel. The
+    audit row is computed FROM THE REWRITTEN FILES, so the oracle
+    (recomputing from the original table) proves the rewrite lossless,
+    while the layout booleans prove the files landed on target."""
+    import os
+    import tempfile
+
+    from udacity_data_engineer_capstone_spark.catalog import table_path
+    from udacity_data_engineer_capstone_spark.maintenance import (
+        _list_data_files,
+        compact_parquet,
+        plan_output_files,
+    )
+
+    src = table_path(sf_dir, "lineitem")
+    st = os.stat(src)
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_compacted_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    if not os.path.exists(dst):
+        stage = tempfile.mkdtemp(prefix="engine_compact_stage_")
+        stats = compact_parquet(
+            spark, src, stage, target_bytes=_COMPACT_EXEC_TARGET
+        )
+        try:
+            os.rename(stage, dst)  # atomic publish (cf. ADVICE r5)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+
+    n_files, total_bytes = _list_data_files(spark, dst)
+    # recompute the plan from the SOURCE listing for the as-planned check
+    _, src_bytes = _list_data_files(spark, src)
+    planned = plan_output_files(src_bytes, _COMPACT_EXEC_TARGET)
+    # per-file size bound: no output file more than 2x target (the
+    # repartition is round-robin, so files are near-uniform)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    max_file = 0
+    while it.hasNext():
+        f = it.next()
+        if not f.getPath().getName().startswith(("_", ".")):
+            max_file = max(max_file, f.getLen())
+
+    return (
+        spark.read.parquet(dst)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_rows"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .withColumn("n_files_as_planned", F.lit(n_files == planned))
+        .withColumn(
+            "files_within_target",
+            F.lit(max_file <= 2 * _COMPACT_EXEC_TARGET),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff (table-version comparison)
 # ---------------------------------------------------------------------------
 

@@ -362,8 +362,18 @@ def read_sas7bdat(
 
     schema = _peek_spark_schema(files[0])
     col_names = [f.name for f in schema.fields]
+    # pandas dtype kinds each peeked Spark type tolerates — checked
+    # per chunk so a type-drifted later file (string vs double, or a
+    # date column when file 1 was zero-row and fell back) raises the
+    # same explicit drift diagnostic instead of an opaque Arrow error
+    # deep inside the conversion.
+    _kind_ok = {"double": ("f", "i"), "timestamp": ("M",), "string": ("O", "S", "U")}
+    col_kinds = [
+        (f.name, _kind_ok.get(f.dataType.typeName(), ("O",)))
+        for f in schema.fields
+    ]
 
-    def _parse_files(batches, _cols=col_names, _chunk=chunk_rows):
+    def _parse_files(batches, _cols=col_names, _kinds=col_kinds, _chunk=chunk_rows):
         import pandas as pd
 
         for pdf in batches:
@@ -377,6 +387,17 @@ def read_sas7bdat(
                         if missing:
                             raise ValueError(
                                 f"{p}: columns {missing} absent "
+                                f"(schema drift across the file set)"
+                            )
+                        drifted = [
+                            f"{c} (got {chunk[c].dtype}, want kind in {ks})"
+                            for c, ks in _kinds
+                            if chunk[c].dtype.kind not in ks
+                        ]
+                        if drifted:
+                            raise ValueError(
+                                f"{p}: column types {drifted} differ from "
+                                f"the first file's schema "
                                 f"(schema drift across the file set)"
                             )
                         yield chunk[_cols]
