@@ -1395,3 +1395,199 @@ def graph_ego_network_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an HLL sketch per ego instead."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_EGO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# approximate early-exit variants (VERDICT r5 directive #6)
+# ---------------------------------------------------------------------------
+#
+# The exact iterative queries run a FIXED round count so their unrolled
+# SQL oracles stay byte-exact, and the exact-fixpoint probe measurably
+# cannot fire for pagerank/HITS/LPA at these SFs (graph.py:150-158).
+# Production rarely needs value-exact ranks, though — it needs the
+# *ranking* (or the community structure) to stop moving. These ``_approx``
+# twins keep the exact variants untouched and add the production escape
+# hatch: a semantic convergence probe that can fire long before the
+# round cap. They are registered WITHOUT an oracle (rows-only driver
+# check) because their round count is data-dependent by design;
+# tests/test_graph_approx.py pins their agreement with the exact
+# variants (top-k overlap / community structure) and that the exit
+# actually fires.
+
+_APPROX_TOPK = 100
+
+
+def _topk_ids(ranks: DataFrame, rank_col: str, k: int = _APPROX_TOPK) -> frozenset:
+    """The top-k node id SET by (rank desc, node asc) — a k-row bounded
+    collect (the same size class as the per-round scalar probes).
+    Membership, not order: measured on this graph the top-100
+    membership freezes by round 2 while the within-set order keeps
+    wiggling for all 6 rounds, and 'who is in the top k' is the
+    question a ranking consumer actually asks."""
+    rows = (
+        ranks.orderBy(F.col(rank_col).desc(), F.col("node").asc())
+        .limit(k)
+        .select("node")
+        .collect()
+    )
+    return frozenset(r["node"] for r in rows)
+
+
+@query("graph_pagerank_approx", tags=("graph", "iterative", "approx"))
+def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a RANKING-STABILITY early exit: stop as soon as
+    the top-100 node list (by rank, ties by id) is unchanged across
+    consecutive rounds — the property a ranking consumer actually
+    waits for — capped at the exact variant's round count. Returns the
+    top-100 with their integer ranks plus ``rounds_run`` so the win is
+    observable. Identical per-round plan to :func:`graph_pagerank`
+    (shared cached adjacency, node-sized shuffles, O(1) lineage); the
+    probe is a k-row collect per round."""
+    g = _purchase_graph(spark, sf_dir)
+    adj = g["adj"]
+    ranks = g["deg"].select(
+        F.col("s").alias("node"), F.lit(SCALE).cast("long").alias("r")
+    )
+    prev_top = None
+    rounds = 0
+    for _ in range(ITERS):
+        ranks = (
+            adj.join(ranks, adj["s"] == ranks["node"])
+            .select(F.col("d"), F.expr("r DIV deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                F.col("d").alias("node"),
+                F.expr(f"CAST({BASE} + (85 * mass) DIV 100 AS BIGINT)").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        top = _topk_ids(ranks, "r")
+        if top == prev_top:
+            break  # the ranking stopped moving; values may still drift
+        prev_top = top
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(_APPROX_TOPK)
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("r").alias("pr_rank"),
+            F.lit(rounds).cast("int").alias("rounds_run"),
+        )
+    )
+
+
+_LPA_APPROX_CAP = 10
+
+
+@query("graph_lpa_approx", tags=("graph", "iterative", "approx"))
+def graph_lpa_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation with OSCILLATION detection: synchronous LPA on
+    a bipartite graph provably falls into a period-2 label cycle (the
+    two sides swap labels each round — measured on this graph,
+    graph.py:150-158), so running to a larger round cap burns rounds
+    without new information. This variant keeps a 2-deep signature
+    history and exits the moment ``sig_k == sig_{k-2}`` (cycle
+    confirmed: every later state is one of the two already seen),
+    capped at {cap} rounds. The exact 3-round contract query stays
+    untouched; this is the capped-production form whose cost is bounded
+    by cycle length, not the cap.""".replace("{cap}", str(_LPA_APPROX_CAP))
+    from pyspark.sql import Window as W
+
+    g = _purchase_graph(spark, sf_dir)
+    bidir = g["bidir"]
+    labels = g["nodes"].select("node", F.col("node").alias("label"))
+    sigs: list = []
+    rounds = 0
+    for _ in range(_LPA_APPROX_CAP):
+        counted = (
+            bidir.join(labels, bidir["s"] == labels["node"])
+            .groupBy(F.col("d").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rn = W.partitionBy("nd").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(rn))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        sig = _state_signature(labels, ("node", "label"))
+        if sigs and sig == sigs[-1]:
+            break  # exact fixpoint
+        if len(sigs) >= 2 and sig == sigs[-2]:
+            break  # period-2 oscillation confirmed
+        sigs.append(sig)
+    return labels.select(
+        F.col("node").alias("node_id"),
+        F.col("label").alias("community"),
+        F.lit(rounds).cast("int").alias("rounds_run"),
+    )
+
+
+_HITS_APPROX_CAP = 6
+_HITS_APPROX_TOPK = 20
+
+
+@query("graph_hits_approx", tags=("graph", "iterative", "approx"))
+def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS with an authority-ranking stability exit: iterate
+    hub→authority rounds (same integer max-normalized lanes as
+    :func:`graph_hits`) until the top-20 authority list stops changing,
+    capped at {cap} rounds — more precision than the exact 2-round
+    contract query when the ranking needs it, without a fixed high
+    round count when it doesn't.""".replace("{cap}", str(_HITS_APPROX_CAP))
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"{col} * {_HITS_SCALE} DIV mx").alias(col),
+        )
+
+    auth = edges.select("s").distinct().select(
+        "s", F.lit(_HITS_SCALE).cast("long").alias("a")
+    )
+    prev_top = None
+    rounds = 0
+    hub = None
+    for _ in range(_HITS_APPROX_CAP):
+        hub = (
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hub = _normalize(hub, "h").localCheckpoint(eager=False)
+        auth = (
+            edges.join(hub, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        auth = _normalize(auth, "a").localCheckpoint(eager=False)
+        rounds += 1
+        top = _topk_ids(
+            auth.select(F.col("s").alias("node"), "a"), "a", _HITS_APPROX_TOPK
+        )
+        if top == prev_top:
+            break
+        prev_top = top
+    return (
+        auth.orderBy(F.col("a").desc(), F.col("s").asc())
+        .limit(_HITS_APPROX_TOPK)
+        .select(
+            F.col("s").cast("long").alias("node_id"),
+            F.col("a").cast("long").alias("authority_milli"),
+            F.lit(rounds).cast("int").alias("rounds_run"),
+        )
+    )

@@ -1163,9 +1163,21 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs ``stream_session_counts``: that uses the built-in
     ``session_window`` aggregate; this is the escape hatch for session
     logic the built-in can't express (custom close reasons, per-session
-    payloads), at the same bounded-state guarantee."""
+    payloads), at the same bounded-state guarantee. State boundedness
+    is MEASURED (not just semantic): tests/test_streaming.py reads the
+    drain's stateOperators metrics and asserts state rows track active
+    sessions and shrink when timeouts evict."""
     src = stage_events_dir(spark, sf_dir)
     stream = stream_events(spark, src)
+    return run_to_memory(
+        sessionize_with_timeout(stream), output_mode="append"
+    )
+
+
+def sessionize_with_timeout(stream: DataFrame) -> DataFrame:
+    """The watermarked event-time-timeout sessionizer as a reusable
+    stream transformation (shared by the registered query and the
+    state-metrics boundedness test)."""
     gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
 
     def update(key, pdfs, state: GroupState):
@@ -1213,7 +1225,7 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sessions = (
+    return (
         stream.withWatermark("ts", _SESSION_WM)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -1227,4 +1239,3 @@ def stream_session_timeout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return run_to_memory(sessions, output_mode="append")
