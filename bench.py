@@ -124,8 +124,13 @@ HEADLINE = [
     # round-6 wave: tracked skew mitigation + approx early-exit graph
     "skew_zipf_salted",           # hash-salted join on a 50%-hot Zipf key
     "skew_zipf_aqe",              # same join, AQE skew-split mitigation
-    "graph_pagerank_approx",      # ranking-stability early exit (vs exact)
+    "graph_pagerank_approx",      # ranking-churn early exit (vs exact)
     "graph_lpa_approx",           # period-2 oscillation-detect early exit
+    # round-6 second wave: hybrid RAG retrieval, boilerplate templates,
+    # epoch scheduling
+    "sim_hybrid_retrieval",       # BM25 + dense cosine RRF fusion
+    "text_boilerplate_ngrams",    # CCNet-style template detection
+    "curate_epoch_schedule",      # temperature mixing under token budget
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -20,7 +20,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import udacity_data_engineer_capstone_spark as engine
-from udacity_data_engineer_capstone_spark.session import get_spark
 
 HEAVY = [
     # iterative graph family (shared cached adjacency)
@@ -59,7 +58,17 @@ def run_at(spark, sf_dir: str) -> dict[str, float]:
 def main() -> int:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/engine_scale/sf1"
     engine.load_all()
-    spark = get_spark("scale-smoke-heavy")
+    from pyspark.sql import SparkSession
+
+    from udacity_data_engineer_capstone_spark.session import configure
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = configure(
+        SparkSession.builder.master(f"local[{cpus}]").appName("scale-smoke-heavy")
+        # local[32] runs all executor threads in the driver JVM: the 1g
+        # default heap OOMs the sf1 graph family (same sizing as bench.py)
+        .config("spark.driver.memory", "16g")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # warmup (JVM/codegen) on the small SF so sf0.1 isn't penalized
     for name in HEAVY:

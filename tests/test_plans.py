@@ -1030,3 +1030,43 @@ def test_langid_eval_no_second_corpus_scan_shape(spark, sf_dir):
     text = plan_text(df)
     assert "CartesianProduct" not in text
     assert "Window" in text and "hashpartitioning(lang_" in text
+
+
+def test_zipf_skew_join_is_sort_merge_not_broadcast(spark, sf_dir):
+    """skew_zipf_*: the merge hint must hold — a broadcast of the dim
+    would silently bypass the skewed shuffle the scenario exists to
+    exercise/measure."""
+    for name in ("skew_zipf_salted", "skew_zipf_aqe"):
+        text = plan_text(Q[name].fn(spark, sf_dir))
+        assert "SortMergeJoin" in text, (name, text)
+        assert "BroadcastHashJoin" not in text, (name, text)
+
+
+def test_hybrid_retrieval_fusion_is_candidate_sized(spark, sf_dir):
+    """sim_hybrid_retrieval: both index sides must end in a limit-k
+    shape (TakeOrdered / window-group-limit) BEFORE the fusion join —
+    a full-corpus global sort feeding the fusion would not survive
+    100 TB. The fused re-rank itself is a TakeOrdered over <=100 rows."""
+    text = plan_text(Q["sim_hybrid_retrieval"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_boilerplate_topk_no_global_sort(spark, sf_dir):
+    """text_boilerplate_ngrams: the final top-20 must plan as
+    TakeOrdered (never a full Sort+Exchange of the df table), and the
+    df aggregate must partial-aggregate map-side."""
+    text = plan_text(Q["text_boilerplate_ngrams"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in text, text
+    assert "partial_count" in text or "HashAggregate" in text, text
+
+
+def test_epoch_schedule_single_corpus_scan(spark, sf_dir):
+    """curate_epoch_schedule: one scan of documents (the per-source
+    table is checkpointed and reused by the total — the corpus is
+    never re-read); the temperature normalization joins a broadcast
+    1-row total, never reshuffles the corpus."""
+    text = plan_text(Q["curate_epoch_schedule"].fn(spark, sf_dir))
+    tree = text.split("\n\n(1)")[0]  # tree section only, not node details
+    n_scans = tree.count("Scan parquet") + tree.count("BatchScan")
+    assert n_scans <= 1, tree
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text

@@ -1722,3 +1722,94 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .select("split_lo", "split_hi", "n_pairs", "leaks")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-constrained epoch schedule (temperature mixing under a token budget)
+# ---------------------------------------------------------------------------
+#
+# When the training token budget exceeds the deduped corpus, sources
+# must REPEAT — and naive proportional sampling starves small
+# high-value sources. The standard fix is temperature-scaled mixing
+# (w_i ∝ n_i^(1/T), here sqrt = T=2) under a fixed budget, and the
+# actionable artifact is the per-source epoch schedule: how many
+# passes over each source the sampler makes (repetition beyond ~4
+# epochs yields sharply diminishing returns — the data-constrained
+# scaling result — so the schedule is also an audit).
+
+_EPOCH_BUDGET_X = 4  # token budget = 4x the corpus (forces repetition)
+
+_EPOCH_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+         SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+  FROM tok
+)
+, w AS (
+  SELECT t.source, t.n_tokens,
+         CAST(floor(sqrt(CAST(t.n_tokens AS DOUBLE)) / o.z * 1000000)
+              AS BIGINT) AS weight_ppm,
+         CAST(floor(sqrt(CAST(t.n_tokens AS DOUBLE)) / o.z
+                    * o.corpus_tokens * {_EPOCH_BUDGET_X}) AS BIGINT)
+           AS target_tokens
+  FROM tok t CROSS JOIN tot o
+)
+-- BIGINT // BIGINT is true integer division (double // is plain
+-- division in DuckDB, and the BIGINT cast would then ROUND)
+SELECT source, n_tokens, weight_ppm, target_tokens,
+       CAST(target_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
+FROM w
+"""
+
+
+@query("curate_epoch_schedule", oracle=_EPOCH_ORACLE, tags=("pipeline",))
+def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch schedule for a 4x-corpus token budget under
+    sqrt-temperature mixing: weight_ppm = sqrt(n_i)/Σsqrt(n_j),
+    target_tokens = weight x budget, epochs_milli = target/unique —
+    the repetition audit a data-constrained pretraining run publishes
+    (sources crossing ~4000 milli-epochs are flagged for more
+    collection, not more sampling).
+
+    Scale shape: one narrow map computes per-doc token counts, one
+    (source)-keyed partial+final aggregate produces the |sources|-row
+    table, and the temperature normalization happens on that tiny
+    frame via a broadcast of the 1-row total — the corpus is scanned
+    once, nothing else moves."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source", F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+        # |sources|-row result, reused by the total: materialize once so
+        # the corpus is scanned exactly once (not re-read per consumer)
+        .localCheckpoint(eager=False)
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+    )
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000) AS BIGINT)"
+        ).alias("weight_ppm"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z"
+            f" * corpus_tokens * {_EPOCH_BUDGET_X}) AS BIGINT)"
+        ).alias("target_tokens"),
+        F.expr(
+            f"CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / z"
+            f" * corpus_tokens * {_EPOCH_BUDGET_X}) * 1000"
+            f" DIV n_tokens AS BIGINT)"
+        ).alias("epochs_milli"),
+    )

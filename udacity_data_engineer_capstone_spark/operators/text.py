@@ -1565,3 +1565,112 @@ def curate_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate template detection (CCNet-style, n-gram form)
+# ---------------------------------------------------------------------------
+#
+# Crawl corpora are full of repeated template fragments (navigation
+# chrome, cookie banners, footer legalese); CCNet drops lines whose
+# hash repeats across documents. These documents carry no line
+# structure, so the same detector runs at 3-gram granularity: a
+# "template" is a trigram appearing in >= _BP_MIN_DF distinct
+# documents. Output = the top-20 templates with their document
+# frequency and source spread — the removal list a cleaning pass
+# would subtract.
+
+_BP_K = 3
+_BP_MIN_DF = 5
+_BP_TOP = 20
+
+_BP_SHINGLES_DUCK = (
+    "CASE WHEN len(toks) >= {k} THEN list_distinct(list_transform("
+    "range(1, len(toks) - {km2}), i -> array_to_string(toks[i:i+{km1}], ' ')))"
+    " ELSE [array_to_string(toks, ' ')] END"
+).format(k=_BP_K, km1=_BP_K - 1, km2=_BP_K - 2)
+
+_BOILERPLATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, unnest({_BP_SHINGLES_DUCK}) AS shingle FROM d
+),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+  SELECT shingle,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM s GROUP BY shingle
+)
+SELECT shingle, df, n_sources,
+       CAST(df * 1000000 // (SELECT n_docs FROM c) AS BIGINT) AS df_ppm
+FROM df
+WHERE df >= {_BP_MIN_DF}
+QUALIFY row_number() OVER (ORDER BY df DESC, shingle) <= {_BP_TOP}
+"""
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=_BOILERPLATE_ORACLE,
+    tags=("text", "dedup"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate template detection: per-document DISTINCT trigrams
+    (so a template spamming one page doesn't inflate its score),
+    document frequency + source spread per trigram, templates = df >=
+    {df}. The top-20 table is what a CCNet-style cleaner subtracts
+    from every document before quality scoring.
+
+    Scale shape: tokenize + shingle are narrow maps; the only shuffle
+    is the (shingle -> df) hash aggregate, partial-aggregated map-side
+    because per-doc shingles are pre-distinctetd. The final top-20 is
+    a TakeOrdered over the df table (never a global sort of the
+    corpus). At 100 TB the df table is vocabulary-sized (n-grams with
+    df >= 2 are a tiny fraction of token mass), and the threshold
+    filter prunes it before the limit.""".replace("{df}", str(_BP_MIN_DF))
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    shingles = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.lower("text"), r"\s+").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= {k} THEN array_distinct(transform("
+                    "sequence(0, size(toks) - {k}), i -> concat_ws(' ', slice(toks, i + 1, {k}))))"
+                    " ELSE array(concat_ws(' ', toks)) END".replace(
+                        "{k}", str(_BP_K)
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        shingles.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("df") >= _BP_MIN_DF)
+    )
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "df",
+            "n_sources",
+            F.expr("CAST(df * 1000000 DIV n_docs AS BIGINT)").alias("df_ppm"),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(_BP_TOP)
+    )
