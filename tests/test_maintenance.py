@@ -101,3 +101,24 @@ def test_shim_env_kill_switch(monkeypatch):
     for name in ("lineitem", "events"):
         src = catalog.table_path("/root/testdata/sf0.1", name)
         assert catalog._normalized_path("/root/testdata/sf0.1", name) == src
+
+
+def test_oracle_slice_green_with_shim_disabled(spark, monkeypatch):
+    """Correctness must not depend on the test-env layout shim: with
+    SPARK_GRAFT_DISABLE_LAYOUT_SHIM=1 (original file paths served
+    unconditionally) a cross-family slice still passes the full oracle
+    gate. Pairs with test_cluster_profile.py: together they show the
+    engine is correct under both re-sized sessions and raw layouts."""
+    import udacity_data_engineer_capstone_spark as engine
+    from tests.oracle import compare
+
+    engine.load_all()
+    monkeypatch.setenv("SPARK_GRAFT_DISABLE_LAYOUT_SHIM", "1")
+    for name in (
+        "agg_groupby_sum",
+        "join_left_5way",
+        "dedup_minhash_lsh",
+        "evt_window_session",
+        "tpch_q1_pricing_summary",
+    ):
+        compare(spark, name, "/root/testdata/sf0.001")
