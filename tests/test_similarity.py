@@ -74,3 +74,25 @@ def test_binary_hamming_beats_random_baseline(spark, sf_dir):
     }
     recall = len(exact & ham) / len(exact)
     assert recall >= 0.2, f"binary recall {recall} not above chance"
+
+
+def test_ann_recall_eval_table(spark, sf_dir):
+    """The registered recall@k eval artifact: all four variants
+    present, every query counted (zero-hit queries average in as 0),
+    and the recall floors of the quality tests reproduced from the
+    table itself."""
+    import udacity_data_engineer_capstone_spark as engine
+
+    engine.load_all()
+    rows = {
+        r["variant"]: r
+        for r in engine.QUERIES["sim_ann_recall_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"lsh", "ivf", "pq", "hamming"}
+    for v, r in rows.items():
+        assert r["n_queries"] == 5, (v, r)
+    # bucketed/quantized tiers: recall >= 0.5 at worst on random 64-d
+    for v in ("lsh", "ivf", "pq"):
+        assert rows[v]["recall_ppm"] >= 500_000, (v, rows[v])
+    # 1-bit Hamming is the cheap tier: nonzero but lossy by design
+    assert rows["hamming"]["recall_ppm"] > 0

@@ -2219,3 +2219,107 @@ def evt_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_HEATMAP_SQL.format(DOW="dayofweek(ts)"))
+
+
+# ---------------------------------------------------------------------------
+# watermark choice: the lateness CDF that sizes a stream's delay budget
+# ---------------------------------------------------------------------------
+#
+# Choosing a watermark is a measurement, not a guess: replay the log,
+# compute every event's lateness against the event-time high-water-mark
+# in ARRIVAL order, and read the drop rate each candidate delay would
+# have produced. The staged test events arrive in event-time order
+# (lateness 0 — nothing to measure), so arrival disorder is SIMULATED
+# with a deterministic bounded transit jitter: arrival = ts +
+# pmod(xxhash64(event_id), 3600) seconds — the shuffled-log shape a
+# multi-partition kafka topic actually delivers (md5-derived so both
+# engines compute the identical jitter). The high-water-mark
+# runs PER USER (the keyed-stream state shape, and a per-user window
+# distributes; a single global cummax would serialize — at scale the
+# global watermark is the min over per-partition marks, same
+# decomposition).
+
+_WM_CANDIDATES = (0, 900, 1800, 3600, 7200)  # seconds
+
+_WM_ORACLE = f"""
+WITH arr AS (
+  SELECT user_id, event_id, ts,
+         ts + to_seconds(
+           CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 3600) AS arrival
+  FROM events
+),
+late AS (
+  SELECT user_id,
+         CAST(epoch(MAX(ts) OVER (PARTITION BY user_id
+                                  ORDER BY arrival, event_id
+                                  ROWS UNBOUNDED PRECEDING) - ts)
+              AS BIGINT) AS late_s
+  FROM arr
+),
+wm AS (SELECT unnest({list(_WM_CANDIDATES)!r}) AS wm_s)
+SELECT CAST(wm.wm_s AS BIGINT) AS watermark_s,
+       CAST(COUNT(*) FILTER (late.late_s > wm.wm_s) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) FILTER (late.late_s > wm.wm_s) * 1000000
+            // COUNT(*) AS BIGINT) AS drop_ppm
+FROM late CROSS JOIN wm
+GROUP BY wm.wm_s
+"""
+
+
+@query("evt_watermark_choice", oracle=_WM_ORACLE, tags=("events", "streaming"))
+def evt_watermark_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from measured lateness: per user (the keyed
+    stream shape), each event's lateness = event-time high-water-mark
+    at its (jitter-simulated) arrival minus its own timestamp; the
+    output is the drop rate each candidate watermark {0, 15m, 30m, 1h,
+    2h} would have caused. Read: pick the smallest delay whose
+    drop_ppm clears the SLO — the exact methodology behind Flink/Spark
+    lateness dashboards, as a batch replay.
+
+    Scale shape: one narrow map (jitter), one per-user running-max
+    window (distributes on the user key, state is one timestamp per
+    user), and a 5-row broadcast cross join for the threshold table —
+    the log is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.col("ts")
+            + F.make_interval(
+                secs=F.expr(
+                    "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 4),"
+                    " 16, 10) AS BIGINT) % 3600"
+                )
+            )
+        ).alias("arrival"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = arr.select(
+        "user_id",
+        (F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("late_s"),
+    )
+    wm = spark.createDataFrame(
+        [(s,) for s in _WM_CANDIDATES], "wm_s long"
+    )
+    return (
+        late.crossJoin(F.broadcast(wm))
+        .groupBy(F.col("wm_s").alias("watermark_s"))
+        .agg(
+            F.sum((F.col("late_s") > F.col("wm_s")).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+            F.expr(
+                "CAST(SUM(CASE WHEN late_s > wm_s THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("drop_ppm"),
+        )
+    )

@@ -1206,3 +1206,68 @@ def sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("embeddings",))
     return spark.sql(_BQ_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation table (the index-quality artifact)
+# ---------------------------------------------------------------------------
+#
+# A production vector index ships with an eval table — recall@k of each
+# index variant against the exact baseline on a fixed query set — so
+# regressions in quantization/bucketing parameters surface as numbers,
+# not anecdotes. This registers that artifact as a query. No SQL oracle
+# (the index structures are not SQL-expressible); the driver records a
+# rows-only check and tests/test_similarity.py pins the recall floors.
+
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, variant_df: DataFrame,
+                     variant: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = variant_df.select("query_id", "neighbor_id").join(
+        exact, ["query_id", "neighbor_id"], "left_semi"
+    )
+    # anchor on the exact query list: a variant scoring ZERO hits for a
+    # query must average in as 0, not vanish from the denominator
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("hit")
+            ),
+            "query_id",
+            "left",
+        )
+        .select("query_id", F.coalesce("hit", F.lit(0)).alias("n_hit"))
+    )
+    return per_q.agg(
+        F.lit(variant).alias("variant"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr(f"CAST(SUM(n_hit) * 1000000 DIV (COUNT(*) * {TOP_K}) AS BIGINT)")
+        .alias("recall_ppm"),
+    )
+
+
+@query("sim_ann_recall_eval", tags=("similarity", "eval"))
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of every ANN tier against the exact brute-force
+    baseline on the fixed query set — one row per variant
+    (hyperplane-LSH, IVF-nprobe, 16x4-bit PQ+ADC, 1-bit Hamming). The
+    table a vector-index deployment publishes per build; recall floors
+    are additionally pinned as tests. Cost: each variant's candidate
+    path + one id-width semi-join per variant against the exact top-k
+    (which Catalyst evaluates once per variant — all sides are
+    id-width, the embedding table is scanned by the variants
+    themselves).""".replace("{k}", str(TOP_K))
+    variants = [
+        ("lsh", ann_lsh_topk(spark, sf_dir)),
+        ("ivf", ann_ivf_topk(spark, sf_dir)),
+        ("pq", ann_pq_topk(spark, sf_dir)),
+        ("hamming", sim_binary_hamming(spark, sf_dir)),
+    ]
+    out = None
+    for name, df in variants:
+        r = _recall_vs_exact(spark, sf_dir, df, name)
+        out = r if out is None else out.unionAll(r)
+    return out
