@@ -131,6 +131,8 @@ HEADLINE = [
     "sim_hybrid_retrieval",       # BM25 + dense cosine RRF fusion
     "text_boilerplate_ngrams",    # CCNet-style template detection
     "curate_epoch_schedule",      # temperature mixing under token budget
+    "pipe_rag_serving",           # retrieve->fuse->pack serving chain
+    "evt_watermark_choice",       # lateness CDF -> watermark sizing
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

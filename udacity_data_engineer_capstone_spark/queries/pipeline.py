@@ -685,3 +685,85 @@ def pipe_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rejected_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG serving pipeline: hybrid retrieve -> budgeted context assembly
+# ---------------------------------------------------------------------------
+
+from udacity_data_engineer_capstone_spark.operators.retrieval import (  # noqa: E402
+    _HYBRID_ORACLE,
+    sim_hybrid_retrieval,
+)
+
+_RAG_TOKEN_BUDGET = 256
+
+# The serving chain as one oracle: the hybrid fusion CTE chain (top-20
+# fused candidates) joined back to the documents for token counts, then
+# greedy in-order context packing under the token budget (cumulative
+# sum over fused rank; a doc is kept iff everything through it fits).
+_RAG_ORACLE = (
+    _HYBRID_ORACLE.rstrip().rsplit("SELECT doc_id, r_sparse, r_dense, fused_ppb", 1)[0]
+    + f"""
+, ranked AS (
+  SELECT doc_id, fused_ppb FROM fused
+  QUALIFY row_number() OVER (ORDER BY fused_ppb DESC, doc_id) <= 20
+),
+ctx AS (
+  SELECT r.doc_id, r.fused_ppb,
+         CAST(len(string_split_regex(lower(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+),
+packed AS (
+  SELECT doc_id, fused_ppb, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY fused_ppb DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         CAST(row_number() OVER (ORDER BY fused_ppb DESC, doc_id) AS BIGINT)
+           AS slot
+  FROM ctx
+)
+SELECT slot, doc_id, fused_ppb, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_TOKEN_BUDGET}
+"""
+)
+
+
+@query("pipe_rag_serving", oracle=_RAG_ORACLE, tags=("pipeline", "retrieval"))
+def pipe_rag_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving path end to end: hybrid dense+sparse retrieval
+    (BM25 ∪ cosine candidates fused by reciprocal rank), candidates
+    joined back to their documents, and greedy in-fused-order context
+    packing under a {budget}-token budget — the exact chain between a
+    user query and the prompt a generator receives. Kept docs carry
+    their slot, token count, and running total, so the serving layer's
+    truncation decision is auditable.
+
+    Scale shape: the corpus is touched only by the two index scans
+    inside the hybrid step (each ending in a top-k); everything after
+    — the doc join (20 ids, broadcastable), the packing window (20
+    rows) — is candidate-sized. Per-query serving cost is independent
+    of corpus size.""".replace("{budget}", str(_RAG_TOKEN_BUDGET))
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    cand = sim_hybrid_retrieval(spark, sf_dir).select("doc_id", "fused_ppb")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    ctx = cand.join(docs, "doc_id")
+    w = (
+        Window.orderBy(F.col("fused_ppb").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = ctx.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("fused_ppb").desc(), "doc_id"))
+        .cast("long")
+        .alias("slot"),
+        "doc_id",
+        "fused_ppb",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+    return packed.filter(F.col("cum_tokens") <= _RAG_TOKEN_BUDGET)
