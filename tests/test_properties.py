@@ -92,3 +92,82 @@ def test_zorder_interleave_is_bijective(a, b):
     ra = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     rb = sum(((z >> (2 * i)) & 1) << i for i in range(16))
     assert (ra, rb) == (a, b)
+
+
+# ---------------------------------------------------------------------------
+# SizingProfile derivation invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from udacity_data_engineer_capstone_spark.session import SizingProfile  # noqa: E402
+
+_MB_ = 1 << 20
+
+
+@given(
+    cores=st.integers(min_value=1, max_value=1_000_000),
+    mem=st.one_of(st.none(), st.floats(min_value=0.01, max_value=10_000)),
+    inp=st.one_of(st.none(), st.floats(min_value=0.0, max_value=1e9)),
+    tgt_mb=st.integers(min_value=1, max_value=16_384),
+)
+@settings(max_examples=200, deadline=None)
+def test_sizing_profile_invariants(cores, mem, inp, tgt_mb):
+    p = SizingProfile(
+        name="x",
+        total_cores=cores,
+        mem_gb_per_core=mem,
+        expected_input_gb=inp,
+        target_partition_bytes=tgt_mb * _MB_,
+    )
+    conf = p.derive()
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # every core gets work; data-first only ever RAISES the count
+    assert parts >= cores
+    if inp is not None:
+        import math
+
+        assert parts >= math.ceil(inp * (1 << 30) / (tgt_mb * _MB_))
+    # split sizing mirrors the target; open-cost clamped to [64K, 4M]
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == tgt_mb * _MB_
+    oc = int(conf["spark.sql.files.openCostInBytes"])
+    assert 64 * 1024 <= oc <= 4 * _MB_
+    # broadcast threshold present iff memory known, clamped [10M, 512M]
+    if mem is None:
+        assert "spark.sql.autoBroadcastJoinThreshold" not in conf
+    else:
+        bt = int(conf["spark.sql.autoBroadcastJoinThreshold"])
+        assert 10 * _MB_ <= bt <= 512 * _MB_
+
+
+@given(
+    cores=st.integers(min_value=1, max_value=100_000),
+    inp1=st.floats(min_value=0.0, max_value=1e8),
+    inp2=st.floats(min_value=0.0, max_value=1e8),
+)
+@settings(max_examples=100, deadline=None)
+def test_sizing_profile_monotone_in_input(cores, inp1, inp2):
+    lo, hi = sorted((inp1, inp2))
+    p_lo = SizingProfile(name="x", total_cores=cores, expected_input_gb=lo)
+    p_hi = SizingProfile(name="x", total_cores=cores, expected_input_gb=hi)
+    assert int(p_lo.derive()["spark.sql.shuffle.partitions"]) <= int(
+        p_hi.derive()["spark.sql.shuffle.partitions"]
+    )
+
+
+from udacity_data_engineer_capstone_spark.maintenance import (  # noqa: E402
+    plan_output_files,
+)
+
+
+@given(
+    nbytes=st.integers(min_value=0, max_value=1 << 50),
+    target=st.integers(min_value=1, max_value=1 << 34),
+)
+@settings(max_examples=200, deadline=None)
+def test_compaction_plan_invariants(nbytes, target):
+    n = plan_output_files(nbytes, target)
+    assert n >= 1
+    # files land under target on average: n is the minimal count whose
+    # mean size <= target
+    assert n * target >= nbytes
+    if n > 1:
+        assert (n - 1) * target < nbytes
