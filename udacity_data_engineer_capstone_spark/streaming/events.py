@@ -835,6 +835,7 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumptions."""
     src = stage_events_dir(spark, sf_dir)
     stream = stream_events(spark, src)
+    stream = stream.withColumn("ts", F.timestamp_micros("ts_us"))
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
@@ -1239,3 +1240,137 @@ def sessionize_with_timeout(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python streaming SOURCE (offset-cursor replay) end to end
+# ---------------------------------------------------------------------------
+
+_PYSTREAM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS sum_value_micros
+FROM events
+GROUP BY event_type
+"""
+
+
+def _stage_sorted_log(spark: SparkSession, sf_dir: str) -> str:
+    """One event_id-sorted single-file parquet — the 'topic' the custom
+    source replays. Single-file is test scaffolding (the source's offset
+    cursor addresses row ids, however the log is physically stored);
+    cached per source fingerprint, atomically published."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_eventslog_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    final = os.path.join(dst, "log.parquet")
+    if os.path.exists(final):
+        return final
+    stage = tempfile.mkdtemp(prefix="engine_eventslog_stage_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    part = next(
+        p for p in os.listdir(stage)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    inner = tempfile.mkdtemp(prefix="engine_eventslog_pub_")
+    shutil.move(os.path.join(stage, part), os.path.join(inner, "log.parquet"))
+    try:
+        os.rename(inner, dst)
+    except OSError:
+        shutil.rmtree(inner, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    return final
+
+
+@query(
+    "stream_python_source",
+    oracle=_PYSTREAM_ORACLE,
+    tags=("streaming", "source"),
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom Python STREAMING data source driven end to end: the
+    event log replays through ``spark.readStream.format("events_log")``
+    (sources/pyds.py — a Spark 4 ``DataSourceStreamReader`` with real
+    offset bookkeeping: ``latestOffset`` advances a row-id cursor one
+    chunk per micro-batch, ``partitions`` splits each range across
+    executor tasks, re-reads are deterministic = replayable), into a
+    complete-mode per-type aggregate, drained micro-batch by
+    micro-batch until the cursor reaches the end of the log. The oracle
+    recomputes from the relational source, so offset bookkeeping that
+    loses or double-delivers ANY range fails the hash.
+
+    This is the offset-cursor source shape (kafka-like); the
+    file-listing shape is covered by the other ``stream_*`` queries."""
+    import time as _time
+    import uuid as _uuid
+
+    from udacity_data_engineer_capstone_spark.sources.pyds import (
+        register_events_log,
+    )
+
+    path = _stage_sorted_log(spark, sf_dir)
+    register_events_log(spark)
+    expected = load_table(spark, sf_dir, "events").count()
+    stream = (
+        spark.readStream.format("events_log")
+        .option("path", path)
+        .option("chunk", "2500")
+        .load()
+    )
+    # (streaming forbids COUNT DISTINCT; min/max event_id double as
+    # offset-integrity evidence — a lost or replayed range moves them)
+    stream = stream.withColumn("ts", F.timestamp_micros("ts_us"))
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+        F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+        .cast("long")
+        .alias("sum_value_micros"),
+    )
+    name = f"pystream_{_uuid.uuid4().hex[:12]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                snap = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
+                if snap == expected:
+                    break  # cursor reached end of log; snapshot complete
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"python streaming source drained {snap}/{expected} rows"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
