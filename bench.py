@@ -167,6 +167,9 @@ def main() -> None:
         # stdout and could interleave with the single JSON result line the
         # driver parses — disable it for the bench JVM.
         .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+        # stage progress bars and log4j2's console appender both target
+        # SYSTEM_OUT in Spark 4 — keep stdout clean for the JSON line
+        .config("spark.ui.showConsoleProgress", "false")
         # local[32] runs all 32 executor threads inside the driver JVM;
         # the 1g default heap OOMs on the wider headline set.
         .config("spark.driver.memory", "16g")

@@ -229,3 +229,98 @@ def test_session_timeout_state_bounded_by_active_sessions(spark, sf_dir):
         n_users,
         n_timeout_flushed,
     )
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Exactly-once for the custom offset-cursor source
+    (sources/pyds.py events_log): stop a checkpointed drain mid-log,
+    restart from the SAME checkpoint with a FRESH reader instance
+    (cursor resets to 0 — the restart case partitions() must tolerate
+    by emitting empty ranges until the cursor passes the committed
+    offset), and prove the final totals equal the batch ground truth:
+    no offset range lost, none double-delivered."""
+    import time
+
+    from udacity_data_engineer_capstone_spark.sources.pyds import (
+        register_events_log,
+    )
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        _stage_sorted_log,
+    )
+
+    path = _stage_sorted_log(spark, sf_dir)
+    register_events_log(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "rows")
+    total = load_table(spark, sf_dir, "events").count()
+
+    def start(chunk):
+        stream = (
+            spark.readStream.format("events_log")
+            .option("path", path)
+            .option("chunk", str(chunk))
+            .load()
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # small chunks -> many micro-batches; crash partway
+        q1 = start(chunk=max(100, total // 20))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:
+                n = 0
+            if 0 < n < total:
+                break
+            time.sleep(0.1)
+        q1.stop()
+        q1.awaitTermination(30)
+
+        # restart: fresh reader, same checkpoint
+        q2 = start(chunk=max(100, total // 20))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.read.parquet(out_dir).count()
+            if n >= total:
+                break
+            time.sleep(0.2)
+        q2.stop()
+        q2.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    got = spark.read.parquet(out_dir)
+    # exactly-once: every event id exactly once (foreachBatch replays of
+    # an uncommitted batch are possible; distinct-by-id must equal total
+    # and raw count must not LOSE anything)
+    assert got.select("event_id").distinct().count() == total
+    assert got.count() >= total
+    # content integrity: per-type sums match the batch source
+    truth = {
+        (r["event_type"],): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    deduped = got.dropDuplicates(["event_id"])
+    streamed = {
+        (r["event_type"],): r["n"]
+        for r in deduped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == truth
