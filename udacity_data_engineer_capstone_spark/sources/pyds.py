@@ -125,8 +125,19 @@ class _EventsLogStreamReader(DataSourceStreamReader):
         self._cursor = nxt
         return {"next": nxt}
 
+    def _clamp_cursor(self, committed: int) -> None:
+        # RESTART SAFETY: a fresh reader starts its in-memory cursor at
+        # 0, but on checkpoint recovery Spark resumes from the committed
+        # offset and hands it back through partitions()/commit(). Clamp
+        # the cursor to every offset the engine shows us so latestOffset
+        # never falls below the checkpointed position (which would skip
+        # ranges / emit non-monotonic offsets).
+        if committed > getattr(self, "_cursor", 0):
+            self._cursor = committed
+
     def partitions(self, start: dict, end: dict):
         lo, hi = start["next"], end["next"]
+        self._clamp_cursor(hi)
         if hi <= lo:
             return [_RangePartition(self.path, lo, lo)]
         step = max(1, (hi - lo) // self.tasks)
@@ -142,17 +153,24 @@ class _EventsLogStreamReader(DataSourceStreamReader):
         # executor-side: read exactly [lo, hi) rows of the sorted log
         if partition.hi <= partition.lo:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path, columns=_LOG_COLS)
         sl = tbl.slice(partition.lo, partition.hi - partition.lo)
         idx = sl.schema.get_field_index("ts")
-        sl = sl.set_column(idx, "ts", sl["ts"].cast("int64"))  # epoch us
+        # Spark stages the log with its default INT96 timestamps, which
+        # pyarrow surfaces as timestamp[ns]; a direct cast('int64') would
+        # therefore yield NANOseconds. Normalize to micros first so the
+        # declared ts_us unit is honest regardless of the staged file's
+        # physical timestamp type (INT96 / MICROS / MILLIS).
+        ts_us = sl["ts"].cast(pa.timestamp("us")).cast("int64")
+        sl = sl.set_column(idx, "ts", ts_us)
         for row in sl.to_pylist():
             yield tuple(row[c] for c in _LOG_COLS)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._clamp_cursor(end["next"])
 
     def stop(self) -> None:
         pass

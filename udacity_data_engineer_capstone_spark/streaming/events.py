@@ -835,7 +835,6 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumptions."""
     src = stage_events_dir(spark, sf_dir)
     stream = stream_events(spark, src)
-    stream = stream.withColumn("ts", F.timestamp_micros("ts_us"))
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
@@ -1251,6 +1250,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MIN(event_id) AS BIGINT) AS min_event_id,
        CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(MAX(ts) AS TIMESTAMP) AS max_ts,
        CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
             AS BIGINT) AS sum_value_micros
 FROM events
@@ -1336,12 +1336,16 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     # (streaming forbids COUNT DISTINCT; min/max event_id double as
-    # offset-integrity evidence — a lost or replayed range moves them)
+    # offset-integrity evidence — a lost or replayed range moves them;
+    # max_ts pins the wire-unit decode: a micros-vs-nanos regression in
+    # the source's ts_us column moves it ~50,000 years and fails the
+    # oracle hash)
     stream = stream.withColumn("ts", F.timestamp_micros("ts_us"))
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min("event_id").cast("long").alias("min_event_id"),
         F.max("event_id").cast("long").alias("max_event_id"),
+        F.max("ts").alias("max_ts"),
         F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("long"))
         .cast("long")
         .alias("sum_value_micros"),
