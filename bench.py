@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line (kept under ~1.8 KB so the driver's tail
+capture parses it — full per-query timings + raw samples go to the
+BENCH_DETAIL.json sidecar next to this file):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <scale factor>, "runs": N}
+   "queries": {<top-10 slowest>}, "n_queries": N, "sf": <scale factor>,
+   "runs": N, "detail": "BENCH_DETAIL.json"}
 
 Each query is executed to completion (collect) — not just planned — so
 the timings include scan, shuffle, and result materialization. A warmup
@@ -147,6 +150,11 @@ HIGH_VARIANCE = {
     "tpch_q1_pricing_summary",
     "stream_ewma_state",
     "stream_session_timeout_state",
+    # r5->r6 movers with unchanged code (VERDICT r6 directive #5):
+    # median-of-5 to separate tenant noise from real plan regressions
+    "mm_phash_dedup",
+    "dedup_cluster_cc",
+    "curate_soft_dedup_weights",
 }
 
 
@@ -205,19 +213,50 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # The driver captures only a ~2 KB tail of stdout; 82 per-query
+    # timings plus runs metadata no longer fit one line (BENCH_r04-r06
+    # all recorded "parsed": null — VERDICT r6 directive #2). Full
+    # detail goes to a committed sidecar; the single stdout line keeps
+    # total + the top slowest queries and stays well under the capture.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w", encoding="utf-8") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": {k: [round(t, 3) for t in v]
+                            for k, v in samples.items()},
                 "sf": sf,
                 "runs": base_runs,
                 "runs_per_query": runs_for,
-            }
+            },
+            fh,
+            indent=1,
         )
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": top,
+            "n_queries": len(timings),
+            "sf": sf,
+            "runs": base_runs,
+            "detail": os.path.basename(detail_path),
+        }
+    )
+    assert len(line) < 1800, f"bench line too long ({len(line)}B)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -46,19 +46,35 @@ def test_pagerank_approx_exit_fires_before_cap(spark):
     assert rounds < 6, "ranking-stability exit never fired"
 
 
-def test_lpa_approx_detects_oscillation(spark):
+def test_lpa_approx_multilevel_converges(spark):
     out = _run(spark, "graph_lpa_approx")
     rounds = out.first()["rounds_run"]
-    # synchronous LPA two-colors this bipartite graph into a period-2
-    # cycle; detection needs >= 3 rounds and must fire well under the
-    # 10-round cap
-    assert rounds < 10, "oscillation exit never fired"
-    # still a full labeling: one row per node
-    n_nodes = (
-        _run(spark, "graph_pagerank")
-        .count()
-    )
+    # the coarse solve runs to actual convergence (changed == 0), well
+    # inside the iteration cap — unlike flat synchronous LPA, which
+    # oscillates period-2 on this bipartite graph and never converges
+    assert 1 <= rounds < 50, "coarse LPA did not converge under the cap"
+    # full labeling: one row per node
+    n_nodes = _run(spark, "graph_pagerank").count()
     assert out.count() == n_nodes
+    # communities are anchored at suppliers: every label is a supplier
+    # node id (odd in the 2c / 2s+1 node encoding)
+    assert out.filter(F.col("community") % 2 == 0).count() == 0
+
+
+def test_lpa_approx_distributed_fallback_agrees(spark, monkeypatch):
+    from udacity_data_engineer_capstone_spark.operators import graph as G
+
+    single = _run(spark, "graph_lpa_approx")
+    n_single = single.select("community").distinct().count()
+    # force the size gate so the distributed coarse loop runs instead
+    # of the single-task solve
+    monkeypatch.setattr(G, "_LPA_COARSE_MAX_EDGES", 0)
+    fb = _run(spark, "graph_lpa_approx")
+    assert fb.count() == single.count()
+    assert fb.filter(F.col("community") % 2 == 0).count() == 0
+    # both paths solve the same coarse graph; at this SF the converged
+    # structure matches (community count is the stable observable)
+    assert fb.select("community").distinct().count() == n_single
 
 
 def test_hits_approx_agrees_with_exact_authorities(spark):
