@@ -352,9 +352,13 @@ def snk_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = table_path(sf_dir, "lineitem")
     st = os.stat(src)
+    # target bytes is part of the cache key: a target change must not
+    # reuse a rewrite laid out for the old target (the audit booleans
+    # would be computed against the wrong geometry)
     dst = os.path.join(
         tempfile.gettempdir(),
-        f"engine_compacted_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}",
+        f"engine_compacted_{os.getuid()}_{st.st_mtime_ns}_{st.st_size}"
+        f"_{_COMPACT_EXEC_TARGET}",
     )
     if not os.path.exists(dst):
         stage = tempfile.mkdtemp(prefix="engine_compact_stage_")

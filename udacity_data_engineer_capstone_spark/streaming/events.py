@@ -931,7 +931,28 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: state is O(keys within the watermark horizon), not
     O(all keys ever) — the only streaming dedup that survives an
-    unbounded stream."""
+    unbounded stream. tests/test_streaming.py::
+    test_dedup_within_watermark_state_evicts reads the engine's
+    stateOperators metrics off this exact staging to prove eviction
+    actually fires (numRowsRemoved > 0, terminal state a fraction of
+    the key universe)."""
+    src = stage_events_with_dups(spark, sf_dir)
+    deduped = (
+        stream_events(spark, src)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+def stage_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
+    """The watermark-dedup staging: the ordered events shards plus a
+    planted duplicate shard set (event_id % 3 == 0 re-written),
+    range-partitioned on ``ts`` like the originals and interleaved by
+    modification time 0.4 s behind the original shard covering the
+    same event-time range — duplicates are discovered while their
+    keys' state is still live."""
     src = stage_events_dir(spark, sf_dir)
     dup_tmp = tempfile.mkdtemp(prefix="engine_stream_dup_")
     shutil.rmtree(dup_tmp)
@@ -951,14 +972,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.move(os.path.join(dup_tmp, p), dst)
         os.utime(dst, (anchor_m + 0.4, anchor_m + 0.4))
     shutil.rmtree(dup_tmp, ignore_errors=True)
-
-    deduped = (
-        stream_events(spark, src)
-        .withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
-    return run_to_memory(deduped, output_mode="append")
+    return src
 
 
 _HOURLY_VELOCITY_ORACLE = """
