@@ -1142,3 +1142,103 @@ def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-span (substring) dedup — the sequence-level complement
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span
+
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {_SPAN_K}),
+spans AS (
+  SELECT doc_id, array_to_string(t[g : g + {_SPAN_K - 1}], ' ') AS span
+  FROM (SELECT doc_id, t, UNNEST(range(1, n - {_SPAN_K - 2})) AS g FROM eligible)
+),
+dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+         CAST(COUNT(DISTINCT s.span) AS BIGINT) AS n_dup_spans
+  FROM spans s JOIN dup USING (span) GROUP BY s.doc_id
+)
+SELECT e.doc_id,
+       CAST(e.n - {_SPAN_K - 1} AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.n_dup_positions, 0) AS BIGINT) AS n_dup_positions
+FROM eligible e LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("dedup_repeated_spans", oracle=_SPAN_ORACLE, tags=("dedup", "spans"))
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN detection — the sequence-level dedup the
+    document-level family cannot see (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": exact duplicated
+    substrings cause memorization even when the *documents* containing
+    them are unique). For every {k}-token sliding window, find spans
+    occurring in ≥2 distinct documents and report per-document span
+    counts and duplicated-position coverage — the per-doc signal a
+    span-removal or downweighting pass consumes.
+
+    Spark-first shape (vs the paper's suffix array, which is a
+    single-machine construction): the span universe is materialized as
+    ONE narrow pass — ``transform(sequence(...))`` builds each
+    document's windows inside codegen, exploded to (doc_id, span_hash)
+    with the 64-bit ``xxhash64`` of the span, so the shuffle carries
+    8-byte hashes, never text. Duplicated spans are a hash aggregate
+    (count distinct docs ≥ 2); per-doc coverage is one equi-join of the
+    position list with that duplicated-hash set, both sides
+    hash-partitioned on the span hash. Total cost O(total tokens) rows
+    through two shuffles — no pairwise comparison anywhere. The oracle
+    replays span STRINGS (DuckDB has no xxhash64); a 64-bit collision
+    would show as a count mismatch — odds ~(n_spans²)/2⁶⁵, negligible
+    at test scale and a documented approximation at corpus scale
+    (production would widen to 128-bit, e.g. two seeded xxhash64
+    lanes).""".replace("{k}", str(_SPAN_K))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= _SPAN_K)
+    eligible = toks.select(
+        "doc_id", "t", (F.size("t") - (_SPAN_K - 1)).cast("long").alias("n_spans")
+    )
+    spans = eligible.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_spans")),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("h").cast("long").alias("n_dup_spans"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+        )
+    )
+    return (
+        eligible.select("doc_id", "n_spans")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_dup_positions", F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+    )
