@@ -29,18 +29,24 @@ QUERIES = [
     "spatial_dbscan_grid",
     "text_rrf_fusion",
     "pipe_rag_serving",
-    # directive #4 evidence pair
-    "graph_lpa_approx",
+    # directive #4 evidence pair: exact first (pays the shared adjacency
+    # build), then both twice — the recorded number is the warm second
+    # run, matching how bench.py medians see them
     "graph_label_propagation",
+    "graph_lpa_approx",
 ]
+
+WARM_TWICE = {"graph_label_propagation", "graph_lpa_approx"}
 
 
 def run_at(spark, sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
-        t0 = time.time()
-        n = engine.QUERIES[name].fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 2)
+        runs = 2 if name in WARM_TWICE else 1
+        for _ in range(runs):
+            t0 = time.time()
+            n = engine.QUERIES[name].fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 2)
         print(f"  {name}: {times[name]} s ({n} rows)", flush=True)
     return times
 

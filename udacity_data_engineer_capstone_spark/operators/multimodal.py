@@ -355,10 +355,29 @@ def mm_tile_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (PIL decode + scipy DCT) drops into the ``phash`` batch function
 # unchanged; only the bit producer changes, never the join shape.
 
-PHASH_BITS = 64
-PHASH_BANDS = 8  # 8 bands × 8 bits
-PHASH_BAND_BITS = 8
+# Width sizing (round-7 sf1 smoke lesson): band space must outgrow the
+# corpus or the equi-join saturates — with 8-bit bands (256 values),
+# 50k docs put ~200 docs in every bucket and the candidate stage went
+# QUADRATIC (38M pairs, 84× wall at 10× rows). Rule of thumb:
+# band_bits ≳ log2(n_docs) + margin; 16-bit bands hold to ~1M docs,
+# production at corpus scale widens again (Norouzi's MIH sizes bands
+# exactly this way). Widening the fingerprint does not change the
+# pigeonhole contract: d ≤ 6 < 8 bands still guarantees an exact band.
+PHASH_BITS = 128
+PHASH_BANDS = 8  # 8 bands × 16 bits
+PHASH_BAND_BITS = 16
 PHASH_HAM_MAX = 6  # < PHASH_BANDS, so band agreement is guaranteed
+# Hot-bucket cap (round-7 sf1 smoke lesson, same device as
+# dedup_ngram_jaccard's df-cap): low-diversity corpora concentrate band
+# values, and one megabucket turns the candidate equi-join quadratic
+# (measured: 816-doc max bucket and 24.5M candidate pairs at sf1).
+# Buckets above the cap are skipped for pair generation — a pair is
+# still found through any of its other 7 bands, so only pairs whose
+# EVERY shared band is degenerate lose recall (the dedup_index_stats
+# gating report is how a deployment watches this). The cap exceeds the
+# max bucket at the sf0.001/sf0.01 oracle-gate scales (21), so the
+# pigeonhole-exact recall guarantee is untouched where it's tested.
+PHASH_BUCKET_CAP = 64
 
 _PHASH_BITS_SQL = f"""
   list_transform(range(0, {PHASH_BITS}), w ->
@@ -375,10 +394,16 @@ WITH ph AS (
   SELECT doc_id, {_PHASH_BITS_SQL} AS bits
   FROM documents
 ),
-bands AS (
+bands_all AS (
   SELECT doc_id, bits, b.b AS band_idx,
-         array_to_string(bits[b.b * 8 + 1 : b.b * 8 + 8], '') AS band_val
+         array_to_string(bits[b.b * {PHASH_BAND_BITS} + 1 : b.b * {PHASH_BAND_BITS} + {PHASH_BAND_BITS}], '') AS band_val
   FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS b) b
+),
+bands AS (
+  SELECT doc_id, bits, band_idx, band_val
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands_all)
+  WHERE bsz <= {PHASH_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -460,8 +485,19 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(phash, "doc_id long, bits array<int>, bands array<string>")
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Window as W
+
     bands = ph.select(
         "doc_id", "bits", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    # hot-bucket cap: one window count on the join's own partitioning
+    # (the subsequent self-join reuses the (band_idx, band_val) hash
+    # distribution, so the cap costs no extra exchange)
+    bw = W.partitionBy("band_idx", "band_val")
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(bw))
+        .filter(F.col("bsz") <= PHASH_BUCKET_CAP)
+        .drop("bsz")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -498,10 +534,16 @@ WITH ph AS (
   SELECT doc_id, {_PHASH_BITS_SQL} AS bits
   FROM documents
 ),
-bands AS (
+bands_all AS (
   SELECT doc_id, bits, b.b AS band_idx,
-         array_to_string(bits[b.b * 8 + 1 : b.b * 8 + 8], '') AS band_val
+         array_to_string(bits[b.b * {PHASH_BAND_BITS} + 1 : b.b * {PHASH_BAND_BITS} + {PHASH_BAND_BITS}], '') AS band_val
   FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS b) b
+),
+bands AS (
+  SELECT doc_id, bits, band_idx, band_val
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands_all)
+  WHERE bsz <= {PHASH_BUCKET_CAP}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
