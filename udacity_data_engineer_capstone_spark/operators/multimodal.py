@@ -332,12 +332,12 @@ def mm_tile_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode→resize→transform step maps each image to a short bit fingerprint
 # in which visually-near images differ in only a few bits, and near-dup
 # detection is a Hamming-distance-≤ d search. The distributed shape is
-# MULTI-INDEX HASHING (Norouzi et al., CVPR 2012): split the 64-bit hash
-# into B = 4 disjoint 16-bit bands — any pair within Hamming d < B must
-# agree EXACTLY on at least one band (pigeonhole) — so candidates come
-# from B equi-joins on (band_idx, band_value) and only candidates pay the
-# exact 64-bit verify. No all-pairs stage anywhere; recall is exact for
-# d ≤ 3 by construction.
+# MULTI-INDEX HASHING (Norouzi et al., CVPR 2012): split the 128-bit
+# hash into B = 8 disjoint 16-bit bands — any pair within Hamming d < B
+# must agree EXACTLY on at least one band (pigeonhole) — so candidates
+# come from B equi-joins on (band_idx, band_value) and only candidates
+# pay the exact 128-bit verify. No all-pairs stage anywhere; recall is
+# exact for d ≤ 6 by construction (up to the hot-bucket cap below).
 #
 # The decode+DCT step is STUBBED (no image libs in this container) with a
 # deterministic stand-in that keeps the perceptual CONTRACT — a small
@@ -345,11 +345,12 @@ def mm_tile_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bits, and the fingerprint is invariant to content *position* (a real
 # pHash survives crop/shift/reflow because DCT low frequencies do):
 # bit_i is the PARITY of the count of payload byte BIGRAMS hashing to
-# class i ((b₁·31 + b₂) mod 64) — a bag-of-bigrams projection. Editing
+# class i ((b₁·31 + b₂) mod 128) — a bag-of-bigrams projection. Editing
 # k bytes touches ≤ k+1 bigrams, flipping at most that many bits
-# (appending the corpus's " dup" suffix lands at Hamming 2–4), while
-# unrelated payloads disagree on ~32 bits (measured on this corpus:
-# 25 of 124,750 background pairs fall ≤ 6). Payloads are ASCII text
+# (appending the corpus's " dup" suffix lands at Hamming 2–4 regardless
+# of width), while unrelated payloads disagree on ~half the bits
+# (the background-pair count at d ≤ 6 shrinks further at 128 bits —
+# wider fingerprints buy discrimination). Payloads are ASCII text
 # bytes here, so the oracle recomputes the identical fingerprint from
 # ``text`` with ord()/substr — the stub stays honest. A real pHash
 # (PIL decode + scipy DCT) drops into the ``phash`` batch function
