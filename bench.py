@@ -136,8 +136,9 @@ HEADLINE = [
     "curate_epoch_schedule",      # temperature mixing under token budget
     "pipe_rag_serving",           # retrieve->fuse->pack serving chain
     "evt_watermark_choice",       # lateness CDF -> watermark sizing
-    # round-7 wave: sequence-level exact dedup
+    # round-7 wave: sequence-level exact dedup + epoch shuffling
     "dedup_repeated_spans",       # duplicated k-token span coverage
+    "curate_shuffle_epoch",       # two-phase global shuffle ordinal
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -1813,3 +1813,86 @@ def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV n_tokens AS BIGINT)"
         ).alias("epochs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (two-phase global ordinal)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+_SHUFFLE_BUCKETS = 256  # first md5 byte
+
+_SHUFFLE_ORACLE = f"""
+WITH e AS (
+  SELECT g.epoch, d.doc_id,
+         md5(CAST(g.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+           AS k
+  FROM documents d,
+       (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch) g
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1
+            AS BIGINT) AS shuffle_pos
+FROM e
+"""
+
+
+@query("curate_shuffle_epoch", oracle=_SHUFFLE_ORACLE, tags=("curation",))
+def curate_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — the ordinal every
+    pretraining loader needs (sample i of epoch e must be the same doc
+    on every rerun and every worker, and different epochs must visit
+    the corpus in different orders). Position = global rank of
+    ``md5(epoch:doc_id)``: seeded, idempotent, no RNG state.
+
+    Scale shape — the point of this operator: a global ordinal is NOT
+    ``row_number().over(Window.orderBy(...))``, which collapses the
+    whole corpus into ONE task (the classic global-window trap; Spark
+    even warns). Instead the rank is TWO-PHASE: (1) bucket rows by the
+    first md5 byte (256 range buckets whose hex ordering equals their
+    key ordering), count per (epoch, bucket) — a 512-row driver-side
+    cumsum, bounded by the constant bucket count, never by corpus
+    size; (2) ``row_number`` within each (epoch, bucket) partition —
+    corpus-sized work at bucket-level parallelism — plus the broadcast
+    bucket offset. Same device as external sorting's histogram pass;
+    at 100 TB the bucket byte widens to two (65k buckets) and nothing
+    else changes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = (
+        docs.crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "doc_id",
+            F.md5(
+                F.concat_ws(":", F.col("epoch").cast("string"),
+                            F.col("doc_id").cast("string"))
+            ).alias("k"),
+        )
+        .withColumn("bucket", F.substring("k", 1, 2))
+    )
+    counts = (
+        keyed.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets = []
+    by_epoch: dict = {}
+    for r in sorted(counts, key=lambda r: (r["epoch"], r["bucket"])):
+        start = by_epoch.get(r["epoch"], 0)
+        offsets.append((r["epoch"], r["bucket"], start))
+        by_epoch[r["epoch"]] = start + r["n"]
+    off_df = spark.createDataFrame(
+        offsets, "epoch long, bucket string, offset long"
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(off_df), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w) - 1)
+            .cast("long")
+            .alias("shuffle_pos"),
+        )
+    )
