@@ -1070,3 +1070,37 @@ def test_epoch_schedule_single_corpus_scan(spark, sf_dir):
     n_scans = tree.count("Scan parquet") + tree.count("BatchScan")
     assert n_scans <= 1, tree
     assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text, text
+
+
+def test_repeated_spans_hashes_before_shuffle_no_python(spark, sf_dir):
+    """dedup_repeated_spans: the span windows must be built inside
+    codegen (transform/sequence — no Python eval boundary), the
+    exploded rows must carry the 64-bit xxhash64 of each span (the
+    shuffle moves 8-byte hashes, never span text), and there must be
+    no pairwise stage anywhere."""
+    df = Q["dedup_repeated_spans"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert "xxhash64" in text  # hashes minted before the explode ships
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_shuffle_epoch_no_single_partition_window(spark, sf_dir):
+    """curate_shuffle_epoch: the global ordinal must come from the
+    two-phase bucket rank — a window over an UNPARTITIONED global
+    ordering (Window.orderBy with no partition keys) would collapse
+    the corpus into one task and is exactly what this operator
+    exists to avoid."""
+    df = Q["curate_shuffle_epoch"].fn(spark, sf_dir)
+    text = plan_text(df)
+    # every window spec in the plan must carry partition keys: Spark
+    # renders an unpartitioned running window as
+    # "windowspecdefinition(<order>, specifiedwindowframe..." with no
+    # partition columns before the ordering spec — equivalently, a
+    # global-window plan contains a SinglePartition exchange feeding
+    # the Window node
+    assert "SinglePartition" not in text, text
+    assert "Window" in text  # the within-bucket rank is still a window
+    # offsets attach via broadcast, bounded by the constant bucket count
+    assert "BroadcastHashJoin" in text
