@@ -119,3 +119,47 @@ def test_iterative_fixpoint_exit_fires_on_converging_state(spark):
     sa = _state_signature(a, ("node", "r"))
     assert sa == _state_signature(b, ("node", "r"))  # order-insensitive
     assert sa != _state_signature(c, ("node", "r"))
+
+
+def test_chunked_rounds_match_one_job_per_round_loop(spark):
+    """_chunked_fixpoint_rounds: K rounds chained per job must produce
+    the bit-identical state a one-job-per-round loop produces, for a
+    non-converging step (doubling) across chunk boundaries."""
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _chunked_fixpoint_rounds,
+    )
+
+    init = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 5)], "node long, r long"
+    )
+
+    def step(df):
+        return df.select("node", (F.col("r") * 2).alias("r"))
+
+    out = _chunked_fixpoint_rounds(init, step, ("node", "r"), 5, chunk=2)
+    got = {r["node"]: r["r"] for r in out.collect()}
+    assert got == {1: 32, 2: 96, 3: 160}  # 5 doublings, all executed
+
+
+def test_chunked_rounds_early_exit_on_fixpoint(spark):
+    """A step that reaches its fixpoint inside the first chunk must
+    stop there: the observe()-riding per-round signatures detect the
+    consecutive-equal pair, and no further chunk runs (a counting step
+    function would otherwise be called for rounds 4..99)."""
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _chunked_fixpoint_rounds,
+    )
+
+    init = spark.createDataFrame([(1, 100), (2, 7)], "node long, r long")
+    calls = []
+
+    def step(df):
+        calls.append(1)  # plan-construction count == rounds scheduled
+        return df.select("node", F.greatest(F.col("r"), F.lit(64)).alias("r"))
+
+    out = _chunked_fixpoint_rounds(init, step, ("node", "r"), 100, chunk=3)
+    got = {r["node"]: r["r"] for r in out.collect()}
+    assert got == {1: 100, 2: 64}  # fixpoint after round 1
+    # round 1 changes state, round 2 equals round 1 → exit after the
+    # FIRST chunk: exactly 3 step calls (the chunk), never 100
+    assert len(calls) == 3

@@ -20,9 +20,12 @@ Scale shape: each iteration is one equi-join of the static
 (src, dst, deg) adjacency against the current rank vector plus one
 partial+final integer aggregate — hash-width shuffles, no driver data
 collect at all (fixed iteration count, no convergence scalar even).
-``localCheckpoint`` per round truncates lineage so the plan stays O(1)
-per iteration. The DuckDB oracle unrolls the same recurrence as chained
-CTEs — identical integer semantics, declaratively.
+Fixed-round loops (PageRank/PPR/LPA) chain 3 rounds per Spark job with
+per-round fixpoint probes riding ``observe()`` metrics
+(:func:`_chunked_fixpoint_rounds`); convergence-driven loops (BFS,
+k-core) keep one job per round because the frontier/peel count decides
+whether to continue. The DuckDB oracle unrolls the same recurrence as
+chained CTEs — identical integer semantics, declaratively.
 
 Reference parity: the reference (``/root/reference/etl.py``) has no
 graph stage; extension surface (SURVEY §6).
@@ -32,7 +35,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
@@ -176,6 +179,88 @@ def _state_signature(df: DataFrame, cols: tuple[str, ...]) -> tuple[int, int]:
     return (r["n"], r["sig"])
 
 
+# Final iterative-state frames stay persisted for the caller's single
+# action; this bounded ring evicts the oldest (unpersist with lineage
+# intact → any late re-evaluation silently recomputes) so hundreds of
+# bench/test runs in one session can't accumulate CacheManager entries.
+_ITER_STATE_RING: list[DataFrame] = []
+_ITER_STATE_RING_MAX = 8
+
+
+def _chunked_fixpoint_rounds(
+    state: DataFrame,
+    step,
+    sig_cols: tuple[str, ...],
+    iters: int,
+    chunk: int = 3,
+) -> DataFrame:
+    """Run ``iters`` synchronous rounds of ``step`` while paying only
+    ``ceil(iters / chunk)`` Spark jobs instead of one per round:
+    ``chunk`` rounds are chained lazily in a single plan, each round
+    tagged with an ``observe()`` metric computing the SAME
+    (count, xxhash64-XOR) fixpoint signature as
+    :func:`_state_signature`, and one action materializes the chunk —
+    firing every round's probe for free. Exit parity is exact, not
+    chunk-granular: if any CONSECUTIVE pair of per-round signatures
+    matches, every later round is the identity, so the already-
+    materialized chunk-end frame equals the fixpoint and the loop
+    stops. The rounds, math, and early-exit condition are bit-identical
+    to the one-job-per-round form; only the job-barrier count changes
+    (6 jobs → 2 for PageRank at the local latency floor, and at
+    cluster scale the same shuffles with fewer scheduling waits).
+
+    Chunk ends persist() (recompute-safe lineage back to the persisted
+    adjacency) rather than localCheckpoint: plan depth is bounded by
+    the fixed round cap (≤ 6 here), so O(1)-per-round lineage
+    truncation is unnecessary — and localCheckpoint materialization is
+    an RDD job that does NOT fire observe() metrics (measured: the
+    probes read n=0), so persist is load-bearing here. The returned
+    final frame stays persisted for the caller's action; it is entered
+    into a bounded eviction ring (recompute-safe — unpersist keeps
+    lineage) so repeated query runs can't accumulate cache entries."""
+    sig_expr = "bit_xor(xxhash64({}))".format(", ".join(sig_cols))
+    prev_sig: tuple | None = None
+    prev_persisted: DataFrame | None = None
+    done = 0
+    while done < iters:
+        k = min(chunk, iters - done)
+        probes: list[Observation] = []
+        cur = state
+        for _ in range(k):
+            cur = step(cur)
+            ob = Observation()
+            cur = cur.observe(
+                ob,
+                F.count(F.lit(1)).alias("n"),
+                F.expr(sig_expr).alias("sig"),
+            )
+            probes.append(ob)
+        cur = cur.persist()
+        cur.count()  # ONE job: materializes the chunk, fires all probes
+        done += k
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = cur
+        state = cur
+        fixpoint = False
+        for ob in probes:
+            m = ob.get
+            sig = (m["n"], m["sig"])
+            if sig == prev_sig:
+                fixpoint = True  # remaining rounds are identity
+            prev_sig = sig
+        if fixpoint:
+            break
+    _ITER_STATE_RING.append(state)
+    if len(_ITER_STATE_RING) > _ITER_STATE_RING_MAX:
+        old = _ITER_STATE_RING.pop(0)
+        try:
+            old.unpersist()  # recompute-safe: lineage survives
+        except Exception:
+            pass
+    return state
+
+
 _PR_STEP = """
 pr{i} AS (
   SELECT b.d AS node,
@@ -209,18 +294,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates, and probes the exact-fixpoint signature, stopping
     early when a round changes nothing (parity-safe: remaining oracle
     rounds would be identity — see :func:`_state_signature` for why
-    that exit is measured NOT to fire at test SFs). Rank mass ≈
-    conserved (modulo integer truncation), so high-degree suppliers
-    surface with rank ≫ SCALE."""
+    that exit is measured NOT to fire at test SFs). Rounds run
+    chunk-chained (3 per Spark job) with the per-round probe riding
+    ``observe()`` metrics — see :func:`_chunked_fixpoint_rounds`.
+    Rank mass ≈ conserved (modulo integer truncation), so high-degree
+    suppliers surface with rank ≫ SCALE."""
     g = _purchase_graph(spark, sf_dir)
     adj = g["adj"]
     ranks = g["deg"].select(
         F.col("s").alias("node"), F.lit(SCALE).cast("long").alias("r")
     )
-    prev_sig = None
-    for _ in range(ITERS):
-        ranks = (
-            adj.join(ranks, adj["s"] == ranks["node"])
+
+    def _round(prev: DataFrame) -> DataFrame:
+        return (
+            adj.join(prev, adj["s"] == prev["node"])
             .select(F.col("d"), F.expr("r DIV deg").alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("mass"))
@@ -228,12 +315,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d").alias("node"),
                 F.expr(f"CAST({BASE} + (85 * mass) DIV 100 AS BIGINT)").alias("r"),
             )
-            .localCheckpoint(eager=False)  # O(1) lineage per round
         )
-        sig = _state_signature(ranks, ("node", "r"))
-        if sig == prev_sig:
-            break  # exact fixpoint: every remaining round is identity
-        prev_sig = sig
+
+    ranks = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), ITERS)
     return ranks.select(F.col("node").alias("node_id"), F.col("r").alias("pr_rank"))
 
 
@@ -862,25 +946,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = g["nodes"].select("node", F.col("node").alias("label"))
     from pyspark.sql import Window as W
 
-    prev_sig = None
-    for _ in range(_LPA_ITERS):
+    def _round(prev: DataFrame) -> DataFrame:
         counted = (
-            bidir.join(labels, bidir["s"] == labels["node"])
+            bidir.join(prev, bidir["s"] == prev["node"])
             .groupBy(F.col("d").alias("nd"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         rn = W.partitionBy("nd").orderBy(F.col("c").desc(), F.col("label"))
-        labels = (
+        return (
             counted.withColumn("rn", F.row_number().over(rn))
             .filter(F.col("rn") == 1)
             .select(F.col("nd").alias("node"), "label")
         )
-        # O(1) lineage per round: each label frame is node-sized
-        labels = labels.localCheckpoint(eager=False)
-        sig = _state_signature(labels, ("node", "label"))
-        if sig == prev_sig:
-            break  # labels stable: remaining rounds are identity
-        prev_sig = sig
+
+    # all 3 rounds chain into ONE job; the per-round stability probe
+    # rides observe() metrics (_chunked_fixpoint_rounds)
+    labels = _chunked_fixpoint_rounds(
+        labels, _round, ("node", "label"), _LPA_ITERS
+    )
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("community")
     )
@@ -1234,7 +1317,8 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair paying the identical edge-sized build twice); the seed
     restriction is a map-side CASE. Exact integer micro-unit lanes,
     unrolled-CTE oracle, exact-fixpoint early exit per
-    :func:`_state_signature`."""
+    :func:`_state_signature` riding chunk-chained rounds
+    (:func:`_chunked_fixpoint_rounds`, 3 rounds per job)."""
     g = _purchase_graph(spark, sf_dir)
     adj, nodes = g["adj"], g["nodes"]
     seed_base = (BASE * 2) // len(_PPR_SEEDS)
@@ -1245,31 +1329,24 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("r"),
     )
-    prev_sig = None
-    for _ in range(_PPR_ITERS):
+    def _round(prev: DataFrame) -> DataFrame:
         mass = (
-            adj.join(ranks.withColumnRenamed("node", "s"), "s")
+            adj.join(prev.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), F.expr("r DIV deg").alias("m"))
             .groupBy("node")
             .agg(F.sum("m").cast("long").alias("mass"))
         )
-        ranks = (
-            nodes.join(mass, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(in_seeds, F.lit(seed_base)).otherwise(F.lit(0))
-                    + F.expr("85 * CAST(COALESCE(mass, 0) AS BIGINT) DIV 100")
-                )
-                .cast("long")
-                .alias("r"),
+        return nodes.join(mass, "node", "left").select(
+            "node",
+            (
+                F.when(in_seeds, F.lit(seed_base)).otherwise(F.lit(0))
+                + F.expr("85 * CAST(COALESCE(mass, 0) AS BIGINT) DIV 100")
             )
-            .localCheckpoint(eager=False)
+            .cast("long")
+            .alias("r"),
         )
-        sig = _state_signature(ranks, ("node", "r"))
-        if sig == prev_sig:
-            break  # exact fixpoint: every remaining round is identity
-        prev_sig = sig
+
+    ranks = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), _PPR_ITERS)
     return ranks.filter(F.col("r") > 0).select(
         F.col("node").alias("node_id"), F.col("r").alias("ppr_rank")
     )
