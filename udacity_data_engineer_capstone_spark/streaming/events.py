@@ -44,7 +44,33 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
+# Staged source dirs, memoized per (application, sf_dir, events-file
+# identity): ~15 streaming queries each re-wrote the identical 8-shard
+# event-time-ordered staging before this cache — a full events-table
+# write per query run. The staged dir is read-only input (every stream
+# keeps its own checkpoint), so sharing is safe; the two queries that
+# MUTATE their staging (planted-duplicate shards) request
+# ``private=True`` and never touch the shared copy. The key includes
+# the source parquet's (mtime_ns, size) so an in-place rewrite of the
+# testdata invalidates naturally.
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _events_src_key(
+    spark: SparkSession, sf_dir: str, kind: str, table: str = "events"
+) -> tuple:
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        ident: tuple = (st.st_mtime_ns, st.st_size)
+    except OSError:  # directory-shaped table: key on the path only
+        ident = (0, 0)
+    return (spark.sparkContext.applicationId, kind, src, ident)
+
+
+def stage_events_dir(
+    spark: SparkSession, sf_dir: str, private: bool = False
+) -> str:
     """Materialize the events table into a temp directory the file-source
     stream can watch (normalizing the NANOS timestamp on the way).
 
@@ -55,7 +81,16 @@ def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     would let the watermark jump to max(ts)−delay on an early batch and
     silently drop later-arriving older files from join/aggregation
     state — exactly the failure a production job avoids by reading an
-    append-ordered log (kafka, LSM'd object store listing)."""
+    append-ordered log (kafka, LSM'd object store listing).
+
+    ``private=False`` returns the session-cached staging (callers must
+    treat it as read-only); ``private=True`` always builds a fresh dir
+    for callers that append/mutate after staging."""
+    key = _events_src_key(spark, sf_dir, "events")
+    if not private:
+        hit = _STAGE_CACHE.get(key)
+        if hit is not None and os.path.isdir(hit):
+            return hit
     out = tempfile.mkdtemp(prefix="engine_stream_src_")
     shutil.rmtree(out)
     (
@@ -68,6 +103,8 @@ def stage_events_dir(spark: SparkSession, sf_dir: str) -> str:
     base = time.time() - len(parts) - 10
     for i, p in enumerate(parts):
         os.utime(os.path.join(out, p), (base + i, base + i))
+    if not private:
+        _STAGE_CACHE[key] = out
     return out
 
 
@@ -360,10 +397,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unbounded state here (exact semantics, matching the oracle);
     production would bound it with ``dropDuplicatesWithinWatermark``
     when duplicates are known to arrive close together."""
-    src = stage_events_dir(spark, sf_dir)
-    # plant cross-batch duplicates: one-third of the events again
-    ev = load_table(spark, sf_dir, "events")
-    ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+    # private staging: this query APPENDS duplicate rows to its source
+    # dir, so it must never mutate the session-shared staging — but the
+    # mutated result is itself deterministic, so memoize it under its
+    # own cache key.
+    key = _events_src_key(spark, sf_dir, "events+dupbatch")
+    src = _STAGE_CACHE.get(key)
+    if src is None or not os.path.isdir(src):
+        src = stage_events_dir(spark, sf_dir, private=True)
+        # plant cross-batch duplicates: one-third of the events again
+        ev = load_table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(src)
+        _STAGE_CACHE[key] = src
 
     deduped = (
         stream_events(spark, src)
@@ -538,9 +583,15 @@ def stage_cdc_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage the change log as one parquet file per batch seq with
     ascending mtimes, so the file source (maxFilesPerTrigger=1) delivers
     micro-batches in commit order — the append-ordered log contract a
-    production CDC stream (debezium→kafka) provides."""
+    production CDC stream (debezium→kafka) provides. Session-memoized
+    like :func:`stage_events_dir` (read-only input; streams keep their
+    own checkpoints)."""
     from udacity_data_engineer_capstone_spark.catalog import register_views
 
+    key = _events_src_key(spark, sf_dir, "cdc", table="orders")
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
     register_views(spark, sf_dir, ("orders",))
     changes = spark.sql(_CDC_CHANGES_SQL)
     out = tempfile.mkdtemp(prefix="engine_cdc_src_")
@@ -555,6 +606,7 @@ def stage_cdc_dir(spark: SparkSession, sf_dir: str) -> str:
         os.rename(os.path.join(batch_dir, part), dst)
         shutil.rmtree(batch_dir)
         os.utime(dst, (base + i, base + i))
+    _STAGE_CACHE[key] = out
     return out
 
 
@@ -952,8 +1004,14 @@ def stage_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
     range-partitioned on ``ts`` like the originals and interleaved by
     modification time 0.4 s behind the original shard covering the
     same event-time range — duplicates are discovered while their
-    keys' state is still live."""
-    src = stage_events_dir(spark, sf_dir)
+    keys' state is still live. Mutates its staging, so it builds on a
+    PRIVATE copy (never the session-shared dir) and memoizes the
+    finished dup-planted dir under its own cache key."""
+    key = _events_src_key(spark, sf_dir, "events+dupshards")
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    src = stage_events_dir(spark, sf_dir, private=True)
     dup_tmp = tempfile.mkdtemp(prefix="engine_stream_dup_")
     shutil.rmtree(dup_tmp)
     (
@@ -972,6 +1030,7 @@ def stage_events_with_dups(spark: SparkSession, sf_dir: str) -> str:
         shutil.move(os.path.join(dup_tmp, p), dst)
         os.utime(dst, (anchor_m + 0.4, anchor_m + 0.4))
     shutil.rmtree(dup_tmp, ignore_errors=True)
+    _STAGE_CACHE[key] = src
     return src
 
 
