@@ -768,3 +768,48 @@ def test_histogram_quantile_brackets_hand_computed(spark):
     ).collect()
     assert (r.p50_lo_cents, r.p50_hi_cents) == (1, 1)
     assert (r.p99_lo_cents, r.p99_hi_cents) == (512, 1023)
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_incremental: no false negatives, verified positives
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_incremental_no_false_negatives(spark, sf_dir):
+    """The Bloom contract: membership can false-POSITIVE but never
+    false-NEGATIVE. Every arriving doc whose exact text exists in the
+    corpus MUST surface as a true_dup row; and every true_dup row's
+    hash must genuinely exist in the corpus (the verify join cannot
+    invent dups)."""
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        corpus,
+        dedup_bloom_incremental,
+    )
+
+    c = corpus(spark, sf_dir)
+    hist_hashes = {
+        r["h"]
+        for r in c.filter(F.col("doc_id") < 1000000)
+        .select(F.md5("text").alias("h"))
+        .collect()
+    }
+    batch = {
+        r["doc_id"]: r["h"]
+        for r in c.filter(F.col("doc_id") >= 1000000)
+        .select("doc_id", F.md5("text").alias("h"))
+        .collect()
+    }
+    expected_dups = {d for d, h in batch.items() if h in hist_hashes}
+    assert expected_dups, "fixture must plant cross-shard exact dups"
+
+    out = {
+        r["doc_id"]: (r["text_hash"], r["true_dup"])
+        for r in dedup_bloom_incremental(spark, sf_dir).collect()
+    }
+    flagged_true = {d for d, (_, t) in out.items() if t}
+    # no false negatives: every planted exact dup is flagged true
+    assert flagged_true == expected_dups
+    # verify-join soundness: a true_dup row's hash exists in history;
+    # a false row's hash does not (it is a measured Bloom FP)
+    for d, (h, t) in out.items():
+        assert (h in hist_hashes) == t

@@ -1104,3 +1104,17 @@ def test_shuffle_epoch_no_single_partition_window(spark, sf_dir):
     assert "Window" in text  # the within-bucket rank is still a window
     # offsets attach via broadcast, bounded by the constant bucket count
     assert "BroadcastHashJoin" in text
+
+
+def test_bloom_incremental_broadcast_probe_no_cartesian(spark, sf_dir):
+    """dedup_bloom_incremental: the shard must probe the filter via a
+    BROADCAST join on the word index (the filter table is KBs), the
+    verification must also be broadcast (dup-rate-sized), and document
+    text must never be the join key anywhere — no cartesian, no
+    nested-loop, no Python."""
+    df = Q["dedup_bloom_incremental"].fn(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text

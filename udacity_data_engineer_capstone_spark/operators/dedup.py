@@ -1242,3 +1242,141 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_positions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup: arriving shard vs corpus membership
+# ---------------------------------------------------------------------------
+
+# The operational complement of dedup_incremental_minhash: EXACT
+# membership of an arriving shard against the at-rest corpus without
+# ever joining the shard to the corpus directly. The corpus's content
+# hashes are folded into a Bloom filter stored as a (word -> 64-bit
+# mask) table; the shard probes the filter map-side and only the
+# bloom-POSITIVE docs (true dups + a few false positives) pay the
+# exact verification join. Classic Bloom (1970, public); parameters
+# m = 2^20 bits, k = 4 probes.
+#
+# Cross-engine determinism: probe positions are 5-hex-digit slices of
+# md5(text) decoded with position(ch IN '0123...f') arithmetic, and the
+# bit ops use only `<<`, `>>`, `&`, bit_or — all of which Spark 4 and
+# DuckDB evaluate identically on BIGINT (32-bit masks per word keep
+# every shift far from the sign bit).
+
+_BLOOM_K = 4
+_BLOOM_WORD_SHIFT = 5  # 32-bit masks: word = pos >> 5, bit = pos & 31
+_BLOOM_HEXSET = "'0123456789abcdef'"
+
+
+def _bloom_hv(i: int) -> str:
+    """Value 0-15 of 1-based hex char i of column ``h`` (an md5 hex)."""
+    return f"(position(substring(h, {i}, 1) IN {_BLOOM_HEXSET}) - 1)"
+
+
+def _bloom_pos(j: int) -> str:
+    """Probe position j in [0, 2^20): hex chars 8j+1 .. 8j+5 of ``h``."""
+    s = 8 * j + 1
+    e = _bloom_hv(s)
+    for d in range(1, 5):
+        e = f"({e} * 16 + {_bloom_hv(s + d)})"
+    return e
+
+
+_BLOOM_POS_LIST = ", ".join(_bloom_pos(j) for j in range(_BLOOM_K))
+
+_BLOOM_ORACLE = f"""
+WITH {CORPUS_CTE},
+hist AS (SELECT md5(text) AS h FROM corpus WHERE doc_id < 1000000),
+batch AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000),
+hp AS (SELECT unnest([{_BLOOM_POS_LIST}]) AS pos FROM hist),
+words AS (
+  SELECT pos >> {_BLOOM_WORD_SHIFT} AS word,
+         bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS mask
+  FROM hp GROUP BY 1
+),
+bp AS (SELECT doc_id, h, unnest([{_BLOOM_POS_LIST}]) AS pos FROM batch),
+probe AS (
+  SELECT bp.doc_id, bp.h,
+         CASE WHEN w.mask IS NOT NULL
+                   AND ((w.mask >> (bp.pos & 31)) & 1) = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM bp LEFT JOIN words w ON w.word = (bp.pos >> {_BLOOM_WORD_SHIFT})
+),
+positive AS (
+  SELECT doc_id, h FROM probe
+  GROUP BY doc_id, h HAVING SUM(hit) = {_BLOOM_K}
+)
+SELECT p.doc_id, p.h AS text_hash,
+       (p.h IN (SELECT h FROM hist)) AS true_dup
+FROM positive p
+"""
+
+
+@query("dedup_bloom_incremental", oracle=_BLOOM_ORACLE, tags=("dedup",))
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact dedup of an arriving shard against the
+    at-rest corpus: the corpus (doc_id < 1e6 — the original crawl)
+    folds md5(text) into a 2^20-bit / 4-probe Bloom filter materialized
+    as a (word, 32-bit mask) table; the arriving shard (doc_id ≥ 1e6 —
+    the planted re-crawl: exact re-fetches plus suffixed variants)
+    probes it and only bloom-positive docs are verified with the exact
+    join. Output: every bloom-positive arrival with its verdict —
+    ``true_dup`` false rows ARE the filter's false positives, kept
+    visible so the FP rate is a measured artifact.
+
+    Scale shape: the corpus is touched by exactly one narrow pass
+    (4 constant-width position rows per doc, map-side-combined into
+    ≤ 2^15 word rows — document text never shuffles); the filter table
+    is KBs and broadcast, so the shard probes entirely map-side; the
+    exact verification join runs only on the positive subset
+    (dup-rate-sized, not shard-sized). At petabyte corpus scale the
+    filter outgrows a broadcast; the same plan then degrades
+    gracefully to a (word) equi-join — still k constant-width rows per
+    arriving doc — or shards the filter by key range. A shard×corpus
+    anti-join would shuffle every content hash of BOTH sides per
+    arrival; this pays that only for confirmed-candidate rows."""
+    c = corpus(spark, sf_dir)
+    hist = c.filter(F.col("doc_id") < 1000000).select(F.md5("text").alias("h"))
+    batch = c.filter(F.col("doc_id") >= 1000000).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    words = (
+        hist.selectExpr(f"explode(array({_BLOOM_POS_LIST})) AS pos")
+        .selectExpr(
+            f"pos >> {_BLOOM_WORD_SHIFT} AS word",
+            "CAST(1 AS BIGINT) << (pos & 31) AS m",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    probes = batch.selectExpr(
+        "doc_id", "h", f"explode(array({_BLOOM_POS_LIST})) AS pos"
+    )
+    probed = probes.join(
+        F.broadcast(words),
+        F.expr(f"pos >> {_BLOOM_WORD_SHIFT}") == words["word"],
+        "left",
+    )
+    hits = probed.select(
+        "doc_id",
+        "h",
+        F.expr(
+            "CASE WHEN mask IS NOT NULL AND ((mask >> (pos & 31)) & 1) = 1 "
+            "THEN 1 ELSE 0 END"
+        ).alias("hit"),
+    )
+    positive = (
+        hits.groupBy("doc_id", "h")
+        .agg(F.sum("hit").alias("nh"))
+        .filter(F.col("nh") == _BLOOM_K)
+        .select("doc_id", "h")
+    )
+    hist_distinct = hist.distinct().withColumn("present", F.lit(True))
+    return (
+        positive.join(F.broadcast(hist_distinct), "h", "left")
+        .select(
+            "doc_id",
+            F.col("h").alias("text_hash"),
+            F.coalesce("present", F.lit(False)).alias("true_dup"),
+        )
+    )
