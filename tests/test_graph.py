@@ -136,10 +136,7 @@ def test_chunked_rounds_match_one_job_per_round_loop(spark):
     def step(df):
         return df.select("node", (F.col("r") * 2).alias("r"))
 
-    out, converged = _chunked_fixpoint_rounds(
-        init, step, ("node", "r"), 5, chunk=2
-    )
-    assert not converged  # doubling never reaches a fixpoint
+    out = _chunked_fixpoint_rounds(init, step, ("node", "r"), 5, chunk=2)
     got = {r["node"]: r["r"] for r in out.collect()}
     assert got == {1: 32, 2: 96, 3: 160}  # 5 doublings, all executed
 
@@ -160,10 +157,7 @@ def test_chunked_rounds_early_exit_on_fixpoint(spark):
         calls.append(1)  # plan-construction count == rounds scheduled
         return df.select("node", F.greatest(F.col("r"), F.lit(64)).alias("r"))
 
-    out, converged = _chunked_fixpoint_rounds(
-        init, step, ("node", "r"), 100, chunk=3
-    )
-    assert converged
+    out = _chunked_fixpoint_rounds(init, step, ("node", "r"), 100, chunk=3)
     got = {r["node"]: r["r"] for r in out.collect()}
     assert got == {1: 100, 2: 64}  # fixpoint after round 1
     # round 1 changes state, round 2 equals round 1 → exit after the

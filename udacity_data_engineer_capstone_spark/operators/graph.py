@@ -20,12 +20,11 @@ Scale shape: each iteration is one equi-join of the static
 (src, dst, deg) adjacency against the current rank vector plus one
 partial+final integer aggregate — hash-width shuffles, no driver data
 collect at all (fixed iteration count, no convergence scalar even).
-All iterative loops chain 3 rounds per Spark job with per-round
-fixpoint probes riding ``observe()`` metrics
+Fixed-round loops (PageRank/PPR/LPA) chain 3 rounds per Spark job with
+per-round fixpoint probes riding ``observe()`` metrics
 (:func:`_chunked_fixpoint_rounds`); convergence-driven loops (BFS,
-k-core) chunk SPECULATIVELY — rounds past frontier exhaustion / peel
-stability are the identity, so the at-most-two wasted identity rounds
-are cheap and the job count drops k-fold. The DuckDB oracle unrolls the same recurrence as
+k-core) keep one job per round because the frontier/peel count decides
+whether to continue. The DuckDB oracle unrolls the same recurrence as
 chained CTEs — identical integer semantics, declaratively.
 
 Reference parity: the reference (``/root/reference/etl.py``) has no
@@ -194,7 +193,7 @@ def _chunked_fixpoint_rounds(
     sig_cols: tuple[str, ...],
     iters: int,
     chunk: int = 3,
-) -> tuple[DataFrame, bool]:
+) -> DataFrame:
     """Run ``iters`` synchronous rounds of ``step`` while paying only
     ``ceil(iters / chunk)`` Spark jobs instead of one per round:
     ``chunk`` rounds are chained lazily in a single plan, each round
@@ -218,21 +217,11 @@ def _chunked_fixpoint_rounds(
     probes read n=0), so persist is load-bearing here. The returned
     final frame stays persisted for the caller's action; it is entered
     into a bounded eviction ring (recompute-safe — unpersist keeps
-    lineage) so repeated query runs can't accumulate cache entries.
-
-    Returns ``(state, converged)``: ``converged`` is True when a
-    consecutive-round fixpoint was detected within ``iters`` rounds.
-    Convergence-driven loops (BFS frontier exhaustion, k-core peel)
-    chunk SPECULATIVELY: rounds past the fixpoint are the identity by
-    construction there, so at most ``chunk - 1`` identity rounds of
-    (cheap: nothing changes) wasted work buy the k-fold job reduction;
-    they must raise on ``converged == False`` to honor their
-    fail-loudly-past-oracle-depth contract."""
+    lineage) so repeated query runs can't accumulate cache entries."""
     sig_expr = "bit_xor(xxhash64({}))".format(", ".join(sig_cols))
     prev_sig: tuple | None = None
     prev_persisted: DataFrame | None = None
     done = 0
-    converged = False
     while done < iters:
         k = min(chunk, iters - done)
         probes: list[Observation] = []
@@ -253,13 +242,14 @@ def _chunked_fixpoint_rounds(
             prev_persisted.unpersist()
         prev_persisted = cur
         state = cur
+        fixpoint = False
         for ob in probes:
             m = ob.get
             sig = (m["n"], m["sig"])
             if sig == prev_sig:
-                converged = True  # remaining rounds are identity
+                fixpoint = True  # remaining rounds are identity
             prev_sig = sig
-        if converged:
+        if fixpoint:
             break
     _ITER_STATE_RING.append(state)
     if len(_ITER_STATE_RING) > _ITER_STATE_RING_MAX:
@@ -268,7 +258,7 @@ def _chunked_fixpoint_rounds(
             old.unpersist()  # recompute-safe: lineage survives
         except Exception:
             pass
-    return state, converged
+    return state
 
 
 _PR_STEP = """
@@ -327,7 +317,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ranks, _ = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), ITERS)
+    ranks = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), ITERS)
     return ranks.select(F.col("node").alias("node_id"), F.col("r").alias("pr_rank"))
 
 
@@ -588,10 +578,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is one degree aggregate (partial+final,
     hash-width shuffle) plus two semi-joins of the edge list against the
-    surviving-node set — no driver data beyond the observe()-riding
-    fixpoint signature (:func:`_chunked_fixpoint_rounds`, 3 peel
-    rounds per job — peeling a stable core is identity, so
-    speculative chunking is exact). Rounds are bounded by the
+    surviving-node set — no driver data beyond one scalar edge count per
+    round for the convergence check; ``localCheckpoint`` truncates
+    lineage so the plan stays O(1) per round. Rounds are bounded by the
     peel depth (degeneracy ordering), which on power-law graphs is
     O(log n) in practice; per ADVICE r2 (clustering MAX_ITERS), we FAIL
     LOUDLY if the fixpoint is not reached within the oracle's unroll
@@ -599,26 +588,26 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is the session-shared checkpointed build
     (:func:`_purchase_graph`)."""
     cur = _purchase_graph(spark, sf_dir)["bidir"]
-
-    def _peel(prev: DataFrame) -> DataFrame:
+    n_edges = cur.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
         survivors = (
-            prev.groupBy("s")
+            cur.groupBy("s")
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= KCORE_K)
             .select("s")
         )
-        return (
-            prev.join(survivors, "s", "left_semi")
+        nxt = (
+            cur.join(survivors, "s", "left_semi")
             .join(survivors.withColumnRenamed("s", "d"), "d", "left_semi")
             .select("s", "d")
+            .localCheckpoint(eager=False)
         )
-
-    # speculative chunking is sound here: peeling a stable core is the
-    # identity, so rounds past the fixpoint change nothing
-    cur, converged = _chunked_fixpoint_rounds(
-        cur, _peel, ("s", "d"), _KCORE_MAX_ROUNDS
-    )
-    if not converged:
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
         raise RuntimeError(
             f"k-core peel did not converge in {_KCORE_MAX_ROUNDS} rounds"
         )
@@ -687,8 +676,8 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Min-level propagation: each round unions the frontier's neighbors
     (level+1) with current levels and takes the per-node MIN — exact
     integer semantics shared with the unrolled oracle. The engine loops
-    to fixpoint (per-round signature probes riding observe() metrics,
-    3 rounds chunked per job) and FAILS LOUDLY if the diameter exceeds the
+    to fixpoint (scalar count check per round, ``localCheckpoint``
+    truncates lineage) and FAILS LOUDLY if the diameter exceeds the
     oracle's unroll depth. Each round is one equi-join + hash aggregate
     on node id — hash-width shuffles; the frontier never leaves the
     cluster. The edge list is the session-shared checkpointed build
@@ -697,22 +686,22 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = spark.createDataFrame(
         [(_BFS_SEED, 0)], "node long, lvl long"
     )
-
-    def _relax(prev: DataFrame) -> DataFrame:
+    prev_n = 1
+    for _ in range(_BFS_MAX_ROUNDS):
         expanded = bidir.join(
-            prev.withColumnRenamed("node", "s"), "s"
+            levels.withColumnRenamed("node", "s"), "s"
         ).select(F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        return (
-            prev.unionAll(expanded)
+        levels = (
+            levels.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint(eager=False)
         )
-
-    # speculative chunking: relaxing an exhausted frontier is identity
-    levels, converged = _chunked_fixpoint_rounds(
-        levels, _relax, ("node", "lvl"), _BFS_MAX_ROUNDS
-    )
-    if not converged:
+        n = levels.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
         raise RuntimeError(
             f"BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
         )
@@ -972,7 +961,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # all 3 rounds chain into ONE job; the per-round stability probe
     # rides observe() metrics (_chunked_fixpoint_rounds)
-    labels, _ = _chunked_fixpoint_rounds(
+    labels = _chunked_fixpoint_rounds(
         labels, _round, ("node", "label"), _LPA_ITERS
     )
     return labels.select(
@@ -1223,30 +1212,29 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     times k landmarks — the frontier carries (src, node, lvl) triples
     keyed on node for the join, so one pass serves ALL sources (the
     multi-source trick: k BFS runs share every edge scan). Fixpoint
-    loop with observe()-riding signature probes, 3 rounds per job
-    (:func:`_chunked_fixpoint_rounds`); fails loudly past the
-    oracle's unroll depth. The edge list is the
+    loop with scalar count checks and lineage checkpoints; fails
+    loudly past the oracle's unroll depth. The edge list is the
     session-shared checkpointed build (:func:`_purchase_graph`)."""
     bidir = _purchase_graph(spark, sf_dir)["bidir"]
     levels = spark.createDataFrame(
         [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
     )
-
-    def _relax(prev: DataFrame) -> DataFrame:
+    prev_n = len(_LANDMARKS)
+    for _ in range(_BFS_MAX_ROUNDS):
         expanded = bidir.join(
-            prev.withColumnRenamed("node", "s"), "s"
+            levels.withColumnRenamed("node", "s"), "s"
         ).select("src", F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        return (
-            prev.unionAll(expanded)
+        levels = (
+            levels.unionAll(expanded)
             .groupBy("src", "node")
             .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint(eager=False)
         )
-
-    # speculative chunking: relaxing exhausted frontiers is identity
-    levels, converged = _chunked_fixpoint_rounds(
-        levels, _relax, ("src", "node", "lvl"), _BFS_MAX_ROUNDS
-    )
-    if not converged:
+        n = levels.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
         raise RuntimeError(
             f"multi-source BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
         )
@@ -1358,7 +1346,7 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
 
-    ranks, _ = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), _PPR_ITERS)
+    ranks = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), _PPR_ITERS)
     return ranks.filter(F.col("r") > 0).select(
         F.col("node").alias("node_id"), F.col("r").alias("ppr_rank")
     )
