@@ -673,34 +673,35 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed customer to every reachable node (unweighted shortest paths —
     the crawl-frontier / influence-radius primitive).
 
-    Min-level propagation: each round unions the frontier's neighbors
-    (level+1) with current levels and takes the per-node MIN — exact
-    integer semantics shared with the unrolled oracle. The engine loops
-    to fixpoint (scalar count check per round, ``localCheckpoint``
-    truncates lineage) and FAILS LOUDLY if the diameter exceeds the
-    oracle's unroll depth. Each round is one equi-join + hash aggregate
-    on node id — hash-width shuffles; the frontier never leaves the
-    cluster. The edge list is the session-shared checkpointed build
-    (:func:`_purchase_graph`)."""
+    DELTA (frontier) propagation: each round expands only the nodes
+    DISCOVERED LAST ROUND and left-anti-joins against the discovered
+    set — every round's new discoveries share one level, so
+    first-discovery IS min-level: value-identical to the oracle's
+    unrolled union+min-reaggregate without re-aggregating the full
+    state each round. At 100 TB the per-round cost follows the
+    frontier wave, not the accumulated reach. Fixpoint = empty
+    frontier (one scalar count per round, ``localCheckpoint``
+    truncates lineage); FAILS LOUDLY if the diameter exceeds the
+    oracle's unroll depth. The edge list is the session-shared
+    checkpointed build (:func:`_purchase_graph`)."""
     bidir = _purchase_graph(spark, sf_dir)["bidir"]
-    levels = spark.createDataFrame(
+    seeds = spark.createDataFrame(
         [(_BFS_SEED, 0)], "node long, lvl long"
     )
-    prev_n = 1
+    levels, frontier = seeds, seeds
     for _ in range(_BFS_MAX_ROUNDS):
-        expanded = bidir.join(
-            levels.withColumnRenamed("node", "s"), "s"
-        ).select(F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        levels = (
-            levels.unionAll(expanded)
+        expanded = (
+            bidir.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
             .groupBy("node")
             .agg(F.min("lvl").alias("lvl"))
-            .localCheckpoint(eager=False)
         )
-        n = levels.count()
-        if n == prev_n:
+        frontier = expanded.join(
+            levels, ["node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
-        prev_n = n
+        levels = levels.unionAll(frontier).localCheckpoint(eager=False)
     else:
         raise RuntimeError(
             f"BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
@@ -1208,32 +1209,39 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fraction of all-pairs cost (Palmer et al.'s ANF idea in its
     exact small-k form).
 
-    Scale shape: identical per-round cost to ``graph_bfs_levels``
-    times k landmarks — the frontier carries (src, node, lvl) triples
-    keyed on node for the join, so one pass serves ALL sources (the
-    multi-source trick: k BFS runs share every edge scan). Fixpoint
-    loop with scalar count checks and lineage checkpoints; fails
-    loudly past the oracle's unroll depth. The edge list is the
-    session-shared checkpointed build (:func:`_purchase_graph`)."""
+    Scale shape: classic DELTA (frontier) BFS — each round's edge join
+    touches only the rows DISCOVERED LAST ROUND, never the accumulated
+    levels set, and a left-anti join against the discovered set keeps
+    re-expansion out (every round's new discoveries share one lvl, so
+    first-discovery IS min-lvl: value-identical to the oracle's
+    unrolled union+min-reaggregate, without re-aggregating the full
+    state every round). One pass serves ALL k sources (the frontier
+    carries (src, node, lvl) triples — the multi-source trick: k BFS
+    runs share every edge scan). At 100 TB the per-round cost follows
+    the frontier wave, not the graph. Fixpoint = empty frontier, one
+    scalar count per round; fails loudly past the oracle's unroll
+    depth. The edge list is the session-shared checkpointed build
+    (:func:`_purchase_graph`)."""
     bidir = _purchase_graph(spark, sf_dir)["bidir"]
-    levels = spark.createDataFrame(
+    seeds = spark.createDataFrame(
         [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
     )
-    prev_n = len(_LANDMARKS)
+    levels, frontier = seeds, seeds
     for _ in range(_BFS_MAX_ROUNDS):
-        expanded = bidir.join(
-            levels.withColumnRenamed("node", "s"), "s"
-        ).select("src", F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        levels = (
-            levels.unionAll(expanded)
+        expanded = (
+            bidir.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(
+                "src", F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl")
+            )
             .groupBy("src", "node")
             .agg(F.min("lvl").alias("lvl"))
-            .localCheckpoint(eager=False)
         )
-        n = levels.count()
-        if n == prev_n:
+        frontier = expanded.join(
+            levels, ["src", "node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
-        prev_n = n
+        levels = levels.unionAll(frontier).localCheckpoint(eager=False)
     else:
         raise RuntimeError(
             f"multi-source BFS did not reach fixpoint in {_BFS_MAX_ROUNDS} rounds"
@@ -1311,39 +1319,57 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_pagerank`` cannot express. Zero-mass nodes are dropped
     (unreachable from the seeds in 6 damped rounds).
 
-    Scale shape: identical per-round cost to graph_pagerank — and it
-    shares graph_pagerank's ADJACENCY BUILD outright via the
-    session-cached :func:`_purchase_graph` (the r4 bench showed the
-    pair paying the identical edge-sized build twice); the seed
-    restriction is a map-side CASE. Exact integer micro-unit lanes,
-    unrolled-CTE oracle, exact-fixpoint early exit per
-    :func:`_state_signature` riding chunk-chained rounds
+    Scale shape: BETTER than graph_pagerank per round — the state is
+    FRONTIER-SIZED, not graph-sized. The oracle carries every node with
+    r=0 and LEFT-joins the damped mass back onto the full node set each
+    round; but zero-rank non-seed nodes contribute exactly 0 mass
+    (``0 DIV deg``) and the query's final projection filters ``r > 0``,
+    so dropping them from the iterated state is value-identical while
+    cutting the per-round node-sized join entirely: each round is ONE
+    edge⋈frontier shuffle + ONE aggregate, with the two seed rows
+    unioned into the aggregate's input (a sum lane, so the
+    ``seed_base + (85*Σm) DIV 100`` integer math stays bit-exact).
+    Round 1 touches only the seeds' out-edges — at 100 TB the cost
+    grows with the seeds' damped reach, not the graph. Shares the
+    session-cached adjacency (:func:`_purchase_graph`); unrolled-CTE
+    oracle; exact-fixpoint early exit riding chunk-chained rounds
     (:func:`_chunked_fixpoint_rounds`, 3 rounds per job)."""
     g = _purchase_graph(spark, sf_dir)
     adj, nodes = g["adj"], g["nodes"]
     seed_base = (BASE * 2) // len(_PPR_SEEDS)
     in_seeds = F.col("node").isin(*_PPR_SEEDS)
-    ranks = nodes.select(
+    # Seed rows come from the node set (not a literal frame) so a seed
+    # id absent from the graph can never be invented; 2 rows, reused
+    # by every round's union.
+    seed_rows = nodes.filter(in_seeds).select(
         "node",
-        F.when(in_seeds, F.lit(SCALE).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("r"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(seed_base).cast("long").alias("sb"),
     )
+    ranks = seed_rows.select(
+        "node", F.lit(SCALE).cast("long").alias("r")
+    )
+
     def _round(prev: DataFrame) -> DataFrame:
-        mass = (
-            adj.join(prev.withColumnRenamed("node", "s"), "s")
-            .select(F.col("d").alias("node"), F.expr("r DIV deg").alias("m"))
-            .groupBy("node")
-            .agg(F.sum("m").cast("long").alias("mass"))
-        )
-        return nodes.join(mass, "node", "left").select(
-            "node",
-            (
-                F.when(in_seeds, F.lit(seed_base)).otherwise(F.lit(0))
-                + F.expr("85 * CAST(COALESCE(mass, 0) AS BIGINT) DIV 100")
+        contrib = (
+            adj.join(
+                prev.filter(F.col("r") > 0).withColumnRenamed("node", "s"),
+                "s",
             )
-            .cast("long")
-            .alias("r"),
+            .select(
+                F.col("d").alias("node"),
+                F.expr("r DIV deg").alias("m"),
+                F.lit(0).cast("long").alias("sb"),
+            )
+        )
+        return (
+            contrib.unionAll(seed_rows)
+            .groupBy("node")
+            .agg(
+                F.expr(
+                    "CAST(SUM(sb) + (85 * SUM(m)) DIV 100 AS BIGINT)"
+                ).alias("r")
+            )
         )
 
     ranks = _chunked_fixpoint_rounds(ranks, _round, ("node", "r"), _PPR_ITERS)

@@ -745,18 +745,22 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             n, level, last_cents = state.get
         else:
             n, level, last_cents = 0, 0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            import numpy as np
+        import numpy as np
 
-            cents_arr = np.floor(
-                pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
-            ).astype("int64")
-            for c in cents_arr:
-                c = int(c)
-                level = c if n == 0 else (c + level) // 2
-                n += 1
-                last_cents = c
+        # Concatenate the batch's Arrow chunks BEFORE sorting: a group's
+        # rows can arrive split across chunks in unspecified order, so a
+        # per-chunk sort would fold out of event order whenever a chunk
+        # boundary lands inside one user's run. One sort per (user,
+        # micro-batch) over that user's rows only.
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        cents_arr = np.floor(
+            pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+        ).astype("int64")
+        for c in cents_arr:
+            c = int(c)
+            level = c if n == 0 else (c + level) // 2
+            n += 1
+            last_cents = c
         state.update((n, level, last_cents))
         yield pd.DataFrame(
             {
@@ -768,9 +772,14 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = stage_events_dir(spark, sf_dir)
+    # 8 staged files at 4/trigger = 2 micro-batches: still proves the
+    # cross-batch state fold (the point of the query) at half the
+    # fixed per-batch cost (state-store shuffle + Python worker round
+    # trip); the ts-ordered staging keeps batch 1's events strictly
+    # before batch 2's.
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(src)
     )
     folded = stream.groupBy("user_id").applyInPandasWithState(
