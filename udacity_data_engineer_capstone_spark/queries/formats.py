@@ -267,6 +267,75 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom Python DataSource WRITER (manifest-committed parquet sink)
+# ---------------------------------------------------------------------------
+
+_PYSNK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+_PYSNK_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "ts_us bigint, cents bigint"
+)
+
+
+@query("snk_python_datasource", oracle=_PYSNK_ORACLE, tags=("sink",))
+def snk_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4 Data Source API,
+    ``DataSourceArrowWriter``): events flow through the registered
+    ``manifest_parquet`` sink — per-task Arrow-batched parquet staging,
+    driver-side manifest commit (the atomic publish point; orphan
+    output from failed/speculative attempts never becomes visible) —
+    then back through the manifest-scoped reader and an aggregate the
+    oracle hash-checks, so the whole protocol (stage → commit message →
+    rename → manifest → manifest-scoped read) is value-verified, not
+    just exercised. Completes the API surface beside the scan
+    (``src_python_datasource``) and stream (``stream_python_source``)
+    halves; see sources/pyds.py for the 100 TB rationale (Iceberg/Delta
+    commit protocol in miniature).
+
+    Timestamps ride as epoch micros (``unix_micros``/``epoch_us``) —
+    the same wire convention as the streaming source, sidestepping
+    text-format timezone ambiguity."""
+    from udacity_data_engineer_capstone_spark.sources import pyds
+
+    pyds.register_manifest_sink(spark)
+    d = os.path.join(tempfile.mkdtemp(prefix="engine_pysnk_"), "log")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+        .write.format("manifest_parquet")
+        .mode("overwrite")
+        .option("path", d)
+        .save()
+    )
+    df, manifest = pyds.read_manifest_parquet(spark, d, _PYSNK_SCHEMA)
+    assert manifest["n_rows"] > 0, "manifest committed no rows"
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order curve (multi-dimensional data layout)
 # ---------------------------------------------------------------------------
 

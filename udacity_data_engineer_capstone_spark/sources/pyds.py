@@ -19,9 +19,11 @@ import re
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from udacity_data_engineer_capstone_spark.sources.sas_labels import (
@@ -192,3 +194,142 @@ class EventsLogDataSource(DataSource):
 
 def register_events_log(spark) -> None:
     spark.dataSource.register(EventsLogDataSource)
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource WRITER: manifest-committed parquet sink
+# ---------------------------------------------------------------------------
+#
+# The write half of the Data Source API (Spark 4 ``DataSourceArrowWriter``
+# — Arrow RecordBatches, never per-row Python): each task writes its
+# partition to ``_temporary/part-<uuid>.parquet`` and returns a commit
+# message; the DRIVER's ``commit`` publishes exactly the message-listed
+# files by renaming them into the root and writing a ``_MANIFEST.json``
+# last. Readers resolve files FROM THE MANIFEST, never from a directory
+# listing — so output from failed or speculative task attempts (orphan
+# part files that never made a commit message) is invisible, and a
+# killed job leaves no half-visible output (the manifest rename is the
+# single atomic publish point). This is the Iceberg/Delta commit
+# protocol in miniature, and at 100 TB it is what makes a custom sink
+# safe under retries, speculation, and concurrent readers; ``abort``
+# discards the staging dir. The reference's sink surface is plain
+# ``df.write.parquet`` (/root/reference/etl.py:96-104); this is the
+# extension point for a destination Spark has no committer for.
+
+SINK_MANIFEST = "_MANIFEST.json"
+
+
+class _ParquetPartCommit(WriterCommitMessage):
+    """Picklable per-task commit message: which staged file, how many rows."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _ManifestParquetWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        # driver-side planning: stage dir exists before tasks launch;
+        # overwrite clears any previously committed output first
+        import os
+        import shutil
+
+        self.path = options["path"]
+        if overwrite and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+
+    def write(self, iterator):
+        # executor-side: one staged parquet file per task, written from
+        # Arrow RecordBatches via a streaming ParquetWriter (never a
+        # per-row loop, never a whole-partition table in memory)
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.path, "_temporary", fname)
+        n, writer = 0, None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            # empty partition: nothing staged; Spark 4.1 requires a
+            # WriterCommitMessage return (None is rejected despite the
+            # API doc), so send a no-file sentinel commit() skips
+            return _ParquetPartCommit("", 0)
+        return _ParquetPartCommit(fname, n)
+
+    def commit(self, messages):
+        # driver-side: publish EXACTLY the message-listed files, then
+        # the manifest (rename = the atomic publish point), then drop
+        # the staging dir with any orphan attempt output still in it
+        import json
+        import os
+        import shutil
+
+        files = []
+        for m in messages:
+            if m is None or not m.filename:  # empty-partition sentinel
+                continue
+            os.rename(
+                os.path.join(self.path, "_temporary", m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            files.append({"filename": m.filename, "n_rows": m.n_rows})
+        manifest = {
+            "files": sorted(files, key=lambda f: f["filename"]),
+            "n_rows": int(sum(f["n_rows"] for f in files)),
+        }
+        tmp = os.path.join(self.path, "_temporary", SINK_MANIFEST)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.path, SINK_MANIFEST))
+        shutil.rmtree(
+            os.path.join(self.path, "_temporary"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        # no manifest was published, so nothing ever became visible;
+        # drop the staging area
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "_temporary"), ignore_errors=True
+        )
+
+
+class ManifestParquetSinkDataSource(DataSource):
+    """``df.write.format("manifest_parquet").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool):
+        return _ManifestParquetWriter(self.options, overwrite)
+
+
+def register_manifest_sink(spark) -> None:
+    spark.dataSource.register(ManifestParquetSinkDataSource)
+
+
+def read_manifest_parquet(spark, path: str, schema: str):
+    """Read back a manifest-committed directory: ONLY the files the
+    manifest lists (the reader half of the commit protocol — a stray
+    part file from a failed attempt is ignored even if it sits in the
+    directory). Returns (DataFrame, manifest dict)."""
+    import json
+    import os
+
+    with open(os.path.join(path, SINK_MANIFEST), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["filename"]) for f in manifest["files"]]
+    return spark.read.schema(schema).parquet(*files), manifest
