@@ -95,6 +95,40 @@ def test_empty_partitions_commit_no_files(spark, sf_dir):
     assert len(manifest["files"]) <= n_src
 
 
+def test_stream_sink_batch_replay_is_idempotent(spark, sf_dir):
+    """Replaying a micro-batch (failure after sink commit, before the
+    engine checkpoints) rewrites the SAME per-batch manifest: the
+    retry's files replace the first attempt's in manifest scope, the
+    orphans stay invisible, and total visible rows don't double."""
+    from udacity_data_engineer_capstone_spark.sources.pyds import (
+        _ManifestParquetStreamWriter,
+        read_stream_manifests,
+    )
+
+    d = os.path.join(tempfile.mkdtemp(prefix="engine_pysnk_t_"), "out")
+    w = _ManifestParquetStreamWriter({"path": d})
+    batch = pa.record_batch(
+        {"n_nationkey": [1, 2, 3], "n_name": ["A", "B", "C"]}
+    )
+    # attempt 1 of batch 0: staged + committed
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=0)
+    # batch 0 REPLAYS (same data, new attempt) and commits again
+    m2 = w.write(iter([batch]))
+    w.commit([m2], batchId=0)
+    # one batch-1 commit on top
+    m3 = w.write(iter([batch]))
+    w.commit([m3], batchId=1)
+    df, manifests = read_stream_manifests(spark, d, _SCHEMA)
+    assert [m["batch_id"] for m in manifests] == [0, 1]
+    assert df.count() == 6  # 3 per batch; the replay did not double
+    # the replaced attempt's file is an on-disk orphan, not visible
+    visible = {
+        f["filename"] for m in manifests for f in m["files"]
+    }
+    assert m1.filename not in visible and m2.filename in visible
+
+
 def test_commit_cleans_staging_and_counts_agree(spark, sf_dir):
     d = os.path.join(tempfile.mkdtemp(prefix="engine_pysnk_t_"), "out")
     nation = load_table(spark, sf_dir, "nation").select(

@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -333,3 +334,110 @@ def read_manifest_parquet(spark, path: str, schema: str):
         manifest = json.load(fh)
     files = [os.path.join(path, f["filename"]) for f in manifest["files"]]
     return spark.read.schema(schema).parquet(*files), manifest
+
+
+# ---------------------------------------------------------------------------
+# custom Python STREAMING writer: per-batch manifest commit (exactly-once)
+# ---------------------------------------------------------------------------
+#
+# The fourth corner of the Data Source API
+# (``DataSourceStreamArrowWriter``): each micro-batch's tasks stage
+# Arrow-batched parquet parts exactly like the batch sink, and the
+# driver's ``commit(messages, batchId)`` publishes a PER-BATCH manifest
+# ``_MANIFEST-<batchId>.json``. Exactly-once under micro-batch REPLAY
+# (failure after sink commit but before the engine checkpoints the
+# batch) comes from idempotent re-commit: replaying batch N rewrites
+# the SAME manifest name via rename — the previous attempt's part
+# files become manifest-orphans, invisible to manifest-scoped readers.
+# This is how a production streaming sink is made transactional on a
+# store with no atomic multi-file commit.
+
+
+class _ManifestParquetStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options: dict):
+        import os
+
+        self.path = options["path"]
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+
+    # executor-side staging: byte-for-byte the batch sink's write
+    write = _ManifestParquetWriter.write
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = []
+        for m in messages:
+            if m is None or not m.filename:
+                continue
+            os.rename(
+                os.path.join(self.path, "_temporary", m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            files.append({"filename": m.filename, "n_rows": m.n_rows})
+        manifest = {
+            "batch_id": int(batchId),
+            "files": sorted(files, key=lambda f: f["filename"]),
+            "n_rows": int(sum(f["n_rows"] for f in files)),
+        }
+        tmp = os.path.join(
+            self.path, "_temporary", f"_MANIFEST-{batchId}.json"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+        # rename = atomic publish; a REPLAYED batch overwrites its own
+        # manifest (idempotent re-commit), orphaning the prior attempt
+        os.replace(
+            tmp, os.path.join(self.path, f"_MANIFEST-{batchId}.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        # the batch's manifest was never published: drop only this
+        # attempt's staged files (other batches' staging may coexist)
+        for m in messages:
+            if m is None or not m.filename:
+                continue
+            try:
+                os.remove(os.path.join(self.path, "_temporary", m.filename))
+            except OSError:
+                pass
+
+
+class ManifestParquetStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("manifest_parquet_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet_stream"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _ManifestParquetStreamWriter(self.options)
+
+
+def register_manifest_stream_sink(spark) -> None:
+    spark.dataSource.register(ManifestParquetStreamSinkDataSource)
+
+
+def read_stream_manifests(spark, path: str, schema: str):
+    """Read back a streaming-sink directory: the union of all
+    published per-batch manifests' files (and ONLY those — replay
+    orphans and in-flight staging are invisible). Returns
+    (DataFrame, manifests sorted by batch_id)."""
+    import glob as _glob
+    import json
+    import os
+
+    manifests = []
+    for p in sorted(_glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(p, encoding="utf-8") as fh:
+            manifests.append(json.load(fh))
+    manifests.sort(key=lambda m: m["batch_id"])
+    files = [
+        os.path.join(path, f["filename"])
+        for m in manifests
+        for f in m["files"]
+    ]
+    return spark.read.schema(schema).parquet(*files), manifests

@@ -1460,3 +1460,93 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# custom Python STREAMING SINK (per-batch manifest commit) end to end
+# ---------------------------------------------------------------------------
+
+_PYSINK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+_PYSINK_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "ts_us bigint, cents bigint"
+)
+
+
+@query(
+    "stream_python_sink",
+    oracle=_PYSINK_ORACLE,
+    tags=("streaming", "sink"),
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom Python STREAMING SINK driven end to end — the fourth
+    corner of the Spark 4 Data Source API beside the batch scan
+    (``src_python_datasource``), batch write (``snk_python_datasource``)
+    and stream read (``stream_python_source``): the event stream drains
+    availableNow through ``writeStream.format("manifest_parquet_stream")``
+    (sources/pyds.py — Arrow-batched task staging, driver-side
+    PER-BATCH manifest commit; a replayed micro-batch rewrites the same
+    manifest name, so retries are idempotent and their orphan files
+    invisible), then the manifest-scoped read-back is aggregated and
+    hash-checked against the relational source — a sink that lost,
+    doubled, or half-published any batch fails the oracle.
+
+    Scale shape: the sink adds no shuffle (tasks stage their own
+    partitions); commit is driver-side metadata only (rename + one
+    small JSON per batch) — the transactional-sink pattern for a store
+    with no atomic multi-file commit. Timestamps ride as epoch micros,
+    the same wire convention as the streaming source."""
+    from udacity_data_engineer_capstone_spark.sources.pyds import (
+        read_stream_manifests,
+        register_manifest_stream_sink,
+    )
+
+    register_manifest_stream_sink(spark)
+    src = stage_events_dir(spark, sf_dir)
+    # 8 staged files at 4/trigger = 2 micro-batches: at least two
+    # per-batch manifest commits, so the read-back genuinely unions
+    # manifests rather than trivially reading one
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="engine_pysink_"), "log")
+    cp = tempfile.mkdtemp(prefix="engine_pysink_cp_")
+    q = (
+        stream.writeStream.format("manifest_parquet_stream")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df, manifests = read_stream_manifests(spark, out, _PYSINK_SCHEMA)
+    assert len(manifests) >= 2, (
+        f"expected >=2 per-batch manifest commits, got {len(manifests)}"
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
