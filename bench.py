@@ -139,6 +139,9 @@ HEADLINE = [
     # round-7 wave: sequence-level exact dedup + epoch shuffling
     "dedup_repeated_spans",       # duplicated k-token span coverage
     "curate_shuffle_epoch",       # two-phase global shuffle ordinal
+    # round-7 second wave: the Data Source API write path
+    "snk_python_datasource",      # manifest-committed Arrow batch sink
+    "stream_python_sink",         # per-batch manifest streaming sink
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant
