@@ -1854,3 +1854,122 @@ def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rounds).cast("int").alias("rounds_run"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCC of a functional graph via pointer doubling (parallel prefix)
+# ---------------------------------------------------------------------------
+
+# Every node has exactly ONE out-edge: succ(u) = ((u * 48271 + 7) % n) + 1
+# over the customer key space — a functional graph, i.e. "rho" shapes:
+# trees draining into cycles. Its strongly connected components are
+# exactly the cycles, and finding them exercises the one parallel-graph
+# primitive the rest of the family doesn't: POINTER DOUBLING (pointer
+# jumping / parallel prefix), which resolves any chain in O(log n)
+# self-join rounds instead of O(n) label-propagation steps. This is the
+# workhorse for list ranking, tree rooting, and permutation cycle
+# detection at scale (e.g. validating a pseudorandom shard permutation).
+
+_SCC_MULT = 48271  # Lehmer/Park-Miller multiplier
+_SCC_ADD = 7
+_SCC_ORACLE_DOUBLINGS = 12  # 2^12 = 4096 >= n at every oracle gate scale
+
+
+def _scc_oracle() -> str:
+    """Unrolled pointer-doubling CTE chain: p{k} maps every node to
+    f^(2^k)(node) with mn = min over the 2^k-node path window. Any
+    doubling count with 2^t >= n yields the same output (the window
+    min stabilizes once it covers tail+cycle; the cycle set is the
+    f^N image for every N >= n), so the oracle's fixed unroll and the
+    engine's dynamic ceil(log2(n)) rounds agree."""
+    steps = []
+    for k in range(1, _SCC_ORACLE_DOUBLINGS + 1):
+        steps.append(
+            f"p{k} AS MATERIALIZED (\n"
+            f"  SELECT a.node, b.ptr, LEAST(a.mn, b.mn) AS mn\n"
+            f"  FROM p{k-1} a JOIN p{k-1} b ON b.node = a.ptr\n)"
+        )
+    last = f"p{_SCC_ORACLE_DOUBLINGS}"
+    return (
+        f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM customer),
+p0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS node,
+         ((CAST(c_custkey AS BIGINT) * {_SCC_MULT} + {_SCC_ADD})
+            % nn.n) + 1 AS ptr,
+         CAST(c_custkey AS BIGINT) AS mn
+  FROM customer, nn
+),
+"""
+        + ",\n".join(steps)
+        + f""",
+cyc AS (SELECT DISTINCT ptr FROM {last})
+SELECT a.node AS node_id,
+       (c.ptr IS NOT NULL) AS on_cycle,
+       CAST(m.mn AS BIGINT) AS cycle_id
+FROM {last} a
+LEFT JOIN cyc c ON c.ptr = a.node
+JOIN {last} m ON m.node = a.ptr
+"""
+    )
+
+
+@query("graph_scc_functional", oracle=_scc_oracle(), tags=("graph", "iterative"))
+def graph_scc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle (= SCC) detection over a functional graph by pointer
+    doubling: state is one row per node ``(node, ptr, mn)`` where after
+    round k ``ptr = f^(2^k)(node)`` and ``mn`` is the min node id on
+    the 2^k-long path window starting at ``node``. Each round is ONE
+    self-equi-join (``b.node = a.ptr``) — after ceil(log2(n)) rounds
+    every window covers its whole tail+cycle, so for cycle nodes ``mn``
+    IS the cycle's canonical id, the f^(2^t) image IS the cycle set,
+    and every node's component id is ``mn(ptr)`` (one more join).
+
+    Scale shape: O(log n) rounds of node-sized hash joins on the same
+    key — 18 rounds at 150 billion nodes, each shuffle-partitionable
+    and AQE-planned, vs the O(cycle length) rounds a min-label
+    propagation (graph_cluster_cc's shape) would need on a long cycle.
+    State never exceeds one row per node; lineage is truncated per
+    round (localCheckpoint) exactly like the family's other loops.
+    Oracle: the same doubling unrolled as CTEs — value-identical for
+    any doubling count with 2^t >= n (see _scc_oracle docstring)."""
+    import math
+
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    t = max(1, math.ceil(math.log2(max(2, n))))
+    state = cust.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        (
+            (F.col("c_custkey").cast("long") * _SCC_MULT + _SCC_ADD) % n + 1
+        ).alias("ptr"),
+        F.col("c_custkey").cast("long").alias("mn"),
+    ).localCheckpoint(eager=False)
+    for _ in range(t):
+        nxt = state.select(
+            F.col("node").alias("b_node"),
+            F.col("ptr").alias("b_ptr"),
+            F.col("mn").alias("b_mn"),
+        )
+        state = (
+            state.join(nxt, state.ptr == nxt.b_node)
+            .select(
+                "node",
+                F.col("b_ptr").alias("ptr"),
+                F.least("mn", "b_mn").alias("mn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    cyc = state.select(F.col("ptr").alias("cyc_node")).distinct()
+    mn_of = state.select(
+        F.col("node").alias("m_node"), F.col("mn").alias("m_mn")
+    )
+    return (
+        state.join(cyc, state.node == cyc.cyc_node, "left")
+        .join(mn_of, state.ptr == F.col("m_node"))
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("cyc_node").isNotNull().alias("on_cycle"),
+            F.col("m_mn").alias("cycle_id"),
+        )
+    )
