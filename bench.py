@@ -142,6 +142,9 @@ HEADLINE = [
     # round-7 second wave: the Data Source API write path
     "snk_python_datasource",      # manifest-committed Arrow batch sink
     "stream_python_sink",         # per-batch manifest streaming sink
+    # round-7 third wave: grid kNN + pointer-doubling SCC
+    "spatial_knn_join",           # certified grid kNN + exact fallback
+    "graph_scc_functional",       # O(log n) pointer-jumping rounds
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -1118,3 +1118,25 @@ def test_bloom_incremental_broadcast_probe_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_spatial_knn_fast_path_is_cell_equi_join(spark, sf_dir):
+    """spatial_knn_join: the candidate gather must be an equi-join on
+    the stamped (cx, cy) cell keys; the only nested-loop join allowed
+    in the plan is the exact-fallback broadcast for the unproven tail
+    (one BNLJ, never an all-pairs product on the fast path)."""
+    df = Q["spatial_knn_join"].fn(spark, sf_dir)
+    txt = plan_text(df, mode="simple")  # one line per node, countable
+    assert "CartesianProduct" not in txt
+    assert txt.count("BroadcastNestedLoopJoin") <= 1
+    assert "cx" in txt and "cy" in txt
+
+
+def test_scc_functional_jvm_only_no_cartesian(spark, sf_dir):
+    """graph_scc_functional is pointer doubling by self-equi-join:
+    node-keyed hash joins only — no Python workers, no products."""
+    df = Q["graph_scc_functional"].fn(spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt

@@ -603,12 +603,17 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("a_id").orderBy("dist2", "b_id")
+    # persisted (k rows per query after the rank filter): the candidate
+    # join + window feeds the fast path, the certificate, AND the
+    # fallback's anti-join — uncached it would run 3x. persist (not
+    # localCheckpoint) keeps the subtree recomputable and auditable.
     ranked = (
         qa.join(pb, ["cx", "cy"])
         .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
         .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= _KNN_K)
+        .persist()
     )
     # geometric certificate: k candidates found AND the k-th is within
     # 2G (everything outside the stamped block is farther than that)
