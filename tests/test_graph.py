@@ -163,3 +163,105 @@ def test_chunked_rounds_early_exit_on_fixpoint(spark):
     # round 1 changes state, round 2 equals round 1 → exit after the
     # FIRST chunk: exactly 3 step calls (the chunk), never 100
     assert len(calls) == 3
+
+
+def test_scc_functional_semantics(spark, sf_dir):
+    """graph_scc_functional invariants, checked against a driver-side
+    replay of the successor function: (a) the on_cycle set is exactly
+    the nodes reachable from themselves; (b) cycle_id is the MIN node
+    id of the cycle the node drains into; (c) output is one row per
+    customer node."""
+    import udacity_data_engineer_capstone_spark as engine
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _SCC_ADD,
+        _SCC_MULT,
+    )
+
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    n = len(keys)
+    succ = {u: (u * _SCC_MULT + _SCC_ADD) % n for u in keys}
+
+    # driver-side truth: walk n steps to land on the cycle, then trace it
+    def cycle_of(u):
+        v = u
+        for _ in range(n):
+            v = succ[v]
+        cyc = {v}
+        w = succ[v]
+        while w != v:
+            cyc.add(w)
+            w = succ[w]
+        return cyc
+
+    rows = engine.QUERIES["graph_scc_functional"].fn(spark, sf_dir).collect()
+    assert len(rows) == n
+    got = {r["node_id"]: (r["on_cycle"], r["cycle_id"]) for r in rows}
+    all_cycle_nodes = set()
+    seen = set()
+    for u in keys:
+        if u in seen:
+            continue
+        cyc = cycle_of(u)
+        all_cycle_nodes |= cyc
+        seen |= cyc
+    for u in keys:
+        on, cid = got[u]
+        assert on == (u in all_cycle_nodes), f"on_cycle wrong for {u}"
+        assert cid == min(cycle_of(u)), f"cycle_id wrong for {u}"
+
+
+def test_spatial_knn_fallback_path_exact(spark, sf_dir):
+    """Force every query onto the exact-fallback path (certificate
+    unsatisfiable at k > block population via a huge k is impossible —
+    instead shrink the grid so blocks are tiny) and check the result
+    still equals brute force: the fallback is not dead code and is
+    itself exact."""
+    import udacity_data_engineer_capstone_spark.operators.spatial as sp
+
+    # monkeypatch-free: call the internals with a degenerate density
+    # target by temporarily rebinding the module constant
+    orig = sp._KNN_TARGET_PER_CELL
+    sp._KNN_TARGET_PER_CELL = 1  # tiny cells -> certificates fail often
+    try:
+        df = sp.spatial_knn_join.__wrapped__(spark, sf_dir) if hasattr(
+            sp.spatial_knn_join, "__wrapped__"
+        ) else sp.spatial_knn_join(spark, sf_dir)
+        got = {
+            (r["a_id"], r["knn_rank"]): r["b_id"] for r in df.collect()
+        }
+    finally:
+        sp._KNN_TARGET_PER_CELL = orig
+    # brute-force truth on the driver
+    from udacity_data_engineer_capstone_spark.catalog import load_table
+
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    span, mx, my = sp._SPAN, sp._MULT_X, sp._MULT_Y
+    pts = {
+        u: (
+            ((u * mx) % 2147483647) ** 2 % span,
+            ((u * my + 7919) % 2147483647) ** 2 % span,
+        )
+        for u in keys
+    }
+    for q in [u for u in keys if u % sp._KNN_QMOD == 0]:
+        qx, qy = pts[q]
+        cand = sorted(
+            (
+                ((qx - x) ** 2 + (qy - y) ** 2, b)
+                for b, (x, y) in pts.items()
+                if b != q
+            )
+        )[: sp._KNN_K]
+        for rank, (_, b) in enumerate(cand, start=1):
+            assert got[(q, rank)] == b, f"query {q} rank {rank}"

@@ -1860,8 +1860,8 @@ def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCC of a functional graph via pointer doubling (parallel prefix)
 # ---------------------------------------------------------------------------
 
-# Every node has exactly ONE out-edge: succ(u) = ((u * 48271 + 7) % n) + 1
-# over the customer key space — a functional graph, i.e. "rho" shapes:
+# Every node has exactly ONE out-edge: succ(u) = (u * 48271 + 7) % n
+# over the customer key space (c_custkey is 0..n-1 in this testdata) — a functional graph, i.e. "rho" shapes:
 # trees draining into cycles. Its strongly connected components are
 # exactly the cycles, and finding them exercises the one parallel-graph
 # primitive the rest of the family doesn't: POINTER DOUBLING (pointer
@@ -1895,8 +1895,8 @@ def _scc_oracle() -> str:
 WITH nn AS (SELECT COUNT(*) AS n FROM customer),
 p0 AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) AS node,
-         ((CAST(c_custkey AS BIGINT) * {_SCC_MULT} + {_SCC_ADD})
-            % nn.n) + 1 AS ptr,
+         (CAST(c_custkey AS BIGINT) * {_SCC_MULT} + {_SCC_ADD})
+            % nn.n AS ptr,
          CAST(c_custkey AS BIGINT) AS mn
   FROM customer, nn
 ),
@@ -1941,7 +1941,7 @@ def graph_scc_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = cust.select(
         F.col("c_custkey").cast("long").alias("node"),
         (
-            (F.col("c_custkey").cast("long") * _SCC_MULT + _SCC_ADD) % n + 1
+            (F.col("c_custkey").cast("long") * _SCC_MULT + _SCC_ADD) % n
         ).alias("ptr"),
         F.col("c_custkey").cast("long").alias("mn"),
     ).localCheckpoint(eager=False)
