@@ -1140,3 +1140,35 @@ def test_scc_functional_jvm_only_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
+    """Mechanical audit of EVERY registered non-streaming query's plan:
+    no CartesianProduct anywhere (broadcast scalar/dim attaches plan as
+    BroadcastNestedLoopJoin and stay allowed — bounded by construction,
+    audited per-query elsewhere), and no row-at-a-time Python eval
+    (BatchEvalPython) outside the one deliberate Python-UDTF
+    demonstration, whose entire point is the Python table-function
+    execution path. Streaming queries are excluded because calling
+    their fn() DRAINS the stream (covered by their own tests); this
+    test audits plans, not results — a single sweep so a future
+    operator can't quietly ship an all-pairs product or a Python hot
+    path without either fixing it or documenting an allowlist entry."""
+    from udacity_data_engineer_capstone_spark.plans.audit import plan_text
+
+    allow = {
+        "udtf_chunk_text": {"BatchEvalPython"},  # deliberate Python UDTF
+    }
+    offenders = {}
+    for name, spec in sorted(Q.items()):
+        if "streaming" in (spec.tags or ()):
+            continue
+        txt = plan_text(spec.fn(spark, sf_dir), mode="simple")
+        hits = {
+            m
+            for m in ("CartesianProduct", "BatchEvalPython")
+            if m in txt
+        } - allow.get(name, set())
+        if hits:
+            offenders[name] = sorted(hits)
+    assert not offenders, f"plan audit offenders: {offenders}"
