@@ -982,3 +982,194 @@ def sim_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("fused_ppb").desc(), "doc_id").limit(_HY_TOP)
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation: NDCG@k and MRR over the corpus
+# ---------------------------------------------------------------------------
+
+# Discounts are PRE-QUANTIZED integers (round(1e6 / log2(rank+1))) in a
+# literal lookup both engines share, so the whole metric stays in exact
+# BIGINT arithmetic — no float log in either engine, no ulp drift.
+_NDCG_K = 10
+_NDCG_DISCOUNTS = (
+    (1, 1_000_000), (2, 630_930), (3, 500_000), (4, 430_677),
+    (5, 386_853), (6, 356_207), (7, 333_333), (8, 315_465),
+    (9, 301_030), (10, 289_065),
+)
+# two queries carry the corpus's rare term; the third is the all-common
+# control whose NDCG should sit near 1
+_NDCG_QUERIES = (
+    (1, ("dup", "spark", "query")),
+    (2, ("dup", "merge", "sort")),
+    (3, ("filter", "group", "window")),
+)
+# rarity-weighted graded relevance: a matched term contributes 3 if its
+# document frequency is under 10% of the corpus, else 1 — relevance
+# rewards the rare term that the TF ranker drowns in common-term counts
+_NDCG_RARE_W = 3
+_NDCG_REL_THRESHOLD = 4  # MRR: rare term + at least one common term
+
+_NDCG_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _NDCG_QUERIES for t in terms
+)
+_NDCG_D_VALUES = ", ".join(f"({r}, {d})" for r, d in _NDCG_DISCOUNTS)
+
+_NDCG_ORACLE = f"""
+WITH {_TOKENS_CTE},
+qt(query_id, term) AS (VALUES {_NDCG_QT_VALUES}),
+disc(rnk, d) AS (VALUES {_NDCG_D_VALUES}),
+ndocs AS (SELECT COUNT(*) AS n FROM documents),
+tw AS (
+  SELECT t.term,
+         CASE WHEN COUNT(DISTINCT t.doc_id) * 10 < MAX(ndocs.n)
+              THEN {_NDCG_RARE_W} ELSE 1 END AS w
+  FROM tokens t, ndocs
+  WHERE t.term IN (SELECT term FROM qt)
+  GROUP BY t.term
+),
+per_term AS (
+  SELECT qt.query_id, t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM tokens t JOIN qt ON qt.term = t.term
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT p.query_id, p.doc_id,
+         CAST(SUM(p.occ) AS BIGINT) AS occurrences,
+         CAST(SUM(tw.w) AS BIGINT) AS rel
+  FROM per_term p JOIN tw ON tw.term = p.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY occurrences DESC, doc_id) AS rnk
+  FROM scored
+),
+dcg AS (
+  SELECT query_id,
+         SUM(rel * d) AS dcg_w,
+         MIN(CASE WHEN rel >= {_NDCG_REL_THRESHOLD} THEN rnk END)
+           AS first_rel
+  FROM ranked JOIN disc USING (rnk)
+  WHERE rnk <= {_NDCG_K}
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS rnk
+  FROM scored
+),
+idcg AS (
+  SELECT query_id, SUM(rel * d) AS idcg_w
+  FROM ideal JOIN disc USING (rnk)
+  WHERE rnk <= {_NDCG_K}
+  GROUP BY 1
+)
+SELECT d.query_id AS query_id,
+       CAST(d.dcg_w AS BIGINT) AS dcg_w,
+       CAST(i.idcg_w AS BIGINT) AS idcg_w,
+       CAST(d.dcg_w * {_MICRO} // i.idcg_w AS BIGINT) AS ndcg_ppm,
+       CAST(COALESCE({_MICRO} // d.first_rel, 0) AS BIGINT) AS mrr_ppm
+FROM dcg d JOIN idcg i USING (query_id)
+"""
+
+
+@query("text_ndcg_eval", oracle=_NDCG_ORACLE, tags=("retrieval", "eval"))
+def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — NDCG@{_NDCG_K} and MRR per query —
+    of a term-frequency ranker (total query-term occurrences) against
+    RARITY-WEIGHTED graded relevance (a matched term scores 3 when its
+    document frequency is <10% of the corpus, else 1): the eval
+    quantifies exactly how a TF ranker drowns the rare, discriminative
+    term in common-term counts — the IDF lesson as a measured artifact.
+    Completes the retrieval eval story next to ``sim_ann_recall_eval``
+    (set recall) with the ORDER-sensitive metrics an offline search/RAG
+    eval loop reports; query 3 is the all-common control whose NDCG
+    sits near 1.
+
+    Exactness: rank discounts 1/log2(r+1) are pre-quantized to a
+    10-row integer ppm lookup shared verbatim by both engines, so
+    DCG/IDCG/NDCG/MRR are pure BIGINT sums and divisions — float logs
+    never touch either plan. Scale shape: one corpus token scan
+    equi-joined with the broadcast 9-row query-term table (an inverted
+    index probe), per-(query, doc, term) aggregate, two
+    query-partitioned top-k windows (WindowGroupLimit keeps all-but-k
+    rows out of the final shuffle), then candidate-sized discount
+    joins — per-query cost follows posting-list length, never
+    corpus x queries."""
+    docs = load_table_scaled(spark, sf_dir, "documents")
+    n_docs = docs.count()  # bounded driver scalar (df rarity threshold)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _NDCG_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    disc = spark.createDataFrame(list(_NDCG_DISCOUNTS), "rnk int, d long")
+    qterms = sorted({t for _, terms in _NDCG_QUERIES for t in terms})
+    tw = (
+        tokens.where(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(
+            F.when(
+                F.count_distinct("doc_id") * 10 < F.lit(n_docs),
+                F.lit(_NDCG_RARE_W),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    per_term = (
+        tokens.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    scored = (
+        per_term.join(F.broadcast(tw), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("occ").alias("occurrences"),
+            F.sum("w").alias("rel"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("occurrences").desc(), F.col("doc_id")
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    dcg = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= _NDCG_K)
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") * F.col("d")).alias("dcg_w"),
+            F.min(
+                F.when(
+                    F.col("rel") >= _NDCG_REL_THRESHOLD, F.col("rnk")
+                )
+            ).alias("first_rel"),
+        )
+    )
+    idcg = (
+        scored.withColumn("rnk", F.row_number().over(w_ideal))
+        .where(F.col("rnk") <= _NDCG_K)
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.col("d")).alias("idcg_w"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_w",
+        "idcg_w",
+        F.expr(f"dcg_w * {_MICRO} DIV idcg_w").alias("ndcg_ppm"),
+        F.coalesce(
+            F.expr(f"{_MICRO} DIV first_rel"), F.lit(0).cast("long")
+        ).alias("mrr_ppm"),
+    )
