@@ -145,6 +145,13 @@ HEADLINE = [
     # round-7 third wave: grid kNN + pointer-doubling SCC
     "spatial_knn_join",           # certified grid kNN + exact fallback
     "graph_scc_functional",       # O(log n) pointer-jumping rounds
+    # round-7 straggler (shipped in the snapshot commit with no bench
+    # row — VERDICT r7 directive #3) + round-8 ordinal retrofits worth
+    # tracking round-over-round
+    "text_ndcg_eval",             # NDCG@10 + MRR ranking evaluation
+    "evt_rfm_segmentation",       # 3x exact two-phase ntile quartiles
+    "stat_mann_whitney",          # per-value rank-sum (no global window)
+    "agg_skyline_pareto",         # two-phase running-max Pareto frontier
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

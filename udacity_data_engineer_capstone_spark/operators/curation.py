@@ -36,6 +36,10 @@ from udacity_data_engineer_capstone_spark.catalog import (
     load_table_scaled,
     register_views,
 )
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_row_number,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 MIN_TOKENS = 20
@@ -993,25 +997,10 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score_micro DESC, doc_id)
 """
 
 
-@query("curate_dsir", oracle=_DSIR_ORACLE, tags=("pipeline", "text", "sketch"))
-def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style data selection: score each document by the hashed-unigram
-    log-likelihood ratio between the target slice (lang = 'en') and the
-    raw corpus, rank, and mark the top selection — the published recipe
-    for "give me web data that looks like my high-quality target" at
-    pretraining scale.
-
-    Scale shape: the corpus-sized stages are the token explode and one
-    (doc, bucket) hash aggregate whose fan-in is bounded by 256 buckets
-    per doc; the bucket model is 256 rows (broadcast back onto the
-    stream), totals are one scalar. The global selection window is the
-    only stage that is corpus-ranked — at 100 TB replace it with a
-    score THRESHOLD chosen from a sampled quantile (same selection, no
-    global sort), which this operator's rank output calibrates.
-
-    Determinism: md5 feature hashing (no engine-private hash), exact
-    integer tf lanes, per-bucket micro-quantized ln ratios summed as
-    BIGINTs (headroom note above)."""
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-rank DSIR scoring dataflow (exposed separately so plan
+    tests can audit the join/broadcast shape — the ordinal's checkpoint
+    hides this lineage from the final query's plan)."""
     docs = load_table_scaled(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -1021,13 +1010,8 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("term") != "")
     )
-    bmap = (
-        toks.select("term")
-        .distinct()
-        .select("term", F.expr(_dsir_bucket("instr")).alias("bucket"))
-    )
     feats = (
-        toks.join(F.broadcast(bmap), "term")
+        toks.withColumn("bucket", F.expr(_dsir_bucket("instr")))
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1056,7 +1040,7 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lr_micro"),
     )
-    scored = (
+    return (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -1064,16 +1048,43 @@ def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("lr_micro")).alias("dsir_score_micro"),
         )
     )
-    w = Window.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dsir_score_micro",
-            F.col("rk").cast("int").alias("dsir_rank"),
-            (F.col("rk") <= _DSIR_TOPK).alias("selected"),
-        )
+
+
+@query("curate_dsir", oracle=_DSIR_ORACLE, tags=("pipeline", "text", "sketch"))
+def curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score each document by the hashed-unigram
+    log-likelihood ratio between the target slice (lang = 'en') and the
+    raw corpus, rank, and mark the top selection — the published recipe
+    for "give me web data that looks like my high-quality target" at
+    pretraining scale.
+
+    Scale shape: the corpus-sized stages are the token explode and one
+    (doc, bucket) hash aggregate whose fan-in is bounded by 256 buckets
+    per doc; the feature bucket is pure md5 arithmetic computed INLINE
+    on the token stream (no vocabulary-sized distinct/broadcast — a
+    hapax-heavy 100 TB vocab would not fit a broadcast); the bucket
+    model is 256 rows (broadcast back onto the stream), totals are one
+    scalar. The global selection rank is the two-phase exact ordinal
+    (``operators.ordinal.global_row_number``): histogram buckets →
+    driver cumsum → within-bucket row_number — identical ranks, no
+    single-partition window anywhere in the plan.
+
+    Determinism: md5 feature hashing (no engine-private hash), exact
+    integer tf lanes, per-bucket micro-quantized ln ratios summed as
+    BIGINTs (headroom note above)."""
+    scored = _dsir_scored(spark, sf_dir)
+    ranked, _n = global_row_number(
+        scored,
+        [F.col("dsir_score_micro").desc(), F.col("doc_id")],
+        -F.col("dsir_score_micro"),
+        out="rk",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score_micro",
+        F.col("rk").cast("int").alias("dsir_rank"),
+        (F.col("rk") <= _DSIR_TOPK).alias("selected"),
     )
 
 
@@ -1375,12 +1386,58 @@ def curate_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each. The measured gap is the budget case for a sort stage
     before ``curate_pack_sequences``-style packing.
 
-    Scale shape: the global row_number orders are the audit-path cost
-    (rank over doc lengths); in production the same numbers come from
-    a per-shard window plus shard-offset stitch — identical output,
-    range-partitioned. Everything else is two hash aggregates."""
-    register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_PADDING_SQL)
+    Scale shape: both batch orders come from the two-phase exact
+    global ordinal (``operators.ordinal.global_row_number`` — range
+    buckets + driver cumsum + within-bucket rank), so neither the
+    arrival order nor the length-sorted order ever funnels the corpus
+    through a single-partition window. Everything else is two hash
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.floor(F.col("n_chars") / 4.0).cast("long").alias("toks")
+    )
+    batch = lambda rn: F.floor((rn - 1) / float(_PAD_BATCH)).cast("long")  # noqa: E731
+    arr, _ = global_row_number(
+        lens, [F.col("doc_id")], F.col("doc_id"), out="rn"
+    )
+    srt, _ = global_row_number(
+        lens,
+        [F.col("toks"), F.col("doc_id")],
+        composite_bucket_key(F.col("toks"), F.col("doc_id")),
+        out="rn",
+    )
+
+    def per_batch(df: DataFrame, strategy: str) -> DataFrame:
+        return (
+            df.select("toks", batch(F.col("rn")).alias("batch"))
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("toks").cast("long").alias("used"),
+                (F.max("toks") * F.count(F.lit(1)))
+                .cast("long")
+                .alias("capacity"),
+            )
+            .withColumn("strategy", F.lit(strategy))
+        )
+
+    both = per_batch(arr, "arrival_order").unionByName(
+        per_batch(srt, "length_sorted")
+    )
+    return both.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("used").cast("long").alias("content_tokens"),
+        F.sum(F.col("capacity") - F.col("used"))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.floor(
+            F.sum(F.col("capacity") - F.col("used"))
+            * 1000000.0
+            / F.sum("capacity")
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1820,7 +1877,21 @@ def curate_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SHUFFLE_EPOCHS = 2
-_SHUFFLE_BUCKETS = 256  # first md5 byte
+
+
+def _shuffle_hex_chars(spark: SparkSession) -> int:
+    """md5-prefix bucket width, DERIVED from the session's parallelism
+    instead of frozen (the mm_phash lesson: fixed-width devices must
+    scale with their input). Buckets = 16^chars; the count must be
+    >= shuffle parallelism so the within-bucket rank uses every core,
+    and the driver cumsum is bounded by epochs x 16^chars rows. Local
+    32-way -> 2 chars (256 buckets, the historical constant); a 100 TB
+    profile with ~800k shuffle partitions -> 4 chars (65,536 buckets,
+    a 131k-row driver loop — still trivial)."""
+    import math as _math
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(2, min(4, _math.ceil(_math.log2(max(parts, 2)) / 4)))
 
 _SHUFFLE_ORACLE = f"""
 WITH e AS (
@@ -1848,15 +1919,17 @@ def curate_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the point of this operator: a global ordinal is NOT
     ``row_number().over(Window.orderBy(...))``, which collapses the
     whole corpus into ONE task (the classic global-window trap; Spark
-    even warns). Instead the rank is TWO-PHASE: (1) bucket rows by the
-    first md5 byte (256 range buckets whose hex ordering equals their
-    key ordering), count per (epoch, bucket) — a 512-row driver-side
-    cumsum, bounded by the constant bucket count, never by corpus
+    even warns). Instead the rank is TWO-PHASE: (1) bucket rows by an
+    md5-hex prefix whose WIDTH IS DERIVED from the session's shuffle
+    parallelism (``_shuffle_hex_chars`` — 2 chars/256 buckets on the
+    local profile, 4 chars/65k buckets at cluster parallelism: the
+    sizing rule, not a frozen constant), count per (epoch, bucket) — a
+    driver-side cumsum bounded by the bucket count, never by corpus
     size; (2) ``row_number`` within each (epoch, bucket) partition —
     corpus-sized work at bucket-level parallelism — plus the broadcast
     bucket offset. Same device as external sorting's histogram pass;
-    at 100 TB the bucket byte widens to two (65k buckets) and nothing
-    else changes."""
+    the generalized form (arbitrary sort keys via percentile
+    boundaries) lives in ``operators.ordinal``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
     keyed = (
@@ -1869,7 +1942,7 @@ def curate_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("doc_id").cast("string"))
             ).alias("k"),
         )
-        .withColumn("bucket", F.substring("k", 1, 2))
+        .withColumn("bucket", F.substring("k", 1, _shuffle_hex_chars(spark)))
     )
     counts = (
         keyed.groupBy("epoch", "bucket")

@@ -107,6 +107,14 @@ N_HASHES = 12
 N_BANDS = 6  # rows-per-band r = 2 → threshold s ≈ (1/b)^(1/r) ≈ 0.41
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# Saturation note (the mm_phash question, answered for THIS device —
+# measured in scripts/saturation_probe.py): band keys are md5 over two
+# 128-bit bottom-digests, so random band collisions are ~2^-256 and do
+# NOT grow with corpus size, unlike phash's original 8-bit bands; hot
+# buckets can only come from true near-dup clusters. Measured max band
+# bucket: 3 at sf0.01 → 4 at sf0.1 (10× docs, no growth). The b/r
+# geometry sets the similarity THRESHOLD, not a capacity — it is
+# scale-independent by construction.
 
 _SHINGLES_SPARK = (
     "CASE WHEN size(toks) >= {k} THEN array_distinct(transform("
@@ -1334,7 +1342,19 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     gracefully to a (word) equi-join — still k constant-width rows per
     arriving doc — or shards the filter by key range. A shard×corpus
     anti-join would shuffle every content hash of BOTH sides per
-    arrival; this pays that only for confirmed-candidate rows."""
+    arrival; this pays that only for confirmed-candidate rows.
+
+    Capacity (MEASURED, scripts/saturation_probe.py — exact hashlib
+    replay of this filter): 2^20 bits / k=4 holds FP ≈ 0.1% at a
+    60k-doc corpus (sf0.1-equivalent), hits the kn/m=1 knee at ~262k
+    (FP 16%), and is SATURATED at an sf1-equivalent 600k corpus
+    (FP 65%). Sizing rule: keep kn/m ≤ 0.25 ⇒ m ≥ 16·n_corpus, i.e.
+    ONE MORE md5-hex digit per probe slice per 16× corpus growth
+    (5 hex → 65k docs, 6 → 1M, 7 → 16M, 8 → 268M; md5 has 32 hexes =
+    4 non-overlapping 8-digit probes, enough for any corpus that fits
+    an int64 doc_id). The width is pinned at 5 here because the
+    SHARED oracle text bakes it in; a production build threads
+    ceil(log16(16·n)) through ``_bloom_pos``."""
     c = corpus(spark, sf_dir)
     hist = c.filter(F.col("doc_id") < 1000000).select(F.md5("text").alias("h"))
     batch = c.filter(F.col("doc_id") >= 1000000).select(

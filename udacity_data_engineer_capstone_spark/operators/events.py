@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_row_number,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 _TUMBLING_ORACLE = """
@@ -1179,10 +1183,12 @@ def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``evt_funnel``'s step counts.
 
     Scale shape: two filtered user-keyed aggregates, a user equi-join,
-    then ONE global ranking over the converted-user set (conversion
-    sets are orders of magnitude smaller than the event stream; if even
-    that outgrows a sort, swap the exact ranks for
-    ``agg_approx_percentile``'s sketch). All integer second lanes."""
+    then the converted-user ranking via the two-phase exact ordinal
+    (``operators.ordinal.global_row_number``; latencies are integer
+    seconds with heavy ties, so the bucket key folds user_id in) —
+    identical ranks to the global window it replaces, and the
+    percentile rank positions become driver literals from the ordinal's
+    count. All integer second lanes."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -1204,22 +1210,22 @@ def evt_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("secs"),
         )
     )
-    w = Window.orderBy("secs", "user_id")
-    ranked = lat.select(
-        "secs",
-        "user_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked, n = global_row_number(
+        lat,
+        [F.col("secs"), F.col("user_id")],
+        composite_bucket_key(F.col("secs"), F.col("user_id")),
+        out="rn",
     )
+    r_lo, r_hi, r_90 = (n + 1) // 2, (n + 2) // 2, (9 * n + 9) // 10
     return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
+        F.lit(n if n > 0 else None).cast("long").alias("n_converted"),
         (
-            F.max(F.when(F.expr("rn = floor((n + 1) / 2)"), F.col("secs")))
-            + F.max(F.when(F.expr("rn = floor((n + 2) / 2)"), F.col("secs")))
+            F.max(F.when(F.col("rn") == r_lo, F.col("secs")))
+            + F.max(F.when(F.col("rn") == r_hi, F.col("secs")))
         )
         .cast("long")
         .alias("p50_secs2"),
-        F.max(F.when(F.expr("rn = floor((9 * n + 9) / 10)"), F.col("secs")))
+        F.max(F.when(F.col("rn") == r_90, F.col("secs")))
         .cast("long")
         .alias("p90_secs"),
         F.min("secs").cast("long").alias("min_secs"),

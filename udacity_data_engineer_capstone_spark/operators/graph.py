@@ -1608,8 +1608,24 @@ def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_COARSE_K = 16  # per-customer capped supplier sample (degree cap)
 # single-task gate: the coarse supplier-level graph is solved in one
 # executor task only while its edge count stays below this bound —
-# above it, the distributed round loop takes over
+# above it, the distributed round loop takes over. The default bounds
+# the solve task's state at ~20M edges x ~48 B (pandas arrays + the
+# label dict) ≈ 1 GB; when the active SizingProfile knows the per-core
+# memory, the gate is DERIVED from it instead (mem/48B, capped at the
+# default) so a smaller-memory cluster shrinks the single-task window
+# rather than OOMing it — the fixed-width-device sizing rule.
 _LPA_COARSE_MAX_EDGES = 20_000_000
+_LPA_EDGE_BYTES = 48
+
+
+def _lpa_coarse_gate() -> int:
+    from udacity_data_engineer_capstone_spark.session import profile_from_env
+
+    prof = profile_from_env()
+    if prof.mem_gb_per_core:
+        derived = int(prof.mem_gb_per_core * (1 << 30)) // _LPA_EDGE_BYTES
+        return max(1, min(_LPA_COARSE_MAX_EDGES, derived))
+    return _LPA_COARSE_MAX_EDGES
 _LPA_COARSE_ITER_CAP = 50
 _LPA_COARSE_DIST_CAP = 8
 
@@ -1756,7 +1772,7 @@ def graph_lpa_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("anchor").alias("a"), F.col("other").alias("b"))
         .distinct()
     )
-    if n_capped <= _LPA_COARSE_MAX_EDGES:
+    if n_capped <= _lpa_coarse_gate():
         solved = coarse.repartition(1).mapInPandas(
             _solve_coarse_lpa, "node bigint, label bigint, iters int"
         )
@@ -1903,13 +1919,26 @@ p0 AS MATERIALIZED (
 """
         + ",\n".join(steps)
         + f""",
-cyc AS (SELECT DISTINCT ptr FROM {last})
+cyc AS (SELECT DISTINCT ptr FROM {last}),
+guard AS (
+  -- self-explanatory failure instead of a confusing value mismatch if
+  -- a future parity gate outgrows the fixed unroll (engine right,
+  -- oracle wrong past this bound)
+  SELECT CASE WHEN n > {2 ** _SCC_ORACLE_DOUBLINGS}
+              THEN error('SCC oracle unroll ({_SCC_ORACLE_DOUBLINGS} '
+                         'doublings) only valid for n <= '
+                         '{2 ** _SCC_ORACLE_DOUBLINGS}; raise '
+                         '_SCC_ORACLE_DOUBLINGS')
+              ELSE 1 END AS ok
+  FROM nn
+)
 SELECT a.node AS node_id,
        (c.ptr IS NOT NULL) AS on_cycle,
        CAST(m.mn AS BIGINT) AS cycle_id
 FROM {last} a
 LEFT JOIN cyc c ON c.ptr = a.node
 JOIN {last} m ON m.node = a.ptr
+CROSS JOIN guard
 """
     )
 

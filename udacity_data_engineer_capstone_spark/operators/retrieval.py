@@ -33,6 +33,9 @@ from udacity_data_engineer_capstone_spark.catalog import (
     load_table_scaled,
     register_views,
 )
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    global_row_number,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 # Whitespace tokenizer contract shared with text_tokens (operators/text.py):
@@ -454,6 +457,13 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query term, so every stage past the token scan is query-bounded.
 _RRF_K = 60
 _RRF_TOPN = 20
+# per-ranker candidate depth: each list is cut to its top-_RRF_CAND
+# BEFORE fusing (rank-window + rk filter → Spark's WindowGroupLimit
+# prunes per partition, so a broad query never funnels its full match
+# set through one task). Standard RRF fuses fixed-depth lists; with
+# K=60, a doc ranked >100 in BOTH lists cannot reach the top-20 fused
+# output it would need rrf > ~2*1e6/160.
+_RRF_CAND = 100
 
 _RRF_ORACLE = f"""
 WITH bm AS (
@@ -479,14 +489,18 @@ ti AS (
   GROUP BY tf.doc_id
 ),
 ra AS (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
-  FROM bm
+  SELECT doc_id, rk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+    FROM bm
+  ) _ra WHERE rk <= {_RRF_CAND}
 ),
 rb AS (
-  SELECT doc_id,
-         ROW_NUMBER() OVER (ORDER BY tfidf_micro DESC, doc_id) AS rk
-  FROM ti
+  SELECT doc_id, rk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY tfidf_micro DESC, doc_id) AS rk
+    FROM ti
+  ) _rb WHERE rk <= {_RRF_CAND}
 ),
 fused AS (
   SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -515,12 +529,13 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses :func:`text_bm25_search` verbatim as ranker A so the BM25
     definition lives in exactly one place.
 
-    Scale shape: candidate lists are query-bounded (docs containing a
-    query term), so the global ranking windows and the full-outer merge
-    run over result-set-sized frames; the only corpus-sized stage is
-    the token scan already inside the rankers. At 100 TB with broad
-    queries, swap ROW_NUMBER for per-shard top-k + merge (the
-    ``ord_global_topk`` pattern) before fusing."""
+    Scale shape: each ranked list is cut to its top-100 (_RRF_CAND)
+    candidates BEFORE fusing — the rank-filter compiles to Spark's
+    WindowGroupLimit (per-partition top-k, k-width merge), so even a
+    broad query whose match set is corpus-sized never funnels through
+    a single-partition window; the fusion then joins two
+    constant-depth lists. The only corpus-sized stage is the token
+    scan already inside the rankers."""
     bm = text_bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
     docs = load_table_scaled(spark, sf_dir, "documents")
     # substring prefilter before the explode: docs with no query term
@@ -563,13 +578,13 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy(F.col("bm25_micro").desc(), F.col("doc_id")))
         .alias("rk"),
-    )
+    ).filter(F.col("rk") <= _RRF_CAND)
     rb = ti.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.col("tfidf_micro").desc(), F.col("doc_id")))
         .alias("rk"),
-    )
+    ).filter(F.col("rk") <= _RRF_CAND)
     a = ra.alias("a")
     b = rb.alias("b")
     fused = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
@@ -636,33 +651,27 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_encoding_artifacts`` review.
 
     Scale shape: scoring is text_lm_logprob's one token scan + per-doc
-    aggregate; the tertile rank is the only corpus-ordered stage — at
-    100 TB replace it with two sampled quantile thresholds on the
-    score (same cut, no global sort), which this exact output
-    calibrates. Tie-break on doc_id keeps the cut deterministic."""
+    aggregate; the tertile rank is the two-phase exact global ordinal
+    (``operators.ordinal.global_row_number``: histogram buckets →
+    driver cumsum → within-bucket row_number), and the corpus count
+    falls out of the histogram pass as a driver literal — no
+    single-partition window, no ``COUNT(*) OVER ()``. Tie-break on
+    doc_id keeps the cut deterministic."""
     lm = text_lm_logprob(spark, sf_dir)
-    from pyspark.sql.window import Window
 
-    ranked = lm.select(
-        "doc_id",
-        "n_tokens",
-        "logprob_micro",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                (F.col("logprob_micro").cast("double") / F.col("n_tokens")).desc(),
-                F.col("doc_id"),
-            )
-        )
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    per_tok = F.col("logprob_micro").cast("double") / F.col("n_tokens")
+    ranked, n = global_row_number(
+        lm,
+        [per_tok.desc(), F.col("doc_id")],
+        -per_tok,
+        out="rk",
     )
     return ranked.select(
         "doc_id",
         "n_tokens",
         "logprob_micro",
-        F.when(F.col("rk") * 3 <= F.col("n"), F.lit("head"))
-        .when(F.col("rk") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        F.when(F.col("rk") * 3 <= F.lit(n), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.lit(n), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
@@ -1078,7 +1087,7 @@ FROM dcg d JOIN idcg i USING (query_id)
 
 @query("text_ndcg_eval", oracle=_NDCG_ORACLE, tags=("retrieval", "eval"))
 def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-quality evaluation — NDCG@{_NDCG_K} and MRR per query —
+    """Ranking-quality evaluation — NDCG@10 (_NDCG_K) and MRR per query —
     of a term-frequency ranker (total query-term occurrences) against
     RARITY-WEIGHTED graded relevance (a matched term scores 3 when its
     document frequency is <10% of the corpus, else 1): the eval

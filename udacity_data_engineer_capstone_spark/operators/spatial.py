@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
 from udacity_data_engineer_capstone_spark.registry import query
 
+# bounded eviction ring for the per-invocation persisted candidate
+# frame (same device as operators/graph.py's adjacency cache): repeated
+# invocations (bench median-of-N, registry-wide plan sweeps) would
+# otherwise accumulate cached blocks for the session lifetime. persist
+# (not localCheckpoint) keeps eviction recompute-safe — lineage
+# survives unpersist, so a still-referenced result silently recomputes.
+_PERSIST_RING: list[DataFrame] = []
+_PERSIST_RING_MAX = 4
+
+# populated by spatial_knn_join with its lazy cert/unproven frames —
+# test introspection only (see the hook comment in the operator)
+_LAST_PARTS: dict[str, DataFrame] = {}
+
+
+def _ring_persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PERSIST_RING.append(df)
+    while len(_PERSIST_RING) > _PERSIST_RING_MAX:
+        try:
+            _PERSIST_RING.pop(0).unpersist()
+        except Exception:
+            pass
+    return df
+
+
 _SPAN = 1_000_000  # coordinate space [0, 1e6)^2, micro-units
 _RADIUS = 100_000  # neighbor radius (10% of span)
 _MULT_X = 2_654_435_761  # Knuth multiplicative-hash constants
@@ -605,15 +630,15 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("a_id").orderBy("dist2", "b_id")
     # persisted (k rows per query after the rank filter): the candidate
     # join + window feeds the fast path, the certificate, AND the
-    # fallback's anti-join — uncached it would run 3x. persist (not
-    # localCheckpoint) keeps the subtree recomputable and auditable.
-    ranked = (
+    # fallback's anti-join — uncached it would run 3x. Rides the
+    # bounded eviction ring so repeated invocations don't accumulate
+    # storage blocks (recompute-safe, see _ring_persist).
+    ranked = _ring_persist(
         qa.join(pb, ["cx", "cy"])
         .where(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", d2.cast("bigint").alias("dist2"))
         .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= _KNN_K)
-        .persist()
     )
     # geometric certificate: k candidates found AND the k-th is within
     # 2G (everything outside the stamped block is farther than that)
@@ -648,6 +673,12 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= _KNN_K)
     )
+    # introspection hook (lazy frames, no action): lets tests count how
+    # many queries actually took the fallback path, so "fallback is not
+    # dead code" is asserted, not assumed (grid constants are baked into
+    # these plans at construction, so late evaluation is stable)
+    _LAST_PARTS.clear()
+    _LAST_PARTS.update(cert=cert, unproven=unproven)
     return fast.select("a_id", "b_id", "dist2", "knn_rank").unionAll(
         fallback
     )

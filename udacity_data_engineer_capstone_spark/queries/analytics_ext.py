@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_cum,
+    global_row_number,
+    ntile_from_rank,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -426,13 +432,45 @@ FROM metrics m CROSS JOIN cuts c
 def agg_percentile_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile banding via broadcast threshold values instead of a
     global ntile — the shape that survives when the banded table is too
-    big to sort in one partition: cut values come from a rank scan
-    (here a window; at extreme scale an approx-quantile or a sampled
-    rank), then banding is a map-only comparison against the broadcast
-    3-row cuts. Discrete quantiles (value at rank ⌈n·q⌉) keep every
-    number an exact integer."""
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BANDS_SQL)
+    big to sort in one partition: cut values come from the two-phase
+    exact global ordinal (``operators.ordinal.global_row_number`` —
+    this op used to DEMONSTRATE the scale path while computing its own
+    cut ranks in a single-partition window; now it practices it), then
+    banding is a map-only comparison against the broadcast 1-row cuts.
+    Discrete quantiles (value at rank ⌈n·q⌉) keep every number an
+    exact integer."""
+    ev = load_table(spark, sf_dir, "events")
+    metrics = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked, n = global_row_number(
+        metrics,
+        [F.col("cents"), F.col("user_id")],
+        composite_bucket_key(F.col("cents"), F.col("user_id")),
+        out="r",
+    )
+    cuts = ranked.agg(
+        F.max(F.when(F.col("r") * 4 <= F.lit(n), F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("r") * 2 <= F.lit(n), F.col("cents"))).alias("q2"),
+        F.max(F.when(F.col("r") * 4 <= F.lit(3 * n), F.col("cents"))).alias(
+            "q3"
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "cents",
+        F.when(F.col("cents") <= F.col("q1"), 1)
+        .when(F.col("cents") <= F.col("q2"), 2)
+        .when(F.col("cents") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("band"),
+        "q1",
+        "q2",
+        "q3",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -579,12 +617,14 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the overall base rate.
 
     Scale shape: per-user scoring is a partial+final hash aggregate;
-    the global ntile needs a total order over USERS (not events) — fine
-    to ~1e8 rows in one sorted window pass; past that, swap the exact
-    ntile for broadcast percentile bounds exactly as
-    ``agg_percentile_threshold_bands`` demonstrates (same output
-    contract, no total sort). Decile totals and the running capture run
-    on a constant 10-row frame."""
+    the global ntile is the two-phase exact ordinal
+    (``operators.ordinal.global_row_number``) with the decile derived
+    from (rank, driver-known n) by ``ntile_from_rank`` — identical
+    tiles to ``ntile(10) OVER (ORDER BY ...)``, no single-partition
+    window. Engagement scores are small integers with heavy ties, so
+    the bucket key folds user_id in (``composite_bucket_key``) to keep
+    the within-bucket sorts parallel. Decile totals and the running
+    capture run on a constant 10-row frame (audited allowlist)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -596,12 +636,16 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("responded"),
     )
-    d = u.select(
+    ranked, n = global_row_number(
+        u,
+        [F.col("score").desc(), F.col("user_id")],
+        composite_bucket_key(-F.col("score"), F.col("user_id")),
+        out="urk",
+    )
+    d = ranked.select(
         "score",
         "responded",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "user_id"))
-        .alias("decile"),
+        ntile_from_rank(F.col("urk"), n, 10).alias("decile"),
     )
     per = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -821,12 +865,50 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-frontier query over (price ↓, size ↑): the
     parts no purchaser can strictly improve on — the multi-criteria
     shortlist behind 'best camera under every budget' product pages
-    and trade-off dashboards. Two windows over an integer-cents order
-    replace the naive O(n²) dominance self-join.
+    and trade-off dashboards. A per-price-point reduction plus one
+    exact running max replace the naive O(n²) dominance self-join.
 
-    Scale shape: one global sort by price (range-partitioned at
-    cluster scale) and two windows on it; output is frontier-sized.
-    For d > 2 criteria, pre-partition by one dimension's bands and
-    merge band frontiers — same windows per band."""
-    register_views(spark, sf_dir, ("part",))
-    return spark.sql(_SKYLINE_SQL)
+    Scale shape: the per-price representative is a PARTITIONED window
+    (never global); the strictly-cheaper running max runs on the
+    distinct-price frame via the two-phase exact cumulative
+    (``operators.ordinal.global_cum``, max, exclusive) — no
+    single-partition window even with a wide price domain. For d > 2
+    criteria, pre-partition by one dimension's bands and merge band
+    frontiers."""
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    rep = (
+        pts.withColumn(
+            "price_rank",
+            F.row_number().over(
+                Window.partitionBy("price_cents").orderBy(
+                    F.col("size").desc(), F.col("p_partkey")
+                )
+            ),
+        )
+        .where(F.col("price_rank") == 1)
+        .drop("price_rank")
+    )
+    pp = pts.groupBy("price_cents").agg(F.max("size").alias("msize"))
+    best = global_cum(
+        pp,
+        [F.col("price_cents")],
+        F.col("price_cents"),
+        F.col("msize"),
+        agg="max",
+        inclusive=False,
+        out="best_cheaper_size",
+    ).select("price_cents", "best_cheaper_size")
+    return (
+        rep.join(best, "price_cents")
+        .where(
+            F.col("best_cheaper_size").isNull()
+            | (F.col("size") > F.col("best_cheaper_size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )

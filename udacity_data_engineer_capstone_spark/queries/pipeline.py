@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_row_number,
+    ntile_from_rank,
+)
 from udacity_data_engineer_capstone_spark.pipelines import i94
 from udacity_data_engineer_capstone_spark.registry import query
 from udacity_data_engineer_capstone_spark.sources import i94_fixtures
@@ -335,12 +340,53 @@ def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything is keyed by user_id — the window sort, the
     three funnel-stage aggregates, and the final joins all share one
-    hash partitioning (Catalyst reuses the exchange); the only global
-    operation is the ntile over the per-user metric table (users ≪
-    events; swap for percentile-threshold joins at extreme
-    cardinality)."""
+    hash partitioning (Catalyst reuses the exchange); the quartile cuts
+    run as three exact two-phase global ordinals
+    (``operators.ordinal.global_row_number`` + ``ntile_from_rank``)
+    over the per-user metric table — identical codes to the oracle's
+    ntile windows, no single-partition exchange."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_E360_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
+    # shared CTE text up to (but not including) the ntile stage; the
+    # quartiles themselves come from the two-phase ordinal below
+    base_sql = (
+        _E360_SQL.replace("epoch_us(ts)", "unix_micros(ts)").split("scored AS")[0]
+        + """base AS (
+  SELECT s.user_id, s.n_sessions, s.n_events, s.monetary_cents, s.last_us,
+         (c.user_id IS NOT NULL) AS converted
+  FROM sess s LEFT JOIN converted c ON c.user_id = s.user_id
+)
+SELECT * FROM base"""
+    )
+    base = spark.sql(base_sql)
+    m, n = global_row_number(
+        base,
+        [F.col("last_us"), F.col("user_id")],
+        composite_bucket_key(F.col("last_us"), F.col("user_id")),
+        out="r_rk",
+    )
+    m, _ = global_row_number(
+        m,
+        [F.col("n_events"), F.col("user_id")],
+        composite_bucket_key(F.col("n_events"), F.col("user_id")),
+        out="f_rk",
+    )
+    m, _ = global_row_number(
+        m,
+        [F.col("monetary_cents"), F.col("user_id")],
+        composite_bucket_key(F.col("monetary_cents"), F.col("user_id")),
+        out="m_rk",
+    )
+    r_q = ntile_from_rank(F.col("r_rk"), n, 4)
+    f_q = ntile_from_rank(F.col("f_rk"), n, 4)
+    m_q = ntile_from_rank(F.col("m_rk"), n, 4)
+    return m.select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        "monetary_cents",
+        "converted",
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -430,22 +476,20 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each stage keeps its own audited shape (map-only
     gates, hash-width dedup shuffle, broadcast LR model, per-shard
     sorts); the stages compose via doc_id semi/equi joins that carry
-    ids and small scores, never text. The one global rank (DSIR half)
-    is the calibration path — production swaps it for a sampled score
-    threshold, as documented on curate_dsir."""
+    ids and small scores, never text. Both median cuts (quality half,
+    DSIR half) rank via the two-phase exact global ordinal
+    (``operators.ordinal.global_row_number``) with the row count as a
+    driver literal — identical ranks to a global window, but no
+    single-partition exchange anywhere in the composed plan."""
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     scored = curate_model_score(spark, sf_dir).select("doc_id", "score_micro")
-    model = (
-        scored.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("score_micro").desc(), F.col("doc_id")))
-            .alias("qrk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("qn"),
-        )
-        .filter(F.col("qrk") * 2 <= F.col("qn"))
-        .select("doc_id")
+    qranked, qn = global_row_number(
+        scored,
+        [F.col("score_micro").desc(), F.col("doc_id")],
+        -F.col("score_micro"),
+        out="qrk",
     )
+    model = qranked.filter(F.col("qrk") * 2 <= F.lit(qn)).select("doc_id")
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("keep_id")
     )
@@ -467,14 +511,13 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ds, "doc_id")
         .select("doc_id", "bucket", "dsir_score_micro")
     )
-    half = surv.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("dsir_score_micro").desc(), F.col("doc_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    half, n = global_row_number(
+        surv,
+        [F.col("dsir_score_micro").desc(), F.col("doc_id")],
+        -F.col("dsir_score_micro"),
+        out="rk",
     )
-    sel = half.filter(F.col("rk") * 2 <= F.col("n")).select(
+    sel = half.filter(F.col("rk") * 2 <= F.lit(n)).select(
         "doc_id",
         "bucket",
         "dsir_score_micro",

@@ -503,15 +503,17 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: production keeps the per-set state at k 24-bit values
     via per-partition bottom-k + merge (mergeable like HLL, but closed
-    under ∪/∩/∖). The SQL mirror here sorts the full distinct-hash set
-    per side — the same bounded shape as ``agg_kmv_distinct``; the
-    corpus-sized work is the DISTINCT, one hash-width shuffle with
-    map-side partials. Because the SQL text references each side's key
-    set from several CTEs (thresholds, union/intersect counts, exact
-    truth) and Spark inlines CTEs, the distinct key set is materialized
-    ONCE via localCheckpoint — one events scan total instead of ~8
-    (bench: 5.3 s → well under 2 s at sf0.1; DuckDB gets the same
-    effect from its MATERIALIZED default)."""
+    under ∪/∩/∖). The Spark side finds each threshold with a bottom-k
+    ``ORDER BY hv LIMIT k`` (TakeOrderedAndProject: per-partition
+    top-k + k-width merge — never the oracle's rank window over the
+    full distinct-hash set); the corpus-sized work is the DISTINCT,
+    one hash-width shuffle with map-side partials. Because the SQL
+    text references each side's key set from several CTEs (thresholds,
+    union/intersect counts, exact truth) and Spark inlines CTEs, the
+    distinct key set is materialized ONCE via localCheckpoint — one
+    events scan total instead of ~8 (bench: 5.3 s → well under 2 s at
+    sf0.1; DuckDB gets the same effect from its MATERIALIZED
+    default)."""
     register_views(spark, sf_dir, ("events",))
     keys = spark.sql(
         "SELECT DISTINCT event_type, user_id * 100 + day(ts) AS k "
@@ -531,7 +533,25 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT k FROM theta_keys_m WHERE event_type = 'view'",
         )
     )
+    # the k-th-smallest hash via bottom-k LIMIT (TakeOrderedAndProject)
+    # instead of the oracle's rank window over the full hash set
+    for s in ("a", "b"):
+        old = f"""th_{s} AS (
+  SELECT CASE WHEN MAX(cnt) >= {_THETA_K}
+              THEN MAX(CASE WHEN rk = {_THETA_K} THEN hv END)
+              ELSE {_THETA_H} END AS th
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+               COUNT(*) OVER () AS cnt FROM hv_{s})
+)"""
+        new = f"""th_{s} AS (
+  SELECT CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(hv)
+              ELSE {_THETA_H} END AS th
+  FROM (SELECT hv FROM hv_{s} ORDER BY hv LIMIT {_THETA_K})
+)"""
+        assert old in sql, f"theta template drifted for side {s}"
+        sql = sql.replace(old, new)
     assert "FROM events WHERE event_type = " not in sql
+    assert "ROW_NUMBER" not in sql
     return spark.sql(sql)
 
 

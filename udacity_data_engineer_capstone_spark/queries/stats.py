@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_cum,
+    global_row_number,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -266,10 +271,43 @@ def stat_join_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, p99 group size, and skew factor (max/mean group ratio) — the
     numbers that decide between a plain shuffle join, AQE skew split,
     or explicit salting (`join_salted_skew`). One hash aggregate for
-    group sizes, scalar rollups after; nothing driver-side. skew_factor
-    ~ 1 means uniform; >> 1 means the hottest reducer owns the job."""
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_SKEWDIAG_SQL)
+    group sizes; the p99 group size comes from the two-phase exact
+    ordinal over the key-count table (key-cardinality-sized — a global
+    rank window here would serialize every join key through one task),
+    min-reduced over the top 1% of ranks. skew_factor ~ 1 means
+    uniform; >> 1 means the hottest reducer owns the job."""
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    sizes = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked, n = global_row_number(
+        sizes,
+        [F.col("cnt").desc(), F.col("key")],
+        composite_bucket_key(-F.col("cnt"), F.col("key")),
+        out="rk",
+    )
+    p99 = ranked.where(F.col("rk") <= math.ceil(n * 0.01)).agg(
+        F.min("cnt").cast("long").alias("p99_cnt")
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return stats.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        (F.col("max_cnt").cast("double") / F.col("n_rows")).alias(
+            "top_key_share"
+        ),
+        (
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_factor"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -319,10 +357,49 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     is maximized in exact cross-multiplied integers (no float ECDFs),
     so the answer is deterministic at any parallelism; the only float
     op is the final d_num/d_den division. One hash aggregate on the
-    pooled values, one ordered prefix-sum over the distinct-value table
-    (distinct-value-sized, tiny next to the corpus), one max."""
-    register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_KS_SQL)
+    pooled values, then the two-phase exact prefix sums
+    (``operators.ordinal.global_cum``) over the distinct-value table —
+    no single-partition window even when the value domain is wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.where(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_a"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("c_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("c_b"),
+    )
+    cum = global_cum(
+        counts, [F.col("v")], F.col("v"), F.col("c_a"), out="cum_a"
+    )
+    cum = global_cum(cum, [F.col("v")], F.col("v"), F.col("c_b"), out="cum_b")
+    tot = s.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    g = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("d_den"),
+        (
+            F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))
+        ).alias("ks_stat"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -695,11 +772,52 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U test comparing click vs purchase value
     distributions — the nonparametric alternative to the t-test (cf.
     stat_welch_ttest) that survives heavy tails. Doubled-rank units
-    keep every accumulation int64-exact (tie handling included); one
-    global rank window over the two-group sample (at extreme scale,
-    rank via sampled splitters), then a single-row aggregate."""
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql(_MWU_SQL)
+    keep every accumulation int64-exact (tie handling included). The
+    rank never materializes per ROW: the doubled tie-average rank
+    2r + t - 1 is a function of each distinct VALUE (r = 1 + #smaller
+    rows, t = rows at the value), so one per-value aggregate + the
+    two-phase exact prefix sum (``operators.ordinal.global_cum``,
+    exclusive) replace the oracle's sample-sized global rank window,
+    then a single-row aggregate folds U and z."""
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    per = samples.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n1_v"),
+        F.count(F.lit(1)).cast("long").alias("t_v"),
+    )
+    per = global_cum(
+        per,
+        [F.col("cents")],
+        F.col("cents"),
+        F.col("t_v"),
+        inclusive=False,
+        out="cumlt",
+    ).withColumn("cumlt", F.coalesce(F.col("cumlt"), F.lit(0)))
+    # per-row doubled tie-average rank 2r + t - 1 = 2*cumlt + t_v + 1
+    sums = per.agg(
+        F.sum(F.col("n1_v") * (2 * F.col("cumlt") + F.col("t_v") + 1))
+        .cast("long")
+        .alias("r1_doubled"),
+        F.sum("n1_v").cast("long").alias("n1"),
+        F.sum(F.col("t_v") - F.col("n1_v")).cast("long").alias("n2"),
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.expr("CAST((r1_doubled - n1 * (n1 + 1)) AS BIGINT)").alias(
+            "u1_doubled"
+        ),
+        F.expr(
+            "(CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0"
+            " - CAST(n1 * n2 AS DOUBLE) / 2.0)"
+            " / sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE) / 12.0)"
+        ).alias("z_score"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2857,12 +2975,63 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero diffs drop, tied |d| take exact average ranks (integer ×2
     lanes), and the tie-corrected normal z is milli-quantized.
 
-    Scale shape: one user-keyed aggregate (partial+final), then the
-    rank window over the |pairs|-sized diff table — user-count rows,
-    corpus never re-scanned. The median-day split is a 1-row scalar
-    broadcast."""
+    Scale shape: one user-keyed aggregate (partial+final); the
+    tie-average ranks never materialize per row — 2·RANK + ties − 1 is
+    a function of each distinct |d| (2·cumlt + t + 1), so a per-value
+    aggregate + the two-phase exact prefix sum
+    (``operators.ordinal.global_cum``, exclusive) replace the oracle's
+    user-sized global rank window. The median-day split is a 1-row
+    scalar broadcast."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_WILCOXON_SPARK)
+    # shared CTE text through the diff table d; ranks via the ordinal
+    front = _WILCOXON_SPARK.split("ranked AS")[0].rstrip().rstrip(",")
+    d = spark.sql(front + "\nSELECT user_id, diff, absd FROM d")
+    per = d.groupBy("absd").agg(
+        F.count(F.lit(1)).cast("long").alias("t_v"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("pos_v"),
+        F.sum(F.when(F.col("diff") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_v"),
+    )
+    per = global_cum(
+        per,
+        [F.col("absd")],
+        F.col("absd"),
+        F.col("t_v"),
+        inclusive=False,
+        out="cumlt",
+    ).withColumn("cumlt", F.coalesce(F.col("cumlt"), F.lit(0)))
+    ar_x2 = 2 * F.col("cumlt") + F.col("t_v") + 1  # = 2·RANK + ties − 1
+    sums = per.agg(
+        F.coalesce(F.sum("t_v"), F.lit(0)).cast("long").alias("n"),
+        F.sum(F.col("pos_v") * ar_x2).cast("long").alias("w_plus_x2"),
+        F.sum(F.col("neg_v") * ar_x2).cast("long").alias("w_minus_x2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("t_v") > 1,
+                    F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        "w_plus_x2",
+        "w_minus_x2",
+        F.expr(
+            "CAST(FLOOR("
+            "(CAST(w_plus_x2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+            " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+            "        - CAST(tie_term AS DOUBLE) / 48)"
+            " * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )
 
 
 # ---------------------------------------------------------------------------

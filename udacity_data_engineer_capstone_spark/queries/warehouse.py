@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import load_table, register_views
+from udacity_data_engineer_capstone_spark.operators.ordinal import (
+    composite_bucket_key,
+    global_cum,
+    global_lag,
+    global_row_number,
+    ntile_from_rank,
+)
 from udacity_data_engineer_capstone_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -292,13 +299,40 @@ def snk_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the inventory assigns each file to floor(bytes_before/target),
     preserving date locality so compacted files stay partition-prunable.
 
-    Scale shape: the window runs over the FILE INVENTORY (one row per
-    file — metadata-sized, millions of rows at worst), not the data; the
-    single-partition sort this implies is the same driver-side listing
-    every table-maintenance service does. The data movement it plans is
-    then an embarrassingly-parallel per-bin rewrite."""
-    register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_COMPACT_SQL)
+    Scale shape: the prefix sum runs over the FILE INVENTORY (one row
+    per file, metadata-sized) via the two-phase exact cumulative
+    (``operators.ordinal.global_cum``), so even a multi-million-file
+    inventory never funnels through a single-partition window. The
+    data movement it plans is then an embarrassingly-parallel per-bin
+    rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(F.col("l_shipdate").cast("date").alias("file_date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) * 128).cast("long").alias("bytes"),
+    )
+    packed = global_cum(
+        files,
+        [F.col("file_date")],
+        F.datediff(F.col("file_date"), F.to_date(F.lit("1970-01-01"))),
+        F.col("bytes"),
+        agg="sum",
+        inclusive=False,
+        out="cum_prev",
+    ).withColumn("cum_prev", F.coalesce(F.col("cum_prev"), F.lit(0)).cast("long"))
+    return (
+        packed.groupBy(
+            F.floor(F.col("cum_prev") / float(_COMPACT_TARGET))
+            .cast("long")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("file_date").alias("first_date"),
+            F.max("file_date").alias("last_date"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -540,13 +574,50 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic behavioral cohorting query. Metrics are exact integers
     (epoch µs, counts, cents); quartiles come from ntile over a total
     order so both engines cut identical buckets. One hash aggregate per
-    user, then three single-partition ntile windows over the (small)
-    per-user metric table — at larger cardinalities swap ntile for
-    percentile-threshold joins to avoid the single-partition sort."""
-    register_views(spark, sf_dir, ("events",))
-    # Spark's epoch micros builtin is unix_micros; the rest of the SQL
-    # text is shared verbatim with the DuckDB oracle.
-    return spark.sql(_RFM_SQL.replace("epoch_us(ts)", "unix_micros(ts)"))
+    user, then three exact two-phase global ordinals
+    (``operators.ordinal.global_row_number`` + ``ntile_from_rank``) —
+    identical quartiles to the oracle's single-partition ntile windows,
+    but every rank runs at bucket-level parallelism (frequency ties are
+    heavy, so each bucket key folds user_id in)."""
+    ev = load_table(spark, sf_dir, "events")
+    metrics = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    m, n = global_row_number(
+        metrics,
+        [F.col("last_us"), F.col("user_id")],
+        composite_bucket_key(F.col("last_us"), F.col("user_id")),
+        out="r_rk",
+    )
+    m, _ = global_row_number(
+        m,
+        [F.col("frequency"), F.col("user_id")],
+        composite_bucket_key(F.col("frequency"), F.col("user_id")),
+        out="f_rk",
+    )
+    m, _ = global_row_number(
+        m,
+        [F.col("monetary_cents"), F.col("user_id")],
+        composite_bucket_key(F.col("monetary_cents"), F.col("user_id")),
+        out="m_rk",
+    )
+    r_q = ntile_from_rank(F.col("r_rk"), n, 4)
+    f_q = ntile_from_rank(F.col("f_rk"), n, 4)
+    m_q = ntile_from_rank(F.col("m_rk"), n, 4)
+    return m.select(
+        "user_id",
+        "last_us",
+        "frequency",
+        "monetary_cents",
+        r_q.alias("r_quartile"),
+        f_q.alias("f_quartile"),
+        m_q.alias("m_quartile"),
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -670,11 +741,11 @@ def curate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cell_size"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
+    # overall min rides a 1-row broadcast, not a SinglePartition window
+    # over the (release-sized) cell frame
+    k_min = cells.agg(F.min("cell_size").cast("long").alias("k_overall"))
     return (
-        cells.withColumn("k_overall", F.min("cell_size").over(w).cast("long"))
+        cells.crossJoin(F.broadcast(k_min))
         .where(F.col("cell_size") < _K_ANON_K)
         .select(
             "nation",
@@ -939,17 +1010,16 @@ def act_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key span, missing count, gap count, widest gap, pass flag), so a
     clean sequence reports is_contiguous=true rather than nothing.
 
-    Scale shape: one DISTINCT + one lag window over the key sequence.
-    The global window is the audit-path cost; at extreme key
-    cardinality, run it per key-range bucket (group by k DIV 10^9)
-    and stitch bucket boundaries — same output, range-partitioned."""
+    Scale shape: one DISTINCT + the two-phase global lag
+    (``operators.ordinal.global_lag``: range-bucket the keys,
+    within-bucket lag, previous bucket's max as each bucket's boundary
+    lag) — identical lagged pairs to the single-partition window it
+    replaces, range-partitioned at any key cardinality."""
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
-    from pyspark.sql.window import Window as W
-
-    lagged = keys.select(
-        "k", F.lag("k").over(W.orderBy("k")).alias("prev_k")
-    ).filter(F.col("prev_k").isNotNull())
+    lagged = global_lag(keys, F.col("k"), F.col("k"), out="prev_k").filter(
+        F.col("prev_k").isNotNull()
+    )
     gap = F.when(F.col("k") - F.col("prev_k") > 1, 1).otherwise(0)
     return lagged.agg(
         (F.count(F.lit(1)) + 1).cast("long").alias("n_keys"),
@@ -1141,11 +1211,11 @@ def curate_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("diversity"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
+    # overall min rides a 1-row broadcast, not a SinglePartition window
+    # over the (release-sized) cell frame
+    l_min = cells.agg(F.min("diversity").cast("long").alias("l_overall"))
     return (
-        cells.withColumn("l_overall", F.min("diversity").over(w).cast("long"))
+        cells.crossJoin(F.broadcast(l_min))
         .where(F.col("diversity") < _L_DIVERSITY_L)
         .select(
             "nation",
