@@ -152,6 +152,7 @@ HEADLINE = [
     "evt_rfm_segmentation",       # 3x exact two-phase ntile quartiles
     "stat_mann_whitney",          # per-value rank-sum (no global window)
     "agg_skyline_pareto",         # two-phase running-max Pareto frontier
+    "snk_parquet_global_sorted",  # range-exchange clustered layout write
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -169,3 +169,45 @@ def test_detector_flags_trap_and_passes_topk(spark):
         "rk", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
     )
     assert unbounded_global_windows(partitioned) == []
+
+
+def test_global_row_numbers_multi_matches_windows(spark):
+    from udacity_data_engineer_capstone_spark.operators.ordinal import (
+        global_row_numbers,
+    )
+
+    df = _mixed(spark)
+    got, n = global_row_numbers(
+        df,
+        [
+            (
+                [F.col("score").desc(), F.col("id")],
+                composite_bucket_key(-F.col("score"), F.col("id")),
+                "rk_a",
+            ),
+            (
+                [F.col("hashed"), F.col("id")],
+                composite_bucket_key(F.col("hashed"), F.col("id")),
+                "rk_b",
+            ),
+            ([F.col("id")], F.col("id"), "rk_c"),
+        ],
+    )
+    assert n == 997
+    want = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("id")))
+        .cast("long")
+        .alias("rk_a"),
+        F.row_number()
+        .over(Window.orderBy("hashed", "id"))
+        .cast("long")
+        .alias("rk_b"),
+        F.row_number().over(Window.orderBy("id")).cast("long").alias("rk_c"),
+    )
+    cols = ["id", "rk_a", "rk_b", "rk_c"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    assert unbounded_global_windows(got) == []

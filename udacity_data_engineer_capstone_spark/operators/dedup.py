@@ -1390,10 +1390,25 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("hit").alias("nh"))
         .filter(F.col("nh") == _BLOOM_K)
         .select("doc_id", "h")
+        # two consumers below (semi probe + verdict join): materialize
+        # the dup-rate-sized frame once instead of re-running the probe
+        .localCheckpoint(eager=False)
     )
-    hist_distinct = hist.distinct().withColumn("present", F.lit(True))
+    # verification: the corpus-side distinct-hash set is CORPUS-sized —
+    # broadcasting it (the original shape) is exactly the scale bug the
+    # docstring promises not to have. Instead the corpus hashes STREAM
+    # map-side through a broadcast LEFT-SEMI against the dup-rate-sized
+    # positive set (no corpus shuffle, no corpus broadcast), and the
+    # surviving matched hashes (<= |positive|) broadcast back onto the
+    # positives for the verdict flag. An outer join cannot broadcast
+    # its preserved side, hence the semi + flag-join pair.
+    matched = (
+        hist.distinct()
+        .join(F.broadcast(positive.select("h")), "h", "left_semi")
+        .withColumn("present", F.lit(True))
+    )
     return (
-        positive.join(F.broadcast(hist_distinct), "h", "left")
+        positive.join(F.broadcast(matched), "h", "left")
         .select(
             "doc_id",
             F.col("h").alias("text_hash"),

@@ -104,9 +104,9 @@ def global_row_number(
     ties, use :func:`composite_bucket_key`).  Only monotonicity
     matters — any monotone function yields identical ranks.
 
-    ``checkpoint``: eagerly ``localCheckpoint`` the input so the three
+    ``checkpoint``: lazily ``localCheckpoint`` the input so the three
     passes (boundary histogram, bucket counts, final rank) scan the
-    upstream lineage once.  Pass a PRUNED frame (ids + keys, not
+    upstream lineage once — the histogram pass materializes it.  Pass a PRUNED frame (ids + keys, not
     payloads); at cluster scale the checkpoint is executor-local
     disk-backed storage sized by the pruned frame, far below the
     corpus it ranks.
@@ -121,7 +121,9 @@ def global_row_number(
         n_buckets = default_n_buckets(spark)
     kdf = df.withColumn("__obk", bucket_key.cast("double"))
     if checkpoint:
-        kdf = kdf.localCheckpoint(eager=True)
+        # lazy: the histogram pass below materializes it (one job does
+        # both), and every later pass reuses the checkpointed blocks
+        kdf = kdf.localCheckpoint(eager=False)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -167,6 +169,99 @@ def global_row_number(
     return ranked, total
 
 
+def global_row_numbers(
+    df: DataFrame,
+    specs: Sequence[tuple[Sequence[Column], Column, str]],
+    *,
+    n_buckets: int | None = None,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """Several exact global row_numbers over the SAME frame in one
+    machinery pass — the RFM shape (3 independent ntile orders over one
+    per-user table), where calling :func:`global_row_number` k times
+    pays k histogram jobs + k count jobs. Here: ONE aggregate computes
+    the row count and every spec's boundary histogram, ONE
+    grouping-sets pass counts every spec's buckets, and the k
+    within-bucket windows ride a single final job.
+
+    ``specs``: (order_by, bucket_key, out) per rank — same contracts as
+    :func:`global_row_number`. Returns (frame with all out columns,
+    exact row count).
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = default_n_buckets(spark)
+    k = len(specs)
+    kdf = df
+    for i, (_, bk, _) in enumerate(specs):
+        kdf = kdf.withColumn(f"__obk{i}", bk.cast("double"))
+    if checkpoint:
+        kdf = kdf.localCheckpoint(eager=False)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    hist = kdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile_approx(f"__obk{i}", probs, 10_000).alias(f"b{i}")
+            for i in range(k)
+        ],
+    ).first()
+    total = int(hist["n"] or 0)
+    if total == 0:
+        out_df = kdf.drop(*[f"__obk{i}" for i in range(k)])
+        for _, _, out in specs:
+            out_df = out_df.withColumn(out, F.lit(None).cast("long"))
+        return out_df, 0
+    bounds_all: list[list[float]] = []
+    for i in range(k):
+        bounds = sorted(set(hist[f"b{i}"] or []))
+        bounds_all.append(bounds)
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+
+            def _fold(ii: int):
+                # factory closure: F.aggregate inspects the lambda's
+                # ARITY, so a default-arg capture would break it
+                return lambda acc, b: acc + F.when(
+                    F.col(f"__obk{ii}") >= b, F.lit(1)
+                ).otherwise(F.lit(0))
+
+            bucket = F.aggregate(barr, F.lit(0), _fold(i))
+        else:
+            bucket = F.lit(0)
+        kdf = kdf.withColumn(f"__bkt{i}", bucket)
+    kdf = kdf.localCheckpoint(eager=False)  # see global_row_number
+    gcols = [f"__bkt{i}" for i in range(k)]
+    rows = (
+        kdf.groupingSets([[c] for c in gcols], *gcols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # in a grouping-set row, exactly one __bkt{i} is non-NULL
+    per_spec: list[dict[int, int]] = [dict() for _ in range(k)]
+    for r in rows:
+        for i, c in enumerate(gcols):
+            if r[c] is not None:
+                per_spec[i][int(r[c])] = int(r["n"])
+                break
+    result = kdf
+    for i, (order_by, _, out) in enumerate(specs):
+        off, dense = 0, []
+        for b in range(len(bounds_all[i]) + 1):
+            dense.append(off)
+            off += per_spec[i].get(b, 0)
+        off_col = F.get(
+            F.array(*[F.lit(o).cast("long") for o in dense]),
+            F.col(f"__bkt{i}"),
+        )
+        w = Window.partitionBy(f"__bkt{i}").orderBy(*order_by)
+        result = result.withColumn(
+            out, (off_col + F.row_number().over(w)).cast("long")
+        )
+    return result.drop(
+        *[f"__obk{i}" for i in range(k)], *gcols
+    ), total
+
+
 def global_cum(
     df: DataFrame,
     order_by: Sequence[Column],
@@ -201,7 +296,9 @@ def global_cum(
         "__val", value.cast("long")
     )
     if checkpoint:
-        kdf = kdf.localCheckpoint(eager=True)
+        # lazy: the histogram pass below materializes it (one job does
+        # both), and every later pass reuses the checkpointed blocks
+        kdf = kdf.localCheckpoint(eager=False)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -286,7 +383,9 @@ def global_lag(
         "__obk", bucket_key.cast("double")
     )
     if checkpoint:
-        kdf = kdf.localCheckpoint(eager=True)
+        # lazy: the histogram pass below materializes it (one job does
+        # both), and every later pass reuses the checkpointed blocks
+        kdf = kdf.localCheckpoint(eager=False)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),

@@ -271,9 +271,13 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on term and sum per document. Per-token log-probs are
     micro-quantized BIGINTs, so the per-doc sum is exact integer
     arithmetic — deterministic under any partitioning and fold order
-    (a float sum of 60k logs would NOT be). The vocabulary is tiny
-    relative to the corpus and broadcasts; everything else is the
-    token-stream map plus one per-doc aggregate."""
+    (a float sum of 60k logs would NOT be). The vocabulary join carries
+    NO static broadcast hint: at test scale AQE promotes it to a
+    broadcast from its observed size, while a hapax-heavy 100 TB vocab
+    (the curate_dsir lesson — a vocabulary is corpus-sized in the
+    tail) falls back to a term-keyed shuffle instead of OOMing the
+    driver. Everything else is the token-stream map plus one per-doc
+    aggregate."""
     docs = load_table_scaled(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
@@ -281,7 +285,9 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     tok_lp = (
-        tokens.join(F.broadcast(vocab), "term")
+        # no broadcast hint on vocab — see docstring (AQE promotes
+        # when small; a tail-heavy vocab shuffles instead)
+        tokens.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -345,10 +351,14 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(w1,w2)/count(w1,·), trained on the corpus in one pass. The
     per-doc window (LAG over token position) forms the bigram stream;
     two hash aggregates build the model; scoring re-joins the
-    vocabulary²-sized count tables back onto the stream as broadcasts.
-    Per-bigram log-probs are micro-quantized BIGINTs, so the per-doc
-    sum is exact integer arithmetic. One shuffle on doc_id (window) +
-    model-sized aggregates — never quadratic in corpus size."""
+    bigram-vocabulary-sized count tables back onto the stream WITHOUT
+    static broadcast hints — a bigram vocab grows ~linearly with
+    corpus tail mass, so AQE promotes to broadcast from observed size
+    at small scale and falls back to a key-shuffle join when the model
+    outgrows a broadcast (the curate_dsir vocab lesson). Per-bigram
+    log-probs are micro-quantized BIGINTs, so the per-doc sum is exact
+    integer arithmetic. One shuffle on doc_id (window) + model-sized
+    aggregates — never quadratic in corpus size."""
     from pyspark.sql.window import Window
 
     docs = load_table_scaled(spark, sf_dir, "documents")
@@ -366,8 +376,9 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        # no broadcast hints on the model tables — see docstring
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .select(
             "doc_id",
             F.floor(

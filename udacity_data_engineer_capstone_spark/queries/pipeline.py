@@ -27,6 +27,7 @@ from udacity_data_engineer_capstone_spark.catalog import register_views
 from udacity_data_engineer_capstone_spark.operators.ordinal import (
     composite_bucket_key,
     global_row_number,
+    global_row_numbers,
     ntile_from_rank,
 )
 from udacity_data_engineer_capstone_spark.pipelines import i94
@@ -358,23 +359,27 @@ def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM base"""
     )
     base = spark.sql(base_sql)
-    m, n = global_row_number(
+    m, n = global_row_numbers(
         base,
-        [F.col("last_us"), F.col("user_id")],
-        composite_bucket_key(F.col("last_us"), F.col("user_id")),
-        out="r_rk",
-    )
-    m, _ = global_row_number(
-        m,
-        [F.col("n_events"), F.col("user_id")],
-        composite_bucket_key(F.col("n_events"), F.col("user_id")),
-        out="f_rk",
-    )
-    m, _ = global_row_number(
-        m,
-        [F.col("monetary_cents"), F.col("user_id")],
-        composite_bucket_key(F.col("monetary_cents"), F.col("user_id")),
-        out="m_rk",
+        [
+            (
+                [F.col("last_us"), F.col("user_id")],
+                composite_bucket_key(F.col("last_us"), F.col("user_id")),
+                "r_rk",
+            ),
+            (
+                [F.col("n_events"), F.col("user_id")],
+                composite_bucket_key(F.col("n_events"), F.col("user_id")),
+                "f_rk",
+            ),
+            (
+                [F.col("monetary_cents"), F.col("user_id")],
+                composite_bucket_key(
+                    F.col("monetary_cents"), F.col("user_id")
+                ),
+                "m_rk",
+            ),
+        ],
     )
     r_q = ntile_from_rank(F.col("r_rk"), n, 4)
     f_q = ntile_from_rank(F.col("f_rk"), n, 4)
@@ -401,7 +406,7 @@ from udacity_data_engineer_capstone_spark.operators.curation import (  # noqa: E
     _MODEL_ORACLE,
     _SHARD_MIX,
     _SHARDS,
-    curate_dsir,
+    _dsir_scored,
     curate_model_score,
 )
 from udacity_data_engineer_capstone_spark.operators.retrieval import (  # noqa: E402
@@ -498,7 +503,11 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket").isin("head", "middle"))
         .select("doc_id", "bucket")
     )
-    ds = curate_dsir(spark, sf_dir).select("doc_id", "dsir_score_micro")
+    # the DSIR SCORING stage only — the pipeline ranks the survivor set
+    # itself below, so curate_dsir's own corpus-wide rank machinery
+    # (and its construction-time histogram/count jobs) would be dead
+    # work here
+    ds = _dsir_scored(spark, sf_dir).select("doc_id", "dsir_score_micro")
     surv = (
         docs.filter(F.col("lang") == "en")
         .join(model, "doc_id", "left_semi")

@@ -31,6 +31,7 @@ from udacity_data_engineer_capstone_spark.operators.ordinal import (
     global_cum,
     global_lag,
     global_row_number,
+    global_row_numbers,
     ntile_from_rank,
 )
 from udacity_data_engineer_capstone_spark.registry import query
@@ -355,6 +356,81 @@ FROM lineitem
 _COMPACT_EXEC_TARGET = 1 << 20  # 1 MiB output files at test scale
 
 
+# ---------------------------------------------------------------------------
+# globally-sorted layout write (the zone-map clustering job)
+# ---------------------------------------------------------------------------
+
+_GS_FILES = 8
+
+_GS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       TRUE AS key_ranges_disjoint,
+       TRUE AS content_intact
+FROM orders
+"""
+
+
+@query("snk_parquet_global_sorted", oracle=_GS_ORACLE, tags=("sink", "layout"))
+def snk_parquet_global_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders as a GLOBALLY key-clustered parquet layout and
+    audit it: ``repartitionByRange(key)`` (Spark's sampled
+    range-exchange — the distributed total-order primitive; no
+    partition ever holds more than ~1/N of the keys and no single
+    task ever sees the whole frame) + ``sortWithinPartitions`` gives
+    pairwise-DISJOINT per-file key ranges — the property that makes
+    min/max zone maps actually prune (cf. ``src_file_pruning_stats``,
+    which measures the payoff). This is the layout job a 100 TB
+    warehouse runs to cluster a table on its hottest filter key; only
+    the file-count constant changes with scale.
+
+    The returned audit row re-reads the files, recomputes row count +
+    content checksum (the oracle pins both against the source), and
+    verifies the disjointness claim from the per-file min/max
+    boundaries (a bounded |files|-row collect)."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    d = tempfile.mkdtemp(prefix="engine_global_sorted_")
+    (
+        orders.repartitionByRange(_GS_FILES, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .collect()  # bounded by the file count
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    disjoint = all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+    n_rows = sum(r["n"] for r in per_file)
+    sum_cents = sum(r["s"] for r in per_file)
+    src = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).first()
+    intact = n_rows == src["n"] and sum_cents == src["s"]
+    return spark.createDataFrame(
+        [(n_rows, sum_cents, bool(disjoint), bool(intact))],
+        "n_rows long, sum_cents long, key_ranges_disjoint boolean,"
+        " content_intact boolean",
+    )
+
+
 @query(
     "snk_compaction_rewrite",
     oracle=_COMPACT_EXEC_ORACLE,
@@ -587,23 +663,27 @@ def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    m, n = global_row_number(
+    m, n = global_row_numbers(
         metrics,
-        [F.col("last_us"), F.col("user_id")],
-        composite_bucket_key(F.col("last_us"), F.col("user_id")),
-        out="r_rk",
-    )
-    m, _ = global_row_number(
-        m,
-        [F.col("frequency"), F.col("user_id")],
-        composite_bucket_key(F.col("frequency"), F.col("user_id")),
-        out="f_rk",
-    )
-    m, _ = global_row_number(
-        m,
-        [F.col("monetary_cents"), F.col("user_id")],
-        composite_bucket_key(F.col("monetary_cents"), F.col("user_id")),
-        out="m_rk",
+        [
+            (
+                [F.col("last_us"), F.col("user_id")],
+                composite_bucket_key(F.col("last_us"), F.col("user_id")),
+                "r_rk",
+            ),
+            (
+                [F.col("frequency"), F.col("user_id")],
+                composite_bucket_key(F.col("frequency"), F.col("user_id")),
+                "f_rk",
+            ),
+            (
+                [F.col("monetary_cents"), F.col("user_id")],
+                composite_bucket_key(
+                    F.col("monetary_cents"), F.col("user_id")
+                ),
+                "m_rk",
+            ),
+        ],
     )
     r_q = ntile_from_rank(F.col("r_rk"), n, 4)
     f_q = ntile_from_rank(F.col("f_rk"), n, 4)
