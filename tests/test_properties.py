@@ -171,3 +171,80 @@ def test_compaction_plan_invariants(nbytes, target):
     assert n * target >= nbytes
     if n > 1:
         assert (n - 1) * target < nbytes
+
+
+# ---------------------------------------------------------------------------
+# two-phase global ordinal invariants (operators/ordinal.py)
+# ---------------------------------------------------------------------------
+
+from udacity_data_engineer_capstone_spark.operators.ordinal import (  # noqa: E402
+    composite_bucket_key,
+    global_cum,
+    global_lag,
+    global_row_number,
+)
+
+# small frames, heavy ties on the key, unique tiebreak — each example
+# runs real Spark jobs, so example counts stay low; the deterministic
+# sweep in tests/test_ordinal.py covers larger shapes
+_rank_rows = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(0, 1_000_000)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_rank_rows)
+def test_global_row_number_property(spark, rows):
+    df = spark.createDataFrame(rows, "k long, i long")
+    got, n = global_row_number(
+        df,
+        [F.col("k").desc(), F.col("i")],
+        composite_bucket_key(-F.col("k"), F.col("i")),
+        out="rk",
+    )
+    assert n == len(rows)
+    expected = {
+        i_: pos + 1
+        for pos, (_, i_) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    assert {r["i"]: r["rk"] for r in got.collect()} == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_cum_property(spark, rows):
+    df = spark.createDataFrame(rows, "v long, c long")
+    got = global_cum(
+        df, [F.col("v")], F.col("v"), F.col("c"), inclusive=True, out="cs"
+    )
+    run, expected = 0, {}
+    for v, c in sorted(rows):
+        run += c
+        expected[v] = run
+    assert {r["v"]: r["cs"] for r in got.collect()} == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 1_000_000), min_size=1, max_size=40, unique=True
+    )
+)
+def test_global_lag_property(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = global_lag(df, F.col("k"), F.col("k"), out="pk")
+    s = sorted(keys)
+    expected = {k: (s[j - 1] if j else None) for j, k in enumerate(s)}
+    assert {r["k"]: r["pk"] for r in got.collect()} == expected

@@ -31,11 +31,11 @@ exchange under any Window.
 Sizing (the mm_phash lesson — constants must be derived, not frozen):
 ``n_buckets`` defaults to the session's ``spark.sql.shuffle.partitions``
 clamped to [64, 1024].  The bucket count needs to be >= cluster
-parallelism for the phase-3 window to use every core; the 1024 cap
-bounds the per-row bucket-assignment scan (a linear fold over the
-boundary array) and the driver cumsum.  At 100 TB you widen the cap
-(65k buckets = a 65k-row driver loop, still trivial) or swap the
-linear fold for a two-level width_bucket probe; nothing else changes.
+parallelism for the phase-3 window to use every core; bucket
+assignment is a BALANCED binary-search expression tree over the
+boundary literals (O(log n_buckets) comparisons per row — 10 at the
+1024 cap), so widening the cap at 100 TB (65k buckets = a 65k-row
+driver loop and 16 comparisons per row) changes nothing else.
 
 Ties: the bucket key is a function of the sort key, so rows that tie
 on it land in the SAME bucket and the within-bucket sort breaks the
@@ -56,6 +56,24 @@ from pyspark.sql.window import Window
 
 _MIN_BUCKETS = 64
 _MAX_BUCKETS = 1024
+
+
+def _bucket_expr(bounds: list[float], col: Column) -> Column:
+    """Bucket id = number of (strictly sorted) boundaries <= ``col``,
+    as a BALANCED binary-search tree of nested ``when`` expressions —
+    O(log n_buckets) comparisons per row instead of the O(n_buckets)
+    linear fold (10 comparisons at the 1024-bucket cap vs 1023), and
+    no higher-order function for Catalyst to trip over."""
+
+    def build(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            col >= F.lit(float(bounds[mid])), build(mid + 1, hi)
+        ).otherwise(build(lo, mid))
+
+    return build(0, len(bounds))
 
 
 def composite_bucket_key(
@@ -133,22 +151,13 @@ def global_row_number(
     if total == 0:
         return kdf.drop("__obk").withColumn(out, F.lit(None).cast("long")), 0
     # dedupe: equal boundaries produce empty buckets, not wrong ranks —
-    # dropping them just keeps the per-row fold short
+    # dropping them just keeps the search tree short
     bounds = sorted(set(hist["bounds"] or []))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("__obk") >= b, F.lit(1)).otherwise(F.lit(0)),
-        )
-    else:
-        bucket = F.lit(0)
+    bucket = _bucket_expr(bounds, F.col("__obk")) if bounds else F.lit(0)
     # lazy checkpoint: the counts pass below materializes the bucketed
     # frame once and the final rank pass reuses it (instead of
-    # re-running the fold), and the lineage truncation keeps the fold
-    # expression out of downstream constraint propagation
+    # re-running the search tree), and the lineage truncation keeps the
+    # bucket expression out of downstream constraint propagation
     kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
     counts = kdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
     # offsets attach as a DENSE driver-built literal array indexed by
@@ -215,19 +224,9 @@ def global_row_numbers(
     for i in range(k):
         bounds = sorted(set(hist[f"b{i}"] or []))
         bounds_all.append(bounds)
-        if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-
-            def _fold(ii: int):
-                # factory closure: F.aggregate inspects the lambda's
-                # ARITY, so a default-arg capture would break it
-                return lambda acc, b: acc + F.when(
-                    F.col(f"__obk{ii}") >= b, F.lit(1)
-                ).otherwise(F.lit(0))
-
-            bucket = F.aggregate(barr, F.lit(0), _fold(i))
-        else:
-            bucket = F.lit(0)
+        bucket = (
+            _bucket_expr(bounds, F.col(f"__obk{i}")) if bounds else F.lit(0)
+        )
         kdf = kdf.withColumn(f"__bkt{i}", bucket)
     kdf = kdf.localCheckpoint(eager=False)  # see global_row_number
     gcols = [f"__bkt{i}" for i in range(k)]
@@ -309,16 +308,7 @@ def global_cum(
             out, F.lit(None).cast("long")
         )
     bounds = sorted(set(hist["bounds"] or []))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("__obk") >= b, F.lit(1)).otherwise(F.lit(0)),
-        )
-    else:
-        bucket = F.lit(0)
+    bucket = _bucket_expr(bounds, F.col("__obk")) if bounds else F.lit(0)
     # lazy checkpoint + dense literal bases — see global_row_number
     kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
     fold = F.sum if agg == "sum" else F.max
@@ -396,16 +386,7 @@ def global_lag(
             out, F.lit(None).cast("long")
         )
     bounds = sorted(set(hist["bounds"] or []))
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col("__obk") >= b, F.lit(1)).otherwise(F.lit(0)),
-        )
-    else:
-        bucket = F.lit(0)
+    bucket = _bucket_expr(bounds, F.col("__obk")) if bounds else F.lit(0)
     # lazy checkpoint + dense literal bases — see global_row_number
     kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
     maxima = kdf.groupBy("__bkt").agg(F.max("__ok").alias("m")).collect()
