@@ -13,7 +13,10 @@ from udacity_data_engineer_capstone_spark.operators.ordinal import (
     composite_bucket_key,
     global_cum,
     global_lag,
+    global_rank_segments,
+    global_rank_segments_multi,
     global_row_number,
+    ntile_cuts,
     ntile_from_rank,
 )
 from udacity_data_engineer_capstone_spark.plans.audit import (
@@ -211,3 +214,190 @@ def test_global_row_numbers_multi_matches_windows(spark):
         map(tuple, want.select(cols).collect())
     )
     assert unbounded_global_windows(got) == []
+
+
+# ---------------------------------------------------------------------------
+# boundary-only rank segments (the cut-only sibling of the full rank)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,k", [(40, 4), (43, 4), (7, 10), (100, 10), (1, 1)])
+def test_ntile_cuts_reconstructs_ntile(n, k):
+    cuts = ntile_cuts(n, k)
+    assert len(cuts) == k - 1
+    # tile(rank) = 1 + #{cut < rank} must equal SQL NTILE semantics
+    q, r = divmod(n, k)
+    want, rank = [], 0
+    for t in range(1, k + 1):
+        size = q + 1 if t <= r else q
+        want.extend([t] * size)
+    got = [1 + sum(1 for c in cuts if rank > c) for rank in range(1, n + 1)]
+    assert got == want
+
+
+def test_global_rank_segments_median_matches_rank_filter(spark):
+    df = _mixed(spark)
+    seg, n = global_rank_segments(
+        df,
+        F.col("score"),
+        F.col("id"),
+        lambda n: [n // 2],
+        descending=True,
+        out="seg",
+    )
+    assert n == 997
+    got = {
+        r["id"] for r in seg.where(F.col("seg") == 0).select("id").collect()
+    }
+    want_df = df.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "id")),
+    ).where(F.col("rk") <= 997 // 2)
+    want = {r["id"] for r in want_df.select("id").collect()}
+    assert got == want
+
+
+def test_global_rank_segments_ascending_matches_rank_filter(spark):
+    df = _mixed(spark)
+    seg, n = global_rank_segments(
+        df,
+        F.col("hashed"),
+        F.col("id"),
+        lambda n: [n // 3],
+        out="seg",
+    )
+    got = {
+        r["id"] for r in seg.where(F.col("seg") == 0).select("id").collect()
+    }
+    want_df = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("hashed", "id"))
+    ).where(F.col("rk") <= n // 3)
+    want = {r["id"] for r in want_df.select("id").collect()}
+    assert got == want
+
+
+def test_global_rank_segments_multi_matches_ntile(spark):
+    # the RFM shape: three metrics, one shared unique tiebreak
+    df = _mixed(spark)
+    cuts4 = lambda n: ntile_cuts(n, 4)  # noqa: E731
+    m, n = global_rank_segments_multi(
+        df,
+        [
+            (F.col("score"), F.col("id"), False, cuts4, "sa"),
+            (F.col("hashed"), F.col("id"), False, cuts4, "sb"),
+            (F.col("id"), F.col("id"), True, cuts4, "sc"),
+        ],
+    )
+    assert n == 997
+    want = df.select(
+        "id",
+        F.ntile(4).over(Window.orderBy("score", "id")).alias("sa"),
+        F.ntile(4).over(Window.orderBy("hashed", "id")).alias("sb"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("id").desc(), "id"))
+        .alias("sc"),
+    )
+    got = m.select(
+        "id",
+        (F.col("sa") + 1).alias("sa"),
+        (F.col("sb") + 1).alias("sb"),
+        (F.col("sc") + 1).alias("sc"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_global_rank_segments_no_window_no_exchange_in_output(spark):
+    df = _mixed(spark)
+    seg, _ = global_rank_segments(
+        df, F.col("score"), F.col("id"), lambda n: [n // 2], out="seg"
+    )
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    # the whole point: the output stage is a pure map over the
+    # checkpointed frame — no window, no shuffle anywhere
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+    assert unbounded_global_windows(seg) == []
+
+
+def test_global_rank_segments_edge_cuts(spark):
+    df = spark.range(10).select(F.col("id"))
+    seg, n = global_rank_segments(
+        df,
+        F.col("id"),
+        F.col("id"),
+        lambda n: [0, n, n + 5],
+        out="seg",
+    )
+    rows = {r["id"]: r["seg"] for r in seg.collect()}
+    # rank > 0 for every row; rank > n and rank > n+5 for none
+    assert set(rows.values()) == {1}
+
+
+def test_global_rank_segments_empty(spark):
+    df = _mixed(spark).where(F.lit(False))
+    seg, n = global_rank_segments(
+        df, F.col("score"), F.col("id"), lambda n: [n // 2], out="seg"
+    )
+    assert n == 0 and seg.count() == 0
+    assert "seg" in seg.columns
+
+
+# ---------------------------------------------------------------------------
+# precondition enforcement: violating calls fail LOUDLY (driver-side
+# ValueError from the histogram aggregate, or a raise_error in the plan)
+# ---------------------------------------------------------------------------
+
+
+def test_global_cum_duplicate_order_key_raises(spark):
+    df = spark.range(20).select(
+        (F.col("id") % 7).alias("v"), F.lit(1).cast("long").alias("c")
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        global_cum(df, [F.col("v")], F.col("v"), F.col("c"), out="cs")
+
+
+def test_global_lag_duplicate_key_raises(spark):
+    df = spark.range(20).select((F.col("id") % 5).cast("long").alias("k"))
+    with pytest.raises(ValueError, match="not unique"):
+        global_lag(df, F.col("k"), F.col("k"), out="pk")
+
+
+def test_global_row_number_null_key_raises(spark):
+    df = spark.range(20).select(
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("k")
+    )
+    with pytest.raises(ValueError, match="NULL or NaN"):
+        global_row_number(df, [F.col("k")], F.col("k"), out="rk")
+
+
+def test_global_row_number_nan_key_raises(spark):
+    df = spark.range(20).select(
+        F.when(
+            F.col("id") == 3, F.lit(float("nan"))
+        ).otherwise(F.col("id").cast("double")).alias("k")
+    )
+    with pytest.raises(ValueError, match="NULL or NaN"):
+        global_row_number(df, [F.col("k")], F.col("k"), out="rk")
+
+
+def test_global_rank_segments_duplicate_tiebreak_raises(spark):
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("t")
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        global_rank_segments(
+            df, F.col("k"), F.col("t"), lambda n: [n // 2], out="seg"
+        )
+
+
+def test_composite_bucket_key_out_of_range_tiebreak_raises(spark):
+    from pyspark.errors import PySparkException
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") - 10).alias("t")
+    )
+    bad = df.select(composite_bucket_key(F.col("k"), F.col("t")).alias("b"))
+    with pytest.raises(PySparkException, match="composite_bucket_key"):
+        bad.collect()

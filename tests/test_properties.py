@@ -248,3 +248,57 @@ def test_global_lag_property(spark, keys):
     s = sorted(keys)
     expected = {k: (s[j - 1] if j else None) for j, k in enumerate(s)}
     assert {r["k"]: r["pk"] for r in got.collect()} == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    _rank_rows,
+    st.integers(2, 6),
+)
+def test_global_rank_segments_property(spark, rows, k):
+    from udacity_data_engineer_capstone_spark.operators.ordinal import (
+        global_rank_segments,
+        ntile_cuts,
+    )
+
+    df = spark.createDataFrame(rows, "k long, i long")
+    seg, n = global_rank_segments(
+        df,
+        F.col("k"),
+        F.col("i"),
+        lambda n: ntile_cuts(n, k),
+        descending=True,
+        out="seg",
+    )
+    assert n == len(rows)
+    cuts = ntile_cuts(n, k)
+    ranks = {
+        i_: pos + 1
+        for pos, (_, i_) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    expected = {
+        i_: sum(1 for c in cuts if rk > c) for i_, rk in ranks.items()
+    }
+    assert {r["i"]: r["seg"] for r in seg.collect()} == expected
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-50, 50)),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_global_cum_duplicate_key_always_raises(spark, rows):
+    # force at least one duplicate order key
+    rows = rows + [rows[0]]
+    df = spark.createDataFrame(rows, "v long, c long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unique"):
+        global_cum(
+            df, [F.col("v")], F.col("v"), F.col("c"), out="cs"
+        )

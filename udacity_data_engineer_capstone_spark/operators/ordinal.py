@@ -48,7 +48,7 @@ can fold a high-cardinality tiebreak INTO the bucket key (see
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,6 +56,51 @@ from pyspark.sql.window import Window
 
 _MIN_BUCKETS = 64
 _MAX_BUCKETS = 1024
+
+# Bounded eviction ring for the helpers' lazy localCheckpoints (the
+# spatial._PERSIST_RING concern, applied here): every global_* call
+# materializes up to two checkpointed frames, and repeated invocations
+# (bench median-of-N, the registry-wide plan sweep, the 1200-test
+# oracle gate) would otherwise accumulate executor storage blocks for
+# the session lifetime.  Unlike persist(), an evicted localCheckpoint
+# CANNOT recompute (lineage is truncated — a later action fails LOUDLY
+# with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, never silently wrong), so
+# the ring is sized WAY above any single query's checkpoint count
+# (max observed: 8 for the composed pipelines): eviction only ever
+# reaches frames from invocations that are at least several queries
+# old, i.e. already consumed.  Callers that must hold a ranked frame
+# across many later queries can pass checkpoint=False and manage their
+# own persistence.
+_CKPT_RING: list = []  # JVM RDD handles of checkpointed frames
+_CKPT_RING_MAX = 64
+
+
+def _ring_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint`` routed through the bounded eviction
+    ring: the checkpointed frame's underlying RDD handle is tracked and
+    the oldest entries beyond ``_CKPT_RING_MAX`` are unpersisted."""
+    ck = df.localCheckpoint(eager=False)
+    try:
+        # the analyzed plan of a checkpointed Dataset is a LogicalRDD
+        # wrapping the (to-be-)checkpointed RDD — the handle unpersist
+        # must target to actually free the blocks
+        _CKPT_RING.append(ck._jdf.queryExecution().analyzed().rdd())
+        while len(_CKPT_RING) > _CKPT_RING_MAX:
+            _CKPT_RING.pop(0).unpersist(False)
+    except Exception:
+        pass  # introspection failure = no eviction, never a query failure
+    return ck
+
+
+def evict_checkpoints() -> None:
+    """Unpersist every ring-tracked ordinal checkpoint (test/bench
+    hygiene hook — do not call while a returned frame is still
+    pending execution)."""
+    while _CKPT_RING:
+        try:
+            _CKPT_RING.pop().unpersist(False)
+        except Exception:
+            pass
 
 
 def _bucket_expr(bounds: list[float], col: Column) -> Column:
@@ -88,16 +133,74 @@ def composite_bucket_key(
     can only COLLAPSE neighbors (same bucket), never reorder them, so
     exactness is preserved; the payoff is that ties on ``key`` spread
     across buckets instead of piling into one.
+
+    Contract (ENFORCED per row below — a violating row fails the
+    histogram job loudly instead of silently producing non-monotone
+    buckets and hence wrong global ranks):
+
+    - ``tiebreak`` must be non-negative and < ``1/tiebreak_scale``
+      (default: < 1e12), so ``tiebreak * scale`` lands in [0, 1);
+    - ``key_asc`` must have gaps >= 1 between DISTINCT values (any
+      integer-valued key qualifies) — this half is a pairwise property
+      a per-row check cannot see, so it stays a documented
+      precondition; keys with sub-1 gaps must use the plain key as the
+      bucket key (ties collapse into one bucket, still correct).
     """
-    return key_asc.cast("double") + tiebreak.cast("double") * F.lit(
-        tiebreak_scale
+    limit = 1.0 / tiebreak_scale
+    tb = tiebreak.cast("double")
+    guarded = F.when((tb >= 0) & (tb < F.lit(limit)), tb).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "composite_bucket_key: tiebreak out of [0, "
+                    f"{limit:g}): "
+                ),
+                tb.cast("string"),
+            )
+        )
     )
+    return key_asc.cast("double") + guarded * F.lit(tiebreak_scale)
 
 
 def default_n_buckets(spark) -> int:
     """shuffle.partitions clamped to [64, 1024] — see module docstring."""
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return max(_MIN_BUCKETS, min(_MAX_BUCKETS, parts))
+
+
+def _bad_key_count(col: str) -> Column:
+    """NULL-or-NaN count of a (double) bucket-key column — folded into
+    the histogram aggregate each helper already runs, so enforcing the
+    non-null contract costs one agg column, not one extra job.  A NULL
+    or NaN bucket key would silently land in an arbitrary bucket (every
+    comparison in the search tree is false), i.e. an ill-defined rank;
+    better to fail the call."""
+    c = F.col(col)
+    return F.sum(F.when(c.isNull() | F.isnan(c), 1).otherwise(0))
+
+
+def _require_clean_keys(bad: int, who: str) -> None:
+    if bad:
+        raise ValueError(
+            f"{who}: {bad} row(s) have a NULL or NaN bucket key — the "
+            "sort/bucket keys must be non-null (filter or coalesce "
+            "them before ranking)"
+        )
+
+
+def _require_unique(n_distinct: int, total: int, who: str, what: str) -> None:
+    """Unique-order-key contract, measured inside the existing
+    histogram aggregate (``count_distinct`` skips NULLs, so NULL keys
+    also trip this).  A duplicated order key would make the result
+    silently ill-defined (ROWS vs RANGE frames diverge / the driver
+    prefix-combine double-counts); better to fail the call."""
+    if n_distinct != total:
+        raise ValueError(
+            f"{who}: order key {what} is not unique per row "
+            f"({n_distinct} distinct over {total} rows) — these helpers "
+            "require a unique, non-null order key (run them on a "
+            "distinct-value frame or add a unique tiebreak)"
+        )
 
 
 def global_row_number(
@@ -141,13 +244,15 @@ def global_row_number(
     if checkpoint:
         # lazy: the histogram pass below materializes it (one job does
         # both), and every later pass reuses the checkpointed blocks
-        kdf = kdf.localCheckpoint(eager=False)
+        kdf = _ring_checkpoint(kdf)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("__obk", probs, 10_000).alias("bounds"),
+        _bad_key_count("__obk").alias("bad"),
     ).first()
     total = int(hist["n"] or 0)
+    _require_clean_keys(int(hist["bad"] or 0), "global_row_number")
     if total == 0:
         return kdf.drop("__obk").withColumn(out, F.lit(None).cast("long")), 0
     # dedupe: equal boundaries produce empty buckets, not wrong ranks —
@@ -158,7 +263,7 @@ def global_row_number(
     # frame once and the final rank pass reuses it (instead of
     # re-running the search tree), and the lineage truncation keeps the
     # bucket expression out of downstream constraint propagation
-    kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
+    kdf = _ring_checkpoint(kdf.withColumn("__bkt", bucket))
     counts = kdf.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
     # offsets attach as a DENSE driver-built literal array indexed by
     # bucket id (bounded by the constant bucket count) — a pure
@@ -205,7 +310,7 @@ def global_row_numbers(
     for i, (_, bk, _) in enumerate(specs):
         kdf = kdf.withColumn(f"__obk{i}", bk.cast("double"))
     if checkpoint:
-        kdf = kdf.localCheckpoint(eager=False)
+        kdf = _ring_checkpoint(kdf)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -213,8 +318,13 @@ def global_row_numbers(
             F.percentile_approx(f"__obk{i}", probs, 10_000).alias(f"b{i}")
             for i in range(k)
         ],
+        *[_bad_key_count(f"__obk{i}").alias(f"bad{i}") for i in range(k)],
     ).first()
     total = int(hist["n"] or 0)
+    for i in range(k):
+        _require_clean_keys(
+            int(hist[f"bad{i}"] or 0), f"global_row_numbers[spec {i}]"
+        )
     if total == 0:
         out_df = kdf.drop(*[f"__obk{i}" for i in range(k)])
         for _, _, out in specs:
@@ -228,7 +338,7 @@ def global_row_numbers(
             _bucket_expr(bounds, F.col(f"__obk{i}")) if bounds else F.lit(0)
         )
         kdf = kdf.withColumn(f"__bkt{i}", bucket)
-    kdf = kdf.localCheckpoint(eager=False)  # see global_row_number
+    kdf = _ring_checkpoint(kdf)  # see global_row_number
     gcols = [f"__bkt{i}" for i in range(k)]
     rows = (
         kdf.groupingSets([[c] for c in gcols], *gcols)
@@ -282,9 +392,12 @@ def global_cum(
     ``inclusive=False`` gives the ``ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING`` frame (NULL on an empty prefix, matching SQL).
     The order key must be UNIQUE per row (callers run this on
-    distinct-value frames), so ROWS and RANGE frames coincide and the
-    result is engine-exact. ``value`` must be integral (LONG) — the
-    driver-side prefix combine is exact Python int arithmetic.
+    distinct-value frames; ENFORCED by a ``count_distinct`` column in
+    the histogram aggregate — the call raises on violation), so ROWS
+    and RANGE frames coincide and the result is engine-exact.
+    ``order_by`` must therefore be plain (un-oriented) columns.
+    ``value`` must be integral (LONG) — the driver-side prefix combine
+    is exact Python int arithmetic.
     """
     if agg not in ("sum", "max"):
         raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
@@ -297,12 +410,18 @@ def global_cum(
     if checkpoint:
         # lazy: the histogram pass below materializes it (one job does
         # both), and every later pass reuses the checkpointed blocks
-        kdf = kdf.localCheckpoint(eager=False)
+        kdf = _ring_checkpoint(kdf)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("__obk", probs, 10_000).alias("bounds"),
+        F.count_distinct(*order_by).alias("nd"),
+        _bad_key_count("__obk").alias("bad"),
     ).first()
+    _require_clean_keys(int(hist["bad"] or 0), "global_cum")
+    _require_unique(
+        int(hist["nd"] or 0), int(hist["n"] or 0), "global_cum", "order_by"
+    )
     if int(hist["n"] or 0) == 0:
         return kdf.drop("__obk", "__val").withColumn(
             out, F.lit(None).cast("long")
@@ -310,7 +429,7 @@ def global_cum(
     bounds = sorted(set(hist["bounds"] or []))
     bucket = _bucket_expr(bounds, F.col("__obk")) if bounds else F.lit(0)
     # lazy checkpoint + dense literal bases — see global_row_number
-    kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
+    kdf = _ring_checkpoint(kdf.withColumn("__bkt", bucket))
     fold = F.sum if agg == "sum" else F.max
     totals = (
         kdf.groupBy("__bkt").agg(fold("__val").alias("t")).collect()
@@ -364,7 +483,9 @@ def global_lag(
     previous nonempty bucket's MAX as the lag of each bucket's first
     row (driver-computed over <= ``n_buckets`` rows). The global first
     row keeps NULL, matching SQL. ``order_col`` must be a unique LONG
-    per row (the sequence-audit shape: lag over a distinct key set).
+    per row (the sequence-audit shape: lag over a distinct key set;
+    ENFORCED by a ``count_distinct`` column in the histogram aggregate
+    — the call raises on violation).
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -375,12 +496,18 @@ def global_lag(
     if checkpoint:
         # lazy: the histogram pass below materializes it (one job does
         # both), and every later pass reuses the checkpointed blocks
-        kdf = kdf.localCheckpoint(eager=False)
+        kdf = _ring_checkpoint(kdf)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("__obk", probs, 10_000).alias("bounds"),
+        F.count_distinct("__ok").alias("nd"),
+        _bad_key_count("__obk").alias("bad"),
     ).first()
+    _require_clean_keys(int(hist["bad"] or 0), "global_lag")
+    _require_unique(
+        int(hist["nd"] or 0), int(hist["n"] or 0), "global_lag", "order_col"
+    )
     if int(hist["n"] or 0) == 0:
         return kdf.drop("__ok", "__obk").withColumn(
             out, F.lit(None).cast("long")
@@ -388,7 +515,7 @@ def global_lag(
     bounds = sorted(set(hist["bounds"] or []))
     bucket = _bucket_expr(bounds, F.col("__obk")) if bounds else F.lit(0)
     # lazy checkpoint + dense literal bases — see global_row_number
-    kdf = kdf.withColumn("__bkt", bucket).localCheckpoint(eager=False)
+    kdf = _ring_checkpoint(kdf.withColumn("__bkt", bucket))
     maxima = kdf.groupBy("__bkt").agg(F.max("__ok").alias("m")).collect()
     by_bkt = {int(r["__bkt"]): int(r["m"]) for r in maxima}
     prev_max: int | None = None
@@ -406,6 +533,256 @@ def global_lag(
             out, F.coalesce(F.lag("__ok").over(w), base_col).cast("long")
         )
         .drop("__ok", "__obk", "__bkt")
+    )
+
+
+def ntile_cuts(n: int, k: int) -> list[int]:
+    """The k-1 cumulative cut RANKS of standard SQL ``NTILE(k)`` over
+    ``n`` rows (the first ``n % k`` tiles get ``n // k + 1`` rows):
+    tile(row) = 1 + #{j : rank > cut_j}.  Feeds
+    :func:`global_rank_segments_multi` so an ntile consumed only as a
+    per-row code needs BOUNDARIES, not a full global rank."""
+    q, r = divmod(n, k)
+    cuts, c = [], 0
+    for j in range(k - 1):
+        c += (q + 1) if j < r else q
+        cuts.append(c)
+    return cuts
+
+
+def global_rank_segments_multi(
+    df: DataFrame,
+    specs: Sequence[
+        tuple[Column, Column, bool, Callable[[int], Sequence[int]], str]
+    ],
+    *,
+    n_buckets: int | None = None,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """Exact global rank SEGMENTS by boundary lookup — the cut-only
+    sibling of :func:`global_row_numbers` for consumers that never emit
+    the rank itself (median cuts, tertile/quartile/decile codes).
+
+    For each spec ``(key, tiebreak, descending, ks_fn, out)`` the
+    total order is (key asc|desc, tiebreak asc); ``ks_fn(total)``
+    names the cut ranks k_1..k_m, and the output column ``out`` is the
+    0-based segment index ``#{j : global_rank(row) > k_j}`` — exactly
+    what a ``rank <= n//2`` filter or an ``ntile`` code (via
+    :func:`ntile_cuts`, tile = segment + 1) consumes.
+
+    Why this beats ranking: a full :func:`global_row_number` pays a
+    corpus-wide within-bucket WINDOW SORT in the final job.  Here the
+    k-th row itself is located instead — histogram pass (shared across
+    specs), per-bucket counts (one grouping-sets pass), then ONE small
+    job that sorts only the few buckets containing cut ranks (<=
+    sum(|ks|) buckets of ~1/n_buckets of the frame each) to fetch the
+    boundary rows.  The segment columns are then pure literal
+    comparisons — the consumer's plan has NO window and NO exchange at
+    all for the segment step, so the frame never shuffles on the way
+    out.  Identical values to ``ntile()``/``row_number()``-based cuts
+    (driver-gate hash-verified); strictly less work at every scale.
+
+    Contracts (enforced in the shared histogram aggregate): ``key``
+    numeric and non-null (NaN rejected); ``tiebreak`` numeric,
+    non-null, and globally UNIQUE (this is what makes the order total
+    and the boundary row well-defined).  Returns ``(frame with the
+    out columns, exact total row count)``.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = default_n_buckets(spark)
+    k = len(specs)
+    kdf = df
+    for i, (key, tie, desc, _, _) in enumerate(specs):
+        okey = (-key) if desc else key  # oriented: ascending == global order
+        kdf = (
+            kdf.withColumn(f"__k{i}", key)
+            .withColumn(f"__t{i}", tie)
+            .withColumn(f"__obk{i}", okey.cast("double"))
+        )
+    if checkpoint:
+        kdf = _ring_checkpoint(kdf)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # one tiebreak-uniqueness check per DISTINCT tiebreak expression
+    # (the RFM shape shares one user_id tiebreak across all specs)
+    tie_exprs: dict[str, int] = {}
+    for i, (_, tie, _, _, _) in enumerate(specs):
+        tie_exprs.setdefault(tie._jc.toString(), i)
+    hist = kdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile_approx(f"__obk{i}", probs, 10_000).alias(f"b{i}")
+            for i in range(k)
+        ],
+        *[_bad_key_count(f"__obk{i}").alias(f"bad{i}") for i in range(k)],
+        *[
+            F.count_distinct(f"__t{i}").alias(f"nd{i}")
+            for i in tie_exprs.values()
+        ],
+    ).first()
+    total = int(hist["n"] or 0)
+    for i in range(k):
+        _require_clean_keys(
+            int(hist[f"bad{i}"] or 0), f"global_rank_segments[spec {i}]"
+        )
+    for i in tie_exprs.values():
+        _require_unique(
+            int(hist[f"nd{i}"] or 0),
+            total,
+            f"global_rank_segments[spec {i}]",
+            "tiebreak",
+        )
+    helper_cols = [
+        c for i in range(k) for c in (f"__k{i}", f"__t{i}", f"__obk{i}")
+    ]
+    if total == 0:
+        out_df = kdf.drop(*helper_cols)
+        for _, _, _, _, out in specs:
+            out_df = out_df.withColumn(out, F.lit(0).cast("int"))
+        return out_df, 0
+    bounds_all: list[list[float]] = []
+    for i in range(k):
+        bounds = sorted(set(hist[f"b{i}"] or []))
+        bounds_all.append(bounds)
+        bucket = (
+            _bucket_expr(bounds, F.col(f"__obk{i}")) if bounds else F.lit(0)
+        )
+        kdf = kdf.withColumn(f"__bkt{i}", bucket)
+    kdf = _ring_checkpoint(kdf)
+    gcols = [f"__bkt{i}" for i in range(k)]
+    rows = (
+        kdf.groupingSets([[c] for c in gcols], *gcols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_spec: list[dict[int, int]] = [dict() for _ in range(k)]
+    for r in rows:
+        for i, c in enumerate(gcols):
+            if r[c] is not None:
+                per_spec[i][int(r[c])] = int(r["n"])
+                break
+    # locate each cut rank's (bucket, within-bucket residual) on the
+    # driver — a loop over <= n_buckets count rows per spec
+    needed: dict[tuple[int, int, int], int] = {}  # (spec, bkt, rn) -> cut idx? value
+    cut_plan: list[list[tuple[str, int, int]]] = []  # per spec: (kind, b, r)
+    for i, (_, _, _, ks_fn, _) in enumerate(specs):
+        ks = [int(x) for x in ks_fn(total)]
+        plan_i: list[tuple[str, int, int]] = []
+        for kk in ks:
+            if kk <= 0:
+                plan_i.append(("all_after", 0, 0))  # rank > 0: every row
+                continue
+            if kk >= total:
+                plan_i.append(("none_after", 0, 0))  # rank > n: no row
+                continue
+            off, b, r = 0, 0, kk
+            for bb in range(len(bounds_all[i]) + 1):
+                cnt = per_spec[i].get(bb, 0)
+                if off + cnt >= kk:
+                    b, r = bb, kk - off
+                    break
+                off += cnt
+            plan_i.append(("row", b, r))
+            needed[(i, b, r)] = 1
+        cut_plan.append(plan_i)
+    boundaries: dict[tuple[int, int, int], tuple] = {}
+    if needed:
+        # ONE job over just the buckets that contain cut ranks: union
+        # the per-spec slices, rank within (spec, bucket), keep the
+        # residual positions.  Work is bounded by (number of distinct
+        # cut buckets) x (rows per bucket) — ~|cuts|/n_buckets of the
+        # frame, not the frame.
+        by_spec_buckets: dict[int, set[int]] = {}
+        for (i, b, _) in needed:
+            by_spec_buckets.setdefault(i, set()).add(b)
+        # each part carries an ORIENTED raw-key sort column __ord in
+        # its NATIVE type (the double __obk may collapse distinct keys
+        # near the precision edge; the within-bucket order here must
+        # be exact), the raw key __kv for the returned literal, and
+        # the tiebreak.  Parts union per key TYPE so no implicit
+        # widening can reintroduce the collapse (in practice one
+        # group: specs over one frame share the key type).
+        rn = F.row_number().over(
+            Window.partitionBy("__spec", "__b").orderBy("__ord", "__tv")
+        )
+        hit = None
+        for (i, b, r) in needed:
+            c = (
+                (F.col("__spec") == i)
+                & (F.col("__b") == b)
+                & (F.col("__rn") == r)
+            )
+            hit = c if hit is None else (hit | c)
+        type_groups: dict[str, list[DataFrame]] = {}
+        for i, bs in sorted(by_spec_buckets.items()):
+            key, _, desc_i = specs[i][0], specs[i][1], specs[i][2]
+            part = kdf.where(
+                F.col(f"__bkt{i}").isin(*[int(b) for b in bs])
+            ).select(
+                F.lit(i).alias("__spec"),
+                F.col(f"__bkt{i}").cast("int").alias("__b"),
+                ((-F.col(f"__k{i}")) if desc_i else F.col(f"__k{i}")).alias(
+                    "__ord"
+                ),
+                F.col(f"__k{i}").alias("__kv"),
+                F.col(f"__t{i}").alias("__tv"),
+            )
+            type_groups.setdefault(dict(part.dtypes)["__ord"], []).append(
+                part
+            )
+        for parts in type_groups.values():
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            for row in u.withColumn("__rn", rn).where(hit).collect():
+                boundaries[
+                    (int(row["__spec"]), int(row["__b"]), int(row["__rn"]))
+                ] = (row["__kv"], row["__tv"])
+    result = kdf
+    for i, (_, _, desc_i, _, out) in enumerate(specs):
+        key_c, tie_c = F.col(f"__k{i}"), F.col(f"__t{i}")
+        seg = F.lit(0)
+        for kind, b, r in cut_plan[i]:
+            if kind == "all_after":
+                cmp_c = F.lit(True)
+            elif kind == "none_after":
+                cmp_c = F.lit(False)
+            else:
+                kv, tv = boundaries[(i, b, r)]
+                if desc_i:
+                    cmp_c = (key_c < F.lit(kv)) | (
+                        (key_c == F.lit(kv)) & (tie_c > F.lit(tv))
+                    )
+                else:
+                    cmp_c = (key_c > F.lit(kv)) | (
+                        (key_c == F.lit(kv)) & (tie_c > F.lit(tv))
+                    )
+            seg = seg + cmp_c.cast("int")
+        result = result.withColumn(out, seg.cast("int"))
+    return result.drop(*helper_cols, *gcols), total
+
+
+def global_rank_segments(
+    df: DataFrame,
+    key: Column,
+    tiebreak: Column,
+    ks_fn: Callable[[int], Sequence[int]],
+    *,
+    descending: bool = False,
+    out: str = "seg",
+    n_buckets: int | None = None,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """Single-spec sugar over :func:`global_rank_segments_multi` — the
+    median-cut shape: ``global_rank_segments(df, score, doc_id,
+    lambda n: [n // 2], descending=True)`` then ``filter(seg == 0)``
+    keeps exactly the rows a ``row_number() <= n//2`` filter would,
+    with no window anywhere in the plan."""
+    return global_rank_segments_multi(
+        df,
+        [(key, tiebreak, descending, ks_fn, out)],
+        n_buckets=n_buckets,
+        checkpoint=checkpoint,
     )
 
 

@@ -34,7 +34,7 @@ from udacity_data_engineer_capstone_spark.catalog import (
     register_views,
 )
 from udacity_data_engineer_capstone_spark.operators.ordinal import (
-    global_row_number,
+    global_rank_segments,
 )
 from udacity_data_engineer_capstone_spark.registry import query
 
@@ -662,27 +662,31 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_encoding_artifacts`` review.
 
     Scale shape: scoring is text_lm_logprob's one token scan + per-doc
-    aggregate; the tertile rank is the two-phase exact global ordinal
-    (``operators.ordinal.global_row_number``: histogram buckets →
-    driver cumsum → within-bucket row_number), and the corpus count
-    falls out of the histogram pass as a driver literal — no
-    single-partition window, no ``COUNT(*) OVER ()``. Tie-break on
-    doc_id keeps the cut deterministic."""
+    aggregate; the tertile CODE never needs the rank itself, so the
+    cut is boundary-only (``operators.ordinal.global_rank_segments``:
+    histogram buckets → per-bucket counts → ONE small job sorting just
+    the two cut-rank buckets → literal comparisons) — identical
+    buckets to the oracle's rank rule, and the output stage is a pure
+    map with NO window and NO exchange. Tie-break on doc_id keeps the
+    cut deterministic."""
     lm = text_lm_logprob(spark, sf_dir)
 
     per_tok = F.col("logprob_micro").cast("double") / F.col("n_tokens")
-    ranked, n = global_row_number(
+    # rk*3 <= n  ⟺  rk <= n//3 (segment 0); rk*3 <= 2n ⟺ rk <= 2n//3
+    seg, _n = global_rank_segments(
         lm,
-        [per_tok.desc(), F.col("doc_id")],
-        -per_tok,
-        out="rk",
+        per_tok,
+        F.col("doc_id"),
+        lambda n: [n // 3, 2 * n // 3],
+        descending=True,
+        out="__seg",
     )
-    return ranked.select(
+    return seg.select(
         "doc_id",
         "n_tokens",
         "logprob_micro",
-        F.when(F.col("rk") * 3 <= F.lit(n), F.lit("head"))
-        .when(F.col("rk") * 3 <= 2 * F.lit(n), F.lit("middle"))
+        F.when(F.col("__seg") == 0, F.lit("head"))
+        .when(F.col("__seg") == 1, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )

@@ -25,10 +25,9 @@ from pyspark.sql import functions as F
 
 from udacity_data_engineer_capstone_spark.catalog import register_views
 from udacity_data_engineer_capstone_spark.operators.ordinal import (
-    composite_bucket_key,
-    global_row_number,
-    global_row_numbers,
-    ntile_from_rank,
+    global_rank_segments,
+    global_rank_segments_multi,
+    ntile_cuts,
 )
 from udacity_data_engineer_capstone_spark.pipelines import i94
 from udacity_data_engineer_capstone_spark.registry import query
@@ -341,11 +340,13 @@ def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything is keyed by user_id — the window sort, the
     three funnel-stage aggregates, and the final joins all share one
-    hash partitioning (Catalyst reuses the exchange); the quartile cuts
-    run as three exact two-phase global ordinals
-    (``operators.ordinal.global_row_number`` + ``ntile_from_rank``)
-    over the per-user metric table — identical codes to the oracle's
-    ntile windows, no single-partition exchange."""
+    hash partitioning (Catalyst reuses the exchange); the quartile
+    CODES never need the ranks themselves, so the cuts are
+    boundary-only (``operators.ordinal.global_rank_segments_multi`` +
+    ``ntile_cuts``: shared histogram, per-bucket counts, one small job
+    over just the cut-rank buckets, then literal comparisons) —
+    identical codes to the oracle's ntile windows, with no window and
+    no exchange in the output stage."""
     register_views(spark, sf_dir, ("events",))
     # shared CTE text up to (but not including) the ntile stage; the
     # quartiles themselves come from the two-phase ordinal below
@@ -359,31 +360,23 @@ def pipe_event_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM base"""
     )
     base = spark.sql(base_sql)
-    m, n = global_row_numbers(
+    # the quartile CODES never need the ranks — boundary-only ntile
+    # (global_rank_segments_multi + ntile_cuts): one shared histogram,
+    # one grouping-sets count, one small job over the 9 cut-rank
+    # buckets, then pure literal comparisons — no window, no exchange
+    # in the output stage
+    cuts4 = lambda n: ntile_cuts(n, 4)  # noqa: E731
+    m, _n = global_rank_segments_multi(
         base,
         [
-            (
-                [F.col("last_us"), F.col("user_id")],
-                composite_bucket_key(F.col("last_us"), F.col("user_id")),
-                "r_rk",
-            ),
-            (
-                [F.col("n_events"), F.col("user_id")],
-                composite_bucket_key(F.col("n_events"), F.col("user_id")),
-                "f_rk",
-            ),
-            (
-                [F.col("monetary_cents"), F.col("user_id")],
-                composite_bucket_key(
-                    F.col("monetary_cents"), F.col("user_id")
-                ),
-                "m_rk",
-            ),
+            (F.col("last_us"), F.col("user_id"), False, cuts4, "__r"),
+            (F.col("n_events"), F.col("user_id"), False, cuts4, "__f"),
+            (F.col("monetary_cents"), F.col("user_id"), False, cuts4, "__m"),
         ],
     )
-    r_q = ntile_from_rank(F.col("r_rk"), n, 4)
-    f_q = ntile_from_rank(F.col("f_rk"), n, 4)
-    m_q = ntile_from_rank(F.col("m_rk"), n, 4)
+    r_q = F.col("__r") + 1
+    f_q = F.col("__f") + 1
+    m_q = F.col("__m") + 1
     return m.select(
         "user_id",
         "n_sessions",
@@ -482,19 +475,25 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates, hash-width dedup shuffle, broadcast LR model, per-shard
     sorts); the stages compose via doc_id semi/equi joins that carry
     ids and small scores, never text. Both median cuts (quality half,
-    DSIR half) rank via the two-phase exact global ordinal
-    (``operators.ordinal.global_row_number``) with the row count as a
-    driver literal — identical ranks to a global window, but no
-    single-partition exchange anywhere in the composed plan."""
+    DSIR half) only ever consume "rank <= n//2", so they are
+    BOUNDARY-ONLY (``operators.ordinal.global_rank_segments``: locate
+    the n//2-th row exactly, then a literal-comparison filter) —
+    identical survivors to a global-window rank, but the composed plan
+    carries no window and no single-partition exchange, and the cut
+    itself adds zero shuffles."""
     docs = register_views(spark, sf_dir, ("documents",))["documents"]
     scored = curate_model_score(spark, sf_dir).select("doc_id", "score_micro")
-    qranked, qn = global_row_number(
+    # rk*2 <= n ⟺ rank <= n//2: boundary-only cut — no window, no
+    # exchange in the surviving plan (see global_rank_segments)
+    qseg, _qn = global_rank_segments(
         scored,
-        [F.col("score_micro").desc(), F.col("doc_id")],
-        -F.col("score_micro"),
-        out="qrk",
+        F.col("score_micro"),
+        F.col("doc_id"),
+        lambda n: [n // 2],
+        descending=True,
+        out="__qseg",
     )
-    model = qranked.filter(F.col("qrk") * 2 <= F.lit(qn)).select("doc_id")
+    model = qseg.filter(F.col("__qseg") == 0).select("doc_id")
     keepers = docs.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("keep_id")
     )
@@ -520,13 +519,15 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ds, "doc_id")
         .select("doc_id", "bucket", "dsir_score_micro")
     )
-    half, n = global_row_number(
+    half, _n = global_rank_segments(
         surv,
-        [F.col("dsir_score_micro").desc(), F.col("doc_id")],
-        -F.col("dsir_score_micro"),
-        out="rk",
+        F.col("dsir_score_micro"),
+        F.col("doc_id"),
+        lambda n: [n // 2],
+        descending=True,
+        out="__dseg",
     )
-    sel = half.filter(F.col("rk") * 2 <= F.lit(n)).select(
+    sel = half.filter(F.col("__dseg") == 0).select(
         "doc_id",
         "bucket",
         "dsir_score_micro",
