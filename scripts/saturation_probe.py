@@ -35,29 +35,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bloom_probe(n_corpus: int, n_batch: int = 50_000) -> dict:
-    """Exact simulation of the operator's filter: m=2^20 bits, k=4,
-    positions = 5-hex-digit slices of md5. Corpus keys are disjoint
-    from batch keys, so every batch hit is a false positive."""
-    m_words = 1 << 15  # 2^20 bits / 32 per word
-    words = [0] * m_words
+def bloom_probe(
+    n_corpus: int, n_batch: int = 50_000, hex_width: int | None = None
+) -> dict:
+    """Exact simulation of the operator's filter: m = 16^w bits, k=4,
+    positions = w-hex-digit slices of md5 (w defaults to what the
+    sizing rule _bloom_hex_width picks for n_corpus — pass 5 to replay
+    the historical fixed-width floor). Corpus keys are disjoint from
+    batch keys, so every batch hit is a false positive."""
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        _bloom_hex_width,
+    )
+
+    w = hex_width if hex_width is not None else _bloom_hex_width(n_corpus)
+    m_bits = 16 ** w
+    words = [0] * (m_bits >> 5)
     for i in range(n_corpus):
         h = hashlib.md5(f"corpus:{i}".encode()).hexdigest()
         for j in range(4):
-            pos = int(h[8 * j : 8 * j + 5], 16)
+            pos = int(h[8 * j : 8 * j + w], 16)
             words[pos >> 5] |= 1 << (pos & 31)
-    fill = sum(bin(w).count("1") for w in words) / (1 << 20)
+    fill = sum(bin(x).count("1") for x in words) / m_bits
     fp = 0
     for i in range(n_batch):
         h = hashlib.md5(f"novel:{i}".encode()).hexdigest()
         if all(
-            (words[(p := int(h[8 * j : 8 * j + 5], 16)) >> 5] >> (p & 31)) & 1
+            (words[(p := int(h[8 * j : 8 * j + w], 16)) >> 5] >> (p & 31)) & 1
             for j in range(4)
         ):
             fp += 1
     return {
         "n_corpus": n_corpus,
-        "fill_ratio": round(fill, 4),
+        "hex_width": w,
+        "fill_ratio": round(fill, 6),
         "fp_rate": round(fp / n_batch, 5),
     }
 
@@ -109,10 +119,11 @@ def minhash_bucket_probe(spark, sf_dir: str) -> dict:
 if __name__ == "__main__":
     out = {
         "bloom": [
-            bloom_probe(60_000),  # sf0.1-equivalent corpus
-            bloom_probe(262_144),  # kn/m = 1: the knee
-            bloom_probe(600_000),  # sf1-equivalent
-            bloom_probe(2_000_000),  # sf3+-equivalent: saturated
+            bloom_probe(60_000, hex_width=5),  # sf0.1-equiv, 5-hex floor
+            bloom_probe(262_144, hex_width=5),  # 5-hex kn/m = 1 knee
+            bloom_probe(600_000, hex_width=5),  # sf1-equiv under the OLD pin
+            bloom_probe(600_000),  # sf1-equiv under the DERIVED width (6)
+            bloom_probe(2_000_000),  # sf3+-equiv under the derived width (7)
         ]
     }
     try:

@@ -813,3 +813,82 @@ def test_bloom_incremental_no_false_negatives(spark, sf_dir):
     # a false row's hash does not (it is a measured Bloom FP)
     for d, (h, t) in out.items():
         assert (h in hist_hashes) == t
+
+
+def test_bloom_hex_width_ladder():
+    """The m >= 16n rule as code: one more md5-hex digit per 16x
+    corpus growth, clamped [5, 8]."""
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        _bloom_hex_width,
+    )
+
+    assert _bloom_hex_width(1) == 5
+    assert _bloom_hex_width(65_536) == 5  # 16^4 docs: exactly at 5-hex cap
+    assert _bloom_hex_width(65_537) == 6
+    assert _bloom_hex_width(600_000) == 6  # sf1-equivalent
+    assert _bloom_hex_width(16**5) == 6
+    assert _bloom_hex_width(16**5 + 1) == 7
+    assert _bloom_hex_width(16**6) == 7
+    assert _bloom_hex_width(268_000_000) == 8
+    assert _bloom_hex_width(10**12) == 8  # ceiling: md5 runs out of hexes
+
+
+def test_bloom_width_lockstep_spark_oracle():
+    """The derived width lands in BOTH the Spark expressions and the
+    oracle SQL (they interpolate the same _BLOOM_POS_LIST)."""
+    from udacity_data_engineer_capstone_spark.operators import dedup as d
+
+    assert d._BLOOM_POS_LIST in d._BLOOM_ORACLE
+    # default local profile: the historical 5-hex width
+    assert d._BLOOM_HEX == 5
+    one_probe = d._bloom_pos(0)
+    assert one_probe.count("position(") == d._BLOOM_HEX
+    assert d._bloom_pos(0, 6).count("position(") == 6
+
+
+def test_bloom_derived_width_oracle_parity_subprocess(sf_dir):
+    """End-to-end: with SPARK_GRAFT_CORPUS_DOCS declaring a 600k-doc
+    corpus the import-time width becomes 6, and Spark and DuckDB still
+    agree row-for-row (both texts re-derive from the same constant)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from udacity_data_engineer_capstone_spark.operators import dedup as d
+assert d._BLOOM_HEX == 6, d._BLOOM_HEX
+import duckdb
+con = duckdb.connect()
+for t in ["documents"]:
+    con.execute(
+        "create view " + t + " as select * from read_parquet('"
+        + os.path.join(%r, t + ".parquet") + "')")
+sdf = d.dedup_bloom_incremental(spark, %r)
+srows = sorted(tuple(str(r[c]) for c in sorted(sdf.columns))
+               for r in sdf.collect())
+res = con.execute(d._BLOOM_ORACLE)
+cols = [x[0] for x in res.description]
+order = sorted(range(len(cols)), key=lambda i: cols[i])
+drows = sorted(tuple(str(r[i]) for i in order) for r in res.fetchall())
+assert srows == drows, (len(srows), len(drows))
+print("PARITY-OK", len(srows))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = code % (repo, sf_dir, sf_dir)
+    env = dict(os.environ, SPARK_GRAFT_CORPUS_DOCS="600000")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PARITY-OK" in out.stdout
