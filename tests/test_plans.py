@@ -1177,8 +1177,9 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
        The allowlist is also checked for staleness, so a fixed query
        must drop its entry.
 
-    Streaming queries are excluded because calling their fn() DRAINS
-    the stream (covered by their own tests); this test audits plans,
+    Streaming queries are audited by the dedicated sweep below
+    (test_streaming_registry_plan_audit — capture-hooked so nothing
+    drains); this test audits plans,
     not results — a single sweep so a future operator can't quietly
     ship an all-pairs product, a Python hot path, or a global-window
     rank without either fixing it or documenting an allowlist entry."""
@@ -1246,3 +1247,70 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
     )
     stale = set(window_allow) - gw_seen
     assert not stale, f"stale global-window allowlist entries: {stale}"
+
+
+def test_streaming_registry_plan_audit(spark, sf_dir):
+    """The SAME mechanical audit for the ~20 STREAMING queries the
+    batch sweep above excludes (calling their fn() would drain the
+    stream). Inside ``capture_stream_plans()`` every drain point
+    records its un-drained streaming frame and skips the physical run,
+    so the sweep reads:
+
+    - the pre-drain STREAMING plan — ``explainString`` works pre-start
+      (Cartesian / row-Python text check) and
+      ``unbounded_global_windows`` walks the analyzed logical plan;
+    - the post-drain BATCH plan the query composes on the sink table
+      (audited with the full physical checks).
+
+    Streaming-tagged queries that never drain (batch replays like
+    evt_watermark_choice) are audited through their returned frame.
+    Same allowlist discipline as the batch sweep: every entry names
+    its bound and is staleness-checked."""
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        plan_text,
+        unbounded_global_windows,
+    )
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        capture_stream_plans,
+    )
+
+    allow: dict[str, set] = {}
+    window_allow: dict[str, str] = {}
+    offenders = {}
+    gw_offenders = {}
+    gw_seen = set()
+    n_streaming = 0
+    n_captured = 0
+    for name, spec in sorted(Q.items()):
+        if "streaming" not in (spec.tags or ()):
+            continue
+        n_streaming += 1
+        with capture_stream_plans() as captured:
+            out = spec.fn(spark, sf_dir)
+        assert not out.isStreaming, f"{name}: returned an un-drained stream"
+        n_captured += len(captured)
+        for df in [*captured, out]:
+            txt = plan_text(df, mode="simple")
+            hits = {
+                m
+                for m in ("CartesianProduct", "BatchEvalPython")
+                if m in txt
+            } - allow.get(name, set())
+            if hits:
+                offenders.setdefault(name, set()).update(hits)
+            gw = unbounded_global_windows(df)
+            if gw:
+                gw_seen.add(name)
+                if name not in window_allow:
+                    gw_offenders[name] = gw[0][:200]
+    assert n_streaming >= 18, f"sweep found only {n_streaming} streaming queries"
+    assert n_captured >= n_streaming - 1, (
+        "a drain point is missing its capture hook: "
+        f"{n_captured} captures over {n_streaming} queries"
+    )
+    assert not offenders, f"streaming plan audit offenders: {offenders}"
+    assert not gw_offenders, (
+        f"unbounded global windows in streaming queries: {gw_offenders}"
+    )
+    stale = set(window_allow) - gw_seen
+    assert not stale, f"stale streaming window allowlist entries: {stale}"

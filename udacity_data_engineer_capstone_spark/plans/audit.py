@@ -65,6 +65,14 @@ def _input_bounded(node) -> bool:
       outer — the right side; full outer — both;
     - any other node is bounded iff all its children are (unary
       pass-throughs inherit; leaves are unbounded).
+
+    Known limitation (accepted): the inner-join rule assumes per-key
+    match counts are O(1) — a top-k side equi-joined on a DUPLICATED
+    key against an unbounded side can have unbounded output, which
+    this structural check cannot see (key uniqueness is a data
+    property, not a plan property). The residual risk is a window fed
+    by such a join being under-flagged; the per-query plan tests and
+    the sf1 scale smoke are the backstop for that shape.
     """
     name = node.nodeName()
     if any(m in name for m in _LIMIT_NODE_MARKERS):
@@ -99,8 +107,16 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     registry-wide audit flags it mechanically.
 
     Inspects the physical ``sparkPlan`` (pre-AQE — structure, not
-    runtime stats). A global window is auto-allowed only when its
-    input is VISIBLY row-bounded per :func:`_input_bounded` — a
+    runtime stats). For a STREAMING DataFrame — whose physical plan
+    cannot be materialized before ``writeStream.start()`` — the walk
+    runs over the ANALYZED logical plan instead: logical ``Window``
+    nodes expose the same empty-``partitionSpec`` signature, and the
+    Limit-class markers (``GlobalLimit``/``LocalLimit``) still match.
+    (``WindowGroupLimit`` only exists post-optimization, so a
+    rank-limit shape on a stream would flag — correctly: streaming
+    doesn't support that shape anyway.) A global window is
+    auto-allowed only when its input is VISIBLY row-bounded per
+    :func:`_input_bounded` — a
     Limit-class node (``GlobalLimit``/``LocalLimit``/``CollectLimit``
     /``WindowGroupLimit``/``TakeOrderedAndProject``; Spark 4 compiles
     ``row_number <= k`` filters into TakeOrderedAndProject, a true
@@ -127,5 +143,5 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         for c in _jchildren(node):
             visit(c)
 
-    visit(qe.sparkPlan())
+    visit(qe.analyzed() if df.isStreaming else qe.sparkPlan())
     return offenders

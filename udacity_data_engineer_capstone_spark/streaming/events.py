@@ -17,6 +17,7 @@ state unboundedly — late events beyond the watermark are dropped.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -140,6 +141,41 @@ def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+# --- plan-audit capture hook -----------------------------------------------
+# The registry-wide mechanical plan audit (tests/test_plans.py) used to
+# EXEMPT streaming queries because calling their fn() drains the stream.
+# This hook closes that hole without draining: inside
+# capture_stream_plans(), every drain point records its un-drained
+# streaming DataFrame (whose analyzed plan + explainString are
+# inspectable pre-start) and skips the physical run, returning an empty
+# batch frame of the drained schema so the query's post-drain code
+# still composes a plan the audit can also read.
+
+_PLAN_CAPTURE: list[DataFrame] | None = None
+
+
+def _capture_for_audit(df: DataFrame) -> bool:
+    """True iff an audit sweep is active: the PRE-DRAIN streaming frame
+    was recorded and the caller must skip starting the query."""
+    if _PLAN_CAPTURE is None:
+        return False
+    _PLAN_CAPTURE.append(df)
+    return True
+
+
+@contextlib.contextmanager
+def capture_stream_plans():
+    """Audit mode for the streaming drain points. Yields the list the
+    captured pre-drain streaming DataFrames land in."""
+    global _PLAN_CAPTURE
+    prev = _PLAN_CAPTURE
+    _PLAN_CAPTURE = captured = []
+    try:
+        yield captured
+    finally:
+        _PLAN_CAPTURE = prev
+
+
 def run_to_memory(
     df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:
@@ -152,6 +188,8 @@ def run_to_memory(
     at test scale, and a knob a cluster job would size to its executor
     count anyway."""
     spark = df.sparkSession
+    if _capture_for_audit(df):
+        return spark.createDataFrame([], df.schema)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -508,22 +546,27 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        stream_events(spark, src)
-        .writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", out + "_ckpt")
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    events = stream_events(spark, src)
+    if _capture_for_audit(events):
+        staged = spark.createDataFrame(
+            [], events.select("event_id", "event_type", "value").schema
+        )
+    else:
+        q = (
+            events.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", out + "_ckpt")
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        staged = spark.read.parquet(out)
 
     return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
+        staged.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
@@ -1432,6 +1475,8 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_value_micros"),
     )
+    if _capture_for_audit(agg):
+        return spark.createDataFrame([], agg.schema)
     name = f"pystream_{_uuid.uuid4().hex[:12]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1531,18 +1576,21 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(tempfile.mkdtemp(prefix="engine_pysink_"), "log")
     cp = tempfile.mkdtemp(prefix="engine_pysink_cp_")
-    q = (
-        stream.writeStream.format("manifest_parquet_stream")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    df, manifests = read_stream_manifests(spark, out, _PYSINK_SCHEMA)
-    assert len(manifests) >= 2, (
-        f"expected >=2 per-batch manifest commits, got {len(manifests)}"
-    )
+    if _capture_for_audit(stream):
+        df = spark.createDataFrame([], _PYSINK_SCHEMA)
+    else:
+        q = (
+            stream.writeStream.format("manifest_parquet_stream")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df, manifests = read_stream_manifests(spark, out, _PYSINK_SCHEMA)
+        assert len(manifests) >= 2, (
+            f"expected >=2 per-batch manifest commits, got {len(manifests)}"
+        )
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("sum_cents"),
