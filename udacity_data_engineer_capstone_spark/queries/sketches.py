@@ -507,7 +507,12 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ORDER BY hv LIMIT k`` (TakeOrderedAndProject: per-partition
     top-k + k-width merge — never the oracle's rank window over the
     full distinct-hash set); the corpus-sized work is the DISTINCT,
-    one hash-width shuffle with map-side partials. Because the SQL
+    one hash-width shuffle with map-side partials. The exact
+    ground-truth twins are ONE aggregation pass over that same
+    checkpointed frame (per-key side flags → four sums), and the
+    sketch set-ops run over samples CUT AT THETA first (≤ k rows per
+    side) — the round-8 smoke's 3.0× row was these stages re-deduping
+    the full key space per subquery. Because the SQL
     text references each side's key set from several CTEs (thresholds,
     union/intersect counts, exact truth) and Spark inlines CTEs, the
     distinct key set is materialized ONCE via localCheckpoint — one
@@ -550,6 +555,65 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )"""
         assert old in sql, f"theta template drifted for side {s}"
         sql = sql.replace(old, new)
+    # exact ground-truth twins from ONE pass over the checkpointed
+    # distinct-key frame (round-8 smoke: the 4 separate COUNT/UNION/
+    # INTERSECT subqueries re-deduped the full key space and scaled
+    # 3.0x at 10x keys): per-key side flags, then four sums — a single
+    # shuffle over rows that are already distinct per (side, k)
+    old_exact = """exact AS (
+  SELECT
+    CAST((SELECT COUNT(*) FROM keys_a) AS BIGINT) AS n_a,
+    CAST((SELECT COUNT(*) FROM keys_b) AS BIGINT) AS n_b,
+    CAST((SELECT COUNT(*) FROM
+           (SELECT k FROM keys_a UNION SELECT k FROM keys_b)) AS BIGINT)
+      AS n_union,
+    CAST((SELECT COUNT(*) FROM
+           (SELECT k FROM keys_a INTERSECT SELECT k FROM keys_b)) AS BIGINT)
+      AS n_inter
+)"""
+    new_exact = """exact AS (
+  SELECT CAST(SUM(has_a) AS BIGINT) AS n_a,
+         CAST(SUM(has_b) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(has_a * has_b) AS BIGINT) AS n_inter
+  FROM (SELECT k,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_a,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_b
+        FROM theta_keys_m GROUP BY k)
+)"""
+    assert old_exact in sql, "theta template drifted (exact CTE)"
+    sql = sql.replace(old_exact, new_exact)
+    # cut BOTH samples at theta BEFORE the set ops (the DataSketches
+    # shape: set algebra over <= k-row samples, not over the full
+    # distinct-hash sets) — the filter commutes with UNION/INTERSECT
+    # element-wise, so the counts are identical and the union-distinct
+    # shuffle drops from |hv_a|+|hv_b| rows to <= 2k
+    old_cnt = """u_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM hv_a UNION SELECT hv FROM hv_b) u CROSS JOIN theta t
+  WHERE u.hv < t.th
+),
+i_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM hv_a INTERSECT SELECT hv FROM hv_b) i CROSS JOIN theta t
+  WHERE i.hv < t.th
+),"""
+    new_cnt = f"""sample_a AS (
+  SELECT hv FROM hv_a CROSS JOIN theta t WHERE hv < t.th
+),
+sample_b AS (
+  SELECT hv FROM hv_b CROSS JOIN theta t WHERE hv < t.th
+),
+u_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM sample_a UNION SELECT hv FROM sample_b) u
+),
+i_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT hv FROM sample_a INTERSECT SELECT hv FROM sample_b) i
+),"""
+    assert old_cnt in sql, "theta template drifted (sample counts)"
+    sql = sql.replace(old_cnt, new_cnt)
     assert "FROM events WHERE event_type = " not in sql
     assert "ROW_NUMBER" not in sql
     return spark.sql(sql)
