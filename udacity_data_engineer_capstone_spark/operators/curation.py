@@ -1882,12 +1882,17 @@ SHUFFLE_EPOCHS = 2
 def _shuffle_hex_chars(spark: SparkSession) -> int:
     """md5-prefix bucket width, DERIVED from the session's parallelism
     instead of frozen (the mm_phash lesson: fixed-width devices must
-    scale with their input). Buckets = 16^chars; the count must be
-    >= shuffle parallelism so the within-bucket rank uses every core,
-    and the driver cumsum is bounded by epochs x 16^chars rows. Local
-    32-way -> 2 chars (256 buckets, the historical constant); a 100 TB
-    profile with ~800k shuffle partitions -> 4 chars (65,536 buckets,
-    a 131k-row driver loop — still trivial)."""
+    scale with their input). Buckets = 16^chars; MORE buckets mean
+    more within-bucket-rank parallelism and the driver cumsum stays
+    bounded by epochs x 16^chars rows. Local 32-way -> 2 chars (256
+    buckets, the historical constant); a 100 TB profile with ~800k
+    shuffle partitions -> the 4-char cap (65,536 buckets, a 131k-row
+    driver loop). Note the cap means bucket count CAN sit below
+    cluster parallelism at extreme scale — correctness is unaffected
+    and each bucket is still only ~1/65k of the corpus; the trade is
+    within-bucket rank tasks running at 65k-way instead of 800k-way
+    parallelism, bought for a driver loop that stays trivially
+    small."""
     import math as _math
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

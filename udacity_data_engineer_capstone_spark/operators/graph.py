@@ -1611,11 +1611,16 @@ _LPA_COARSE_K = 16  # per-customer capped supplier sample (degree cap)
 # above it, the distributed round loop takes over. The default bounds
 # the solve task's state at ~20M edges x ~48 B (pandas arrays + the
 # label dict) ≈ 1 GB; when the active SizingProfile knows the per-core
-# memory, the gate is DERIVED from it instead (mem/48B, capped at the
-# default) so a smaller-memory cluster shrinks the single-task window
-# rather than OOMing it — the fixed-width-device sizing rule.
+# memory, the gate is DERIVED from it instead — at 1/4 of the core's
+# share, not all of it: the 48 B/edge estimate is the steady-state
+# arrays, while the real mapInPandas peak also holds the Arrow batch
+# plus transient pandas copies, and the task must leave the executor
+# room to run at all. (Round-9 ADVICE fix: the previous mem/48B gate
+# let the ESTIMATED state alone equal 100% of per-core memory, so the
+# true peak could OOM the very task the gate protects.)
 _LPA_COARSE_MAX_EDGES = 20_000_000
 _LPA_EDGE_BYTES = 48
+_LPA_MEM_HEADROOM = 4  # use 1/4 of per-core memory for the solve state
 
 
 def _lpa_coarse_gate() -> int:
@@ -1623,7 +1628,8 @@ def _lpa_coarse_gate() -> int:
 
     prof = profile_from_env()
     if prof.mem_gb_per_core:
-        derived = int(prof.mem_gb_per_core * (1 << 30)) // _LPA_EDGE_BYTES
+        budget = int(prof.mem_gb_per_core * (1 << 30)) // _LPA_MEM_HEADROOM
+        derived = budget // _LPA_EDGE_BYTES
         return max(1, min(_LPA_COARSE_MAX_EDGES, derived))
     return _LPA_COARSE_MAX_EDGES
 _LPA_COARSE_ITER_CAP = 50

@@ -360,7 +360,35 @@ _COMPACT_EXEC_TARGET = 1 << 20  # 1 MiB output files at test scale
 # globally-sorted layout write (the zone-map clustering job)
 # ---------------------------------------------------------------------------
 
-_GS_FILES = 8
+def _gs_file_count(spark: SparkSession, sf_dir: str) -> int:
+    """Output file count for the sorted-layout job, DERIVED from the
+    sizing profile (round-9: this was the last registered query with
+    an underived capacity constant): ``ceil(source_bytes /
+    spark.sql.files.maxPartitionBytes)`` — each clustered output file
+    lands on the same size the profile's scan splits target, so the
+    re-read of the layout parallelizes exactly like any other table —
+    floored at 8 so the disjointness audit exercises a multi-file
+    layout even at test scale (sf0.1 orders ≈ 4 MB → the historical
+    8). A 100 TB table at the 128 MB target derives ~800k files —
+    the file-per-split layout a warehouse clustering job actually
+    produces."""
+    import math
+    import os
+
+    p = os.path.join(sf_dir, "orders.parquet")
+    size = 0
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            size += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(p):
+        size = os.path.getsize(p)
+    tgt = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    return max(8, math.ceil(size / max(tgt, 1)))
+
 
 _GS_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -382,8 +410,9 @@ def snk_parquet_global_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise-DISJOINT per-file key ranges — the property that makes
     min/max zone maps actually prune (cf. ``src_file_pruning_stats``,
     which measures the payoff). This is the layout job a 100 TB
-    warehouse runs to cluster a table on its hottest filter key; only
-    the file-count constant changes with scale.
+    warehouse runs to cluster a table on its hottest filter key; the
+    file count is DERIVED from source size / the profile's partition
+    target (``_gs_file_count``), not a constant.
 
     The returned audit row re-reads the files, recomputes row count +
     content checksum (the oracle pins both against the source), and
@@ -397,7 +426,7 @@ def snk_parquet_global_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="engine_global_sorted_")
     (
-        orders.repartitionByRange(_GS_FILES, "o_orderkey")
+        orders.repartitionByRange(_gs_file_count(spark, sf_dir), "o_orderkey")
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite")
         .parquet(d)
