@@ -24,8 +24,11 @@ single queries.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import random
+import re
 import statistics
 import sys
 import time
@@ -181,6 +184,47 @@ HIGH_VARIANCE = {
 }
 
 
+# Rotating non-headliner sample (VERDICT r8 directive #8): ~93 of the
+# registered queries are benched as headliners; perf drift in the other
+# ~370 was invisible between rounds. Each round additionally times
+# ROTATION_N non-headliner queries, picked by a deterministic
+# round-seeded shuffle so the whole registry is swept over ~19 rounds
+# and any given query's number recurs on a fixed cadence. The rotation
+# rides in BENCH_DETAIL only (same median-of-runs protocol) and never
+# enters the headline total, keeping round-over-round totals
+# comparable. The round number comes from SPARK_GRAFT_ROUND or, by
+# default, from the highest committed BENCH_r{N}.json + 1.
+ROTATION_N = 20
+
+
+def _current_round(repo_dir: str) -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _rotation_sample(all_names: list[str], rnd: int) -> list[str]:
+    pool = sorted(set(all_names) - set(HEADLINE))
+    if not pool:
+        return []
+    # one fixed shuffle of the pool, then a round-advancing window —
+    # consecutive rounds cover DISJOINT slices until the pool wraps
+    order = list(pool)
+    random.Random(20250815).shuffle(order)
+    start = ((rnd - 1) * ROTATION_N) % len(order)
+    picked = (order + order)[start : start + ROTATION_N]
+    return picked[: len(pool)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -237,6 +281,24 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
 
+    # rotating non-headliner drift sample (see ROTATION_N above):
+    # warm once at the smallest SF, then the same interleaved
+    # median-of-runs protocol; detail-sidecar only
+    rnd = _current_round(os.path.dirname(os.path.abspath(__file__)))
+    rotation = _rotation_sample(sorted(fns), rnd)
+    rot_samples: dict[str, list[float]] = {name: [] for name in rotation}
+    for name in rotation:
+        fns[name](spark, "/root/testdata/sf0.001").count()
+    for _round in range(base_runs):
+        for name in rotation:
+            t0 = time.perf_counter()
+            fns[name](spark, sf_dir).count()
+            rot_samples[name].append(time.perf_counter() - t0)
+    rot_timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in rot_samples.items()
+    }
+
     # The driver captures only a ~2 KB tail of stdout; 82 per-query
     # timings plus runs metadata no longer fit one line (BENCH_r04-r06
     # all recorded "parsed": null — VERDICT r6 directive #2). Full
@@ -259,6 +321,15 @@ def main() -> None:
                 "sf": sf,
                 "runs": base_runs,
                 "runs_per_query": runs_for,
+                "rotation": {
+                    "round": rnd,
+                    "n": len(rot_timings),
+                    "queries": rot_timings,
+                    "samples": {
+                        k: [round(t, 3) for t in v]
+                        for k, v in rot_samples.items()
+                    },
+                },
             },
             fh,
             indent=1,

@@ -351,17 +351,21 @@ def test_global_rank_segments_empty(spark):
 
 
 def test_global_cum_duplicate_order_key_raises(spark):
+    # the adjacency guard rides the output expression, so the raise
+    # surfaces at the consumer's first action (see _dup_guard)
     df = spark.range(20).select(
         (F.col("id") % 7).alias("v"), F.lit(1).cast("long").alias("c")
     )
-    with pytest.raises(ValueError, match="not unique"):
-        global_cum(df, [F.col("v")], F.col("v"), F.col("c"), out="cs")
+    got = global_cum(df, [F.col("v")], F.col("v"), F.col("c"), out="cs")
+    with pytest.raises(Exception, match="duplicate order key"):
+        got.collect()
 
 
 def test_global_lag_duplicate_key_raises(spark):
     df = spark.range(20).select((F.col("id") % 5).cast("long").alias("k"))
-    with pytest.raises(ValueError, match="not unique"):
-        global_lag(df, F.col("k"), F.col("k"), out="pk")
+    got = global_lag(df, F.col("k"), F.col("k"), out="pk")
+    with pytest.raises(Exception, match="duplicate order key"):
+        got.collect()
 
 
 def test_global_row_number_null_key_raises(spark):
@@ -382,11 +386,25 @@ def test_global_row_number_nan_key_raises(spark):
         global_row_number(df, [F.col("k")], F.col("k"), out="rk")
 
 
-def test_global_rank_segments_duplicate_tiebreak_raises(spark):
+def test_global_rank_segments_duplicate_pair_in_cut_bucket_raises(spark):
+    # constant key -> one bucket (which therefore contains the cut
+    # rank), duplicated (key, tiebreak) pairs inside it -> the
+    # boundary job's adjacency check raises at CALL time
     df = spark.range(20).select(
-        F.col("id").alias("k"), (F.col("id") % 3).alias("t")
+        F.lit(1).cast("long").alias("k"), (F.col("id") % 3).alias("t")
     )
-    with pytest.raises(ValueError, match="tiebreak"):
+    with pytest.raises(ValueError, match="duplicate \\(key, tiebreak\\)"):
+        global_rank_segments(
+            df, F.col("k"), F.col("t"), lambda n: [n // 2], out="seg"
+        )
+
+
+def test_global_rank_segments_null_tiebreak_raises(spark):
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 7, None).otherwise(F.col("id")).alias("t"),
+    )
+    with pytest.raises(ValueError, match="NULL tiebreak"):
         global_rank_segments(
             df, F.col("k"), F.col("t"), lambda n: [n // 2], out="seg"
         )

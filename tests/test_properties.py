@@ -293,12 +293,13 @@ def test_global_rank_segments_property(spark, rows, k):
     )
 )
 def test_global_cum_duplicate_key_always_raises(spark, rows):
-    # force at least one duplicate order key
+    # force at least one duplicate order key; the adjacency guard
+    # rides the output expression, so the raise surfaces at the first
+    # action (see operators.ordinal._dup_guard)
     rows = rows + [rows[0]]
     df = spark.createDataFrame(rows, "v long, c long")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="not unique"):
-        global_cum(
-            df, [F.col("v")], F.col("v"), F.col("c"), out="cs"
-        )
+    got = global_cum(df, [F.col("v")], F.col("v"), F.col("c"), out="cs")
+    with _pytest.raises(Exception, match="duplicate order key"):
+        got.collect()

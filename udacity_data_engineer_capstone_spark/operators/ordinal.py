@@ -188,19 +188,38 @@ def _require_clean_keys(bad: int, who: str) -> None:
         )
 
 
-def _require_unique(n_distinct: int, total: int, who: str, what: str) -> None:
-    """Unique-order-key contract, measured inside the existing
-    histogram aggregate (``count_distinct`` skips NULLs, so NULL keys
-    also trip this).  A duplicated order key would make the result
-    silently ill-defined (ROWS vs RANGE frames diverge / the driver
-    prefix-combine double-counts); better to fail the call."""
-    if n_distinct != total:
-        raise ValueError(
-            f"{who}: order key {what} is not unique per row "
-            f"({n_distinct} distinct over {total} rows) — these helpers "
-            "require a unique, non-null order key (run them on a "
-            "distinct-value frame or add a unique tiebreak)"
+def _dup_guard(prev_eq_cur: Column, who: str) -> Column:
+    """Unique-order-key contract as a ZERO-COST per-row guard: a
+    duplicated order key would make the result silently ill-defined
+    (ROWS vs RANGE frames diverge / the boundary row is ambiguous), so
+    the helpers must fail loudly — but an exact global
+    ``count_distinct`` check is NOT one free agg column: Spark plans
+    it as an Expand plus a distinct-key-width SHUFFLE, turning the
+    otherwise shuffle-free histogram scan into the most expensive pass
+    (measured: stat_mann_whitney 1.3 s → 5.5 s at sf0.1).  Instead the
+    check rides the within-bucket WINDOW pass each helper already
+    runs: equal keys always land in the SAME bucket (bucketing is a
+    monotone function of the key), so every duplicate pair is ADJACENT
+    in that pass's (bucket, key) sort and ``lag(key) == key`` detects
+    ALL of them — complete enforcement, no extra shuffle, no extra
+    job.  The guard column is folded into the output expression so
+    column pruning can never drop it; the raise surfaces at the
+    consumer's first action (Spark ``raise_error``), naming the
+    violated contract."""
+    return (
+        F.when(
+            prev_eq_cur,
+            F.raise_error(
+                F.lit(
+                    f"{who}: duplicate order key — this helper requires "
+                    "a unique order key (run it on a distinct-value "
+                    "frame or add a unique tiebreak)"
+                )
+            ),
         )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
 
 
 def global_row_number(
@@ -392,8 +411,9 @@ def global_cum(
     ``inclusive=False`` gives the ``ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING`` frame (NULL on an empty prefix, matching SQL).
     The order key must be UNIQUE per row (callers run this on
-    distinct-value frames; ENFORCED by a ``count_distinct`` column in
-    the histogram aggregate — the call raises on violation), so ROWS
+    distinct-value frames; ENFORCED by a zero-cost adjacency guard in
+    the within-bucket window pass — see :func:`_dup_guard` — raising
+    at the consumer's first action), so ROWS
     and RANGE frames coincide and the result is engine-exact.
     ``order_by`` must therefore be plain (un-oriented) columns.
     ``value`` must be integral (LONG) — the driver-side prefix combine
@@ -415,13 +435,9 @@ def global_cum(
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("__obk", probs, 10_000).alias("bounds"),
-        F.count_distinct(*order_by).alias("nd"),
         _bad_key_count("__obk").alias("bad"),
     ).first()
     _require_clean_keys(int(hist["bad"] or 0), "global_cum")
-    _require_unique(
-        int(hist["nd"] or 0), int(hist["n"] or 0), "global_cum", "order_by"
-    )
     if int(hist["n"] or 0) == 0:
         return kdf.drop("__obk", "__val").withColumn(
             out, F.lit(None).cast("long")
@@ -463,8 +479,15 @@ def global_cum(
         )
     else:
         combined = F.greatest(within, base_col)
+    # duplicate-order-key guard riding the SAME window spec (one
+    # Window exec, no extra shuffle/sort) — see _dup_guard
+    wrow = Window.partitionBy("__bkt").orderBy(*order_by)
+    guard = _dup_guard(
+        F.lag(F.struct(*order_by)).over(wrow) == F.struct(*order_by),
+        "global_cum",
+    )
     return (
-        kdf.withColumn(out, combined.cast("long"))
+        kdf.withColumn(out, (combined + guard).cast("long"))
         .drop("__obk", "__val", "__bkt")
     )
 
@@ -484,8 +507,9 @@ def global_lag(
     row (driver-computed over <= ``n_buckets`` rows). The global first
     row keeps NULL, matching SQL. ``order_col`` must be a unique LONG
     per row (the sequence-audit shape: lag over a distinct key set;
-    ENFORCED by a ``count_distinct`` column in the histogram aggregate
-    — the call raises on violation).
+    ENFORCED by a zero-cost adjacency guard on the lag the final pass
+    already computes — see :func:`_dup_guard` — raising at the
+    consumer's first action).
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -501,13 +525,9 @@ def global_lag(
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("__obk", probs, 10_000).alias("bounds"),
-        F.count_distinct("__ok").alias("nd"),
         _bad_key_count("__obk").alias("bad"),
     ).first()
     _require_clean_keys(int(hist["bad"] or 0), "global_lag")
-    _require_unique(
-        int(hist["nd"] or 0), int(hist["n"] or 0), "global_lag", "order_col"
-    )
     if int(hist["n"] or 0) == 0:
         return kdf.drop("__ok", "__obk").withColumn(
             out, F.lit(None).cast("long")
@@ -528,9 +548,12 @@ def global_lag(
         F.array(*[F.lit(v).cast("long") for v in dense]), F.col("__bkt")
     )
     w = Window.partitionBy("__bkt").orderBy("__ok")
+    prev = F.lag("__ok").over(w)
+    # duplicate-key guard on the lag already computed — see _dup_guard
+    guard = _dup_guard(prev == F.col("__ok"), "global_lag")
     return (
         kdf.withColumn(
-            out, F.coalesce(F.lag("__ok").over(w), base_col).cast("long")
+            out, (F.coalesce(prev, base_col) + guard).cast("long")
         )
         .drop("__ok", "__obk", "__bkt")
     )
@@ -582,11 +605,16 @@ def global_rank_segments_multi(
     out.  Identical values to ``ntile()``/``row_number()``-based cuts
     (driver-gate hash-verified); strictly less work at every scale.
 
-    Contracts (enforced in the shared histogram aggregate): ``key``
-    numeric and non-null (NaN rejected); ``tiebreak`` numeric,
-    non-null, and globally UNIQUE (this is what makes the order total
-    and the boundary row well-defined).  Returns ``(frame with the
-    out columns, exact total row count)``.
+    Contracts: ``key`` numeric and non-null (NaN rejected) and
+    ``tiebreak`` non-null — both enforced as expand-free columns in
+    the shared histogram aggregate; ``(key, tiebreak)`` pairs must be
+    DISTINCT (what makes the order total and the boundary row
+    well-defined) — enforced by an adjacency check inside the
+    boundary job, which scans exactly the buckets where a duplicate
+    could corrupt a cut (duplicates elsewhere cannot change any
+    segment value, since every row's segment is an independent
+    comparison against the boundary literals).  Returns ``(frame with
+    the out columns, exact total row count)``.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -603,11 +631,6 @@ def global_rank_segments_multi(
     if checkpoint:
         kdf = _ring_checkpoint(kdf)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    # one tiebreak-uniqueness check per DISTINCT tiebreak expression
-    # (the RFM shape shares one user_id tiebreak across all specs)
-    tie_exprs: dict[str, int] = {}
-    for i, (_, tie, _, _, _) in enumerate(specs):
-        tie_exprs.setdefault(tie._jc.toString(), i)
     hist = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -615,9 +638,14 @@ def global_rank_segments_multi(
             for i in range(k)
         ],
         *[_bad_key_count(f"__obk{i}").alias(f"bad{i}") for i in range(k)],
+        # NULL tiebreaks would make boundary comparisons silently
+        # three-valued; a conditional sum is expand-free (unlike
+        # count_distinct — see _dup_guard for why that is banned here)
         *[
-            F.count_distinct(f"__t{i}").alias(f"nd{i}")
-            for i in tie_exprs.values()
+            F.sum(
+                F.when(F.col(f"__t{i}").isNull(), 1).otherwise(0)
+            ).alias(f"tnull{i}")
+            for i in range(k)
         ],
     ).first()
     total = int(hist["n"] or 0)
@@ -625,13 +653,11 @@ def global_rank_segments_multi(
         _require_clean_keys(
             int(hist[f"bad{i}"] or 0), f"global_rank_segments[spec {i}]"
         )
-    for i in tie_exprs.values():
-        _require_unique(
-            int(hist[f"nd{i}"] or 0),
-            total,
-            f"global_rank_segments[spec {i}]",
-            "tiebreak",
-        )
+        if int(hist[f"tnull{i}"] or 0):
+            raise ValueError(
+                f"global_rank_segments[spec {i}]: {hist[f'tnull{i}']} "
+                "NULL tiebreak row(s) — the tiebreak must be non-null"
+            )
     helper_cols = [
         c for i in range(k) for c in (f"__k{i}", f"__t{i}", f"__obk{i}")
     ]
@@ -702,8 +728,15 @@ def global_rank_segments_multi(
         # the tiebreak.  Parts union per key TYPE so no implicit
         # widening can reintroduce the collapse (in practice one
         # group: specs over one frame share the key type).
-        rn = F.row_number().over(
-            Window.partitionBy("__spec", "__b").orderBy("__ord", "__tv")
+        wb = Window.partitionBy("__spec", "__b").orderBy("__ord", "__tv")
+        rn = F.row_number().over(wb)
+        # (key, tiebreak)-pair uniqueness is what makes the boundary
+        # row well-defined, and it only MATTERS inside the buckets a
+        # cut rank lands in — exactly the buckets this job sorts, where
+        # duplicate pairs are ADJACENT (same one-pass adjacency device
+        # as _dup_guard, but driver-raised from the collect below)
+        dup = F.lag(F.struct("__ord", "__tv")).over(wb) == F.struct(
+            "__ord", "__tv"
         )
         hit = None
         for (i, b, r) in needed:
@@ -734,7 +767,21 @@ def global_rank_segments_multi(
             u = parts[0]
             for p in parts[1:]:
                 u = u.unionByName(p)
-            for row in u.withColumn("__rn", rn).where(hit).collect():
+            rows_out = (
+                u.withColumn("__rn", rn)
+                .withColumn("__dup", dup)
+                .where(hit | F.col("__dup"))
+                .collect()
+            )
+            for row in rows_out:
+                if row["__dup"]:
+                    raise ValueError(
+                        f"global_rank_segments[spec {row['__spec']}]: "
+                        "duplicate (key, tiebreak) pair in a cut-rank "
+                        "bucket — the tiebreak must make the order "
+                        "total for the boundary row to be well-defined"
+                    )
+            for row in rows_out:
                 boundaries[
                     (int(row["__spec"]), int(row["__b"]), int(row["__rn"]))
                 ] = (row["__kv"], row["__tv"])
