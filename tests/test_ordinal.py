@@ -419,3 +419,21 @@ def test_composite_bucket_key_out_of_range_tiebreak_raises(spark):
     bad = df.select(composite_bucket_key(F.col("k"), F.col("t")).alias("b"))
     with pytest.raises(PySparkException, match="composite_bucket_key"):
         bad.collect()
+
+
+def test_checkpoint_ring_bounded(spark):
+    """The ordinal helpers' localCheckpoints ride a bounded eviction
+    ring — repeated invocations must not accumulate storage blocks
+    past _CKPT_RING_MAX (the spatial._PERSIST_RING concern)."""
+    from udacity_data_engineer_capstone_spark.operators import ordinal as o
+
+    start = len(o._CKPT_RING)
+    for i in range(6):
+        df = spark.range(50 + i).select(F.col("id"))
+        got, _ = global_row_number(df, [F.col("id")], F.col("id"), out="rk")
+        got.count()
+    assert len(o._CKPT_RING) <= o._CKPT_RING_MAX
+    assert len(o._CKPT_RING) >= min(start + 2, o._CKPT_RING_MAX)
+    # eviction hook drains the ring without failing
+    o.evict_checkpoints()
+    assert len(o._CKPT_RING) == 0

@@ -359,11 +359,20 @@ def global_row_numbers(
         kdf = kdf.withColumn(f"__bkt{i}", bucket)
     kdf = _ring_checkpoint(kdf)  # see global_row_number
     gcols = [f"__bkt{i}" for i in range(k)]
-    rows = (
-        kdf.groupingSets([[c] for c in gcols], *gcols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # k == 1 needs no grouping-sets Expand — a plain groupBy is the
+    # same rows without the extra projection pass
+    if k == 1:
+        rows = (
+            kdf.groupBy(gcols[0])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    else:
+        rows = (
+            kdf.groupingSets([[c] for c in gcols], *gcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     # in a grouping-set row, exactly one __bkt{i} is non-NULL
     per_spec: list[dict[int, int]] = [dict() for _ in range(k)]
     for r in rows:
@@ -676,11 +685,20 @@ def global_rank_segments_multi(
         kdf = kdf.withColumn(f"__bkt{i}", bucket)
     kdf = _ring_checkpoint(kdf)
     gcols = [f"__bkt{i}" for i in range(k)]
-    rows = (
-        kdf.groupingSets([[c] for c in gcols], *gcols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # k == 1 needs no grouping-sets Expand — a plain groupBy is the
+    # same rows without the extra projection pass
+    if k == 1:
+        rows = (
+            kdf.groupBy(gcols[0])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    else:
+        rows = (
+            kdf.groupingSets([[c] for c in gcols], *gcols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     per_spec: list[dict[int, int]] = [dict() for _ in range(k)]
     for r in rows:
         for i, c in enumerate(gcols):
