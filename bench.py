@@ -156,6 +156,8 @@ HEADLINE = [
     "stat_mann_whitney",          # per-value rank-sum (no global window)
     "agg_skyline_pareto",         # two-phase running-max Pareto frontier
     "snk_parquet_global_sorted",  # range-exchange clustered layout write
+    # round-9 wave: two-LM cross-entropy-difference selection
+    "curate_moore_lewis",         # Moore-Lewis in-domain selection
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -46,6 +46,8 @@ QUERIES = [
     "stat_ks_test",
     "act_sequence_gaps",
     "curate_dsir",
+    # new operator this round
+    "curate_moore_lewis",
 ]
 
 

@@ -1974,3 +1974,132 @@ def curate_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shuffle_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy-difference selection (round 9)
+# ---------------------------------------------------------------------------
+
+# The canonical in-domain data-selection rule (Moore & Lewis 2010,
+# "Intelligent selection of language model training data" — public):
+# score every candidate document by H_generic(d) - H_in(d), i.e. the
+# per-token log-likelihood under an IN-DOMAIN LM minus the generic LM,
+# and keep documents the in-domain model prefers. Complements
+# curate_dsir (importance weights toward a target distribution) with
+# the older, sharper two-LM contrast used for MT/LM corpus selection.
+#
+# LM definitions (engine-neutral so both engines hash identically):
+# generic = unigram MLE over the whole corpus (every scored token has
+# been seen, so no smoothing needed); in-domain = unigram with add-one
+# smoothing over the 'src0' slice, smoothed against the GLOBAL
+# vocabulary size V so out-of-domain tokens get a well-defined penalty
+# P_in(w) = (c_in(w)+1)/(total_in+V). Per-token logs are
+# micro-quantized BIGINTs (the house rule: integer sums are exact
+# under any partitioning/fold order; float sums are not).
+
+_ML_SEED_SOURCE = "src0"
+
+_ML_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokens GROUP BY term
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+seed AS (SELECT doc_id FROM documents WHERE source = '{_ML_SEED_SOURCE}'),
+vocab_in AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS cnt_in
+  FROM tokens t JOIN seed s USING (doc_id)
+  GROUP BY t.term
+),
+total_in AS (SELECT CAST(SUM(cnt_in) AS BIGINT) AS total_in FROM vocab_in),
+tok AS (
+  SELECT t.doc_id,
+         CAST(floor(ln(CAST(COALESCE(vi.cnt_in, 0) + 1 AS DOUBLE)
+                       / (ti.total_in + tt.v)) * 1000000) AS BIGINT)
+           AS lp_in,
+         CAST(floor(ln(CAST(v.cnt AS DOUBLE) / tt.total) * 1000000)
+           AS BIGINT) AS lp_gen
+  FROM tokens t
+  JOIN vocab v USING (term)
+  LEFT JOIN vocab_in vi USING (term)
+  CROSS JOIN total tt CROSS JOIN total_in ti
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp_in - lp_gen) AS BIGINT) AS ml_score_micro,
+       CAST(SUM(lp_in - lp_gen) AS DOUBLE) / (1000000 * COUNT(*))
+         AS avg_ml,
+       (SUM(lp_in - lp_gen) > 0) AS selected
+FROM tok
+GROUP BY doc_id
+"""
+
+
+@query("curate_moore_lewis", oracle=_ML_ORACLE, tags=("curation", "quality"))
+def curate_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection: score every
+    document by its per-token log-likelihood under an in-domain
+    unigram LM (trained on the ``src0`` slice, add-one smoothed
+    against the global vocabulary) minus the generic corpus LM;
+    ``selected`` = the classic cut at 0 (the in-domain model likes the
+    document more than the background model does). The two-LM contrast
+    that predates and complements ``curate_dsir``'s importance
+    weights.
+
+    Scale shape: one token scan feeds BOTH vocabularies (term-width
+    hash aggregates with map-side partials — document text never
+    shuffles past tokenization); scoring is one equi-join of the token
+    stream on term against each vocab (no static broadcast hints — the
+    curate_dsir lesson: a 100 TB vocabulary is corpus-sized in its
+    hapax tail, so AQE promotes from observed size or falls back to a
+    term-keyed shuffle), the two scalar totals attach as 1-row
+    broadcasts, and the output is one per-doc aggregate. Per-token
+    logs are micro-quantized BIGINTs, so every sum is exact integer
+    arithmetic under any partitioning. No windows anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    vocab = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("v")
+    )
+    seed = docs.filter(F.col("source") == _ML_SEED_SOURCE).select("doc_id")
+    vocab_in = (
+        tokens.join(seed, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt_in"))
+    )
+    total_in = vocab_in.agg(F.sum("cnt_in").alias("total_in"))
+    tok = (
+        tokens.join(vocab, "term")
+        .join(vocab_in, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(total_in))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("cnt_in"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_in") + F.col("v"))
+                )
+                * 1000000
+            ).alias("lp_in"),
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000
+            ).alias("lp_gen"),
+        )
+    )
+    diff = F.col("lp_in") - F.col("lp_gen")
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(diff).alias("ml_score_micro"),
+        (F.sum(diff).cast("double") / (F.lit(1000000) * F.count("*"))).alias(
+            "avg_ml"
+        ),
+        (F.sum(diff) > 0).alias("selected"),
+    )
