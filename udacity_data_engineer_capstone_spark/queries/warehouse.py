@@ -29,7 +29,7 @@ from udacity_data_engineer_capstone_spark.catalog import load_table, register_vi
 from udacity_data_engineer_capstone_spark.operators.ordinal import (
     composite_bucket_key,
     global_cum,
-    global_lag,
+    global_lag_dense,
     global_row_number,
     global_row_numbers,
     ntile_from_rank,
@@ -1119,14 +1119,18 @@ def act_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key span, missing count, gap count, widest gap, pass flag), so a
     clean sequence reports is_contiguous=true rather than nothing.
 
-    Scale shape: one DISTINCT + the two-phase global lag
-    (``operators.ordinal.global_lag``: range-bucket the keys,
-    within-bucket lag, previous bucket's max as each bucket's boundary
-    lag) — identical lagged pairs to the single-partition window it
-    replaces, range-partitioned at any key cardinality."""
+    Scale shape: one DISTINCT + the dense-key segment lag
+    (``operators.ordinal.global_lag_dense``: ARITHMETIC range buckets
+    ``(key - min) DIV width`` from one MIN/MAX/COUNT aggregate — no
+    histogram sketch, gaps are LOCAL so each bucket lags independently
+    and the per-bucket maxima splice the boundaries) — identical lagged
+    pairs to the single-partition window it replaces.  Bucket balance
+    tracks key density, which is exactly what this audit measures: a
+    sequence clustered enough to skew the buckets is a catastrophically
+    broken sequence, and the audit's own output says so."""
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
-    lagged = global_lag(keys, F.col("k"), F.col("k"), out="prev_k").filter(
+    lagged = global_lag_dense(keys, F.col("k"), out="prev_k").filter(
         F.col("prev_k").isNotNull()
     )
     gap = F.when(F.col("k") - F.col("prev_k") > 1, 1).otherwise(0)
