@@ -135,7 +135,7 @@ def compare(spark, name: str, sf_dir: str) -> None:
 
     assert spec.oracle is not None, f"{name} has no oracle"
     con = duckdb_con(sf_dir)
-    rel = con.sql(spec.oracle)
+    rel = con.sql(spec.oracle_text())
     duck_cols_raw = list(rel.columns)
     duck_types_raw = [canon_duck_type(t) for t in rel.types]
     order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])

