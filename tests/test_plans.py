@@ -1219,6 +1219,12 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
         "stat_sequential_sprt": "groupBy(day): calendar-bounded",
         # Heaps-law cumulative over log2 corpus-size buckets
         "text_heaps_vocab_growth": "groupBy(log2 bucket): ~60 rows",
+        # context packing over the top-20 fused candidates: the fused
+        # doc_id IS unique (full-outer fusion of two per-key-unique
+        # top-k frames, keyed on coalesce(ids)), but the audit's
+        # fail-closed alias rule cannot see uniqueness through the
+        # coalesce-producing Project — ≤20 rows by construction
+        "pipe_rag_serving": "top-20 fused candidates: ≤20 rows",
     }
     offenders = {}
     gw_offenders = {}
@@ -1314,3 +1320,102 @@ def test_streaming_registry_plan_audit(spark, sf_dir):
     )
     stale = set(window_allow) - gw_seen
     assert not stale, f"stale streaming window allowlist entries: {stale}"
+
+
+# --- round-10: the tightened inner-join bounded-input rule -----------
+
+
+def test_audit_flags_duplicated_key_topk_inner_join(spark):
+    """The round-9 accepted false negative is closed: a top-k frame
+    whose join KEY is duplicated, inner-joined to an unbounded side
+    and fed to a global window, must now FLAG (the old either-side-
+    bounded rule green-lit it; output is k x per-key matches =
+    unbounded)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    big = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    # top-5 rows by v: k is NOT unique in this frame
+    topk = big.orderBy(F.col("v").desc()).limit(5).select("k", "v")
+    joined = topk.join(big.withColumnRenamed("v", "w"), "k")
+    out = joined.withColumn(
+        "rn", F.row_number().over(Window.orderBy("w"))
+    )
+    assert unbounded_global_windows(out), (
+        "duplicated-key top-k inner join must flag"
+    )
+
+
+def test_audit_accepts_key_unique_topk_inner_join(spark):
+    """A top-k-of-DISTINCT-keys frame (aggregate on the join key below
+    the limit) inner-joined to the unbounded side stays auto-allowed:
+    grouping keys == join keys proves per-key uniqueness on the
+    bounded side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    big = spark.range(10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    topk = (
+        big.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .orderBy(F.col("s").desc())
+        .limit(5)
+    )
+    joined = topk.join(big, "k")
+    out = joined.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    assert unbounded_global_windows(out) == []
+
+
+def test_audit_accepts_global_aggregate_scalar(spark):
+    """A GLOBAL aggregate (empty grouping) is exactly one row — the
+    broadcast-scalar attach shape (cross join against a corpus total)
+    must stay auto-allowed when the other side is bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    big = spark.range(10_000).select(F.col("id").alias("v"))
+    tot = big.agg(F.sum("v").alias("t"))
+    top = big.orderBy(F.col("v").desc()).limit(10)
+    out = top.crossJoin(F.broadcast(tot)).withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    assert unbounded_global_windows(out) == []
+
+
+def test_audit_cross_join_unbounded_side_still_flags(spark):
+    """A cross join of a LIMIT frame against an unbounded (non-scalar)
+    side has unbounded output — the tightened rule requires both sides
+    bounded when no equi-keys exist."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from udacity_data_engineer_capstone_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    big = spark.range(10_000).select(F.col("id").alias("v"))
+    top = big.orderBy(F.col("v").desc()).limit(3).withColumnRenamed("v", "w")
+    out = top.crossJoin(big).withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    assert unbounded_global_windows(out), (
+        "limit x unbounded cross join must flag"
+    )

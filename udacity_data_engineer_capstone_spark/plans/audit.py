@@ -51,6 +51,66 @@ def _jchildren(node):
     return [cs.apply(i) for i in range(cs.size())]
 
 
+# unary nodes through which per-key uniqueness provably survives on
+# the way DOWN from a join to its distinct-producer: they preserve the
+# row multiset 1:1 (Project/Sort/Exchange/codegen wrappers/Window) or
+# shrink it (Filter/Limit-class) — never multiply rows.  Anything else
+# (Generate/Expand/MapInPandas/unions/joins) fails closed.
+_UNIQ_PASS_PREFIXES = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "ShuffleExchange",
+    "BroadcastExchange",
+    "ReusedExchange",
+    "WholeStageCodegen",
+    "InputAdapter",
+    "ColumnarToRow",
+    "RowToColumnar",
+    "Coalesce",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "Window",  # window functions add columns, preserve rows 1:1
+    "AdaptiveSparkPlan",
+    "LocalTableScan",  # leaf; recursion never reaches it with children
+)
+
+_AGG_NODE_MARKERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _expr_strs(scala_seq) -> set[str]:
+    return {scala_seq.apply(i).toString() for i in range(scala_seq.size())}
+
+
+def _keys_unique_below(node, key_strs: set[str]) -> bool:
+    """Is the tuple of join keys ``key_strs`` (exprId-qualified
+    ``toString`` forms) provably UNIQUE per output row of this plan
+    subtree?  True only when the rows are produced by an aggregate
+    (groupBy/dropDuplicates both compile to *Aggregate nodes) whose
+    grouping expressions are a SUBSET of the join keys — grouping ⊆
+    keys ⇒ one row per grouping tuple ⇒ at most one row per join-key
+    tuple — reached through unary nodes that cannot multiply rows
+    (:data:`_UNIQ_PASS_PREFIXES`).  Attribute matching is by
+    exprId-qualified string, so any aliasing on the path fails CLOSED
+    (returns False), never open."""
+    name = node.nodeName()
+    if any(m in name for m in _AGG_NODE_MARKERS):
+        try:
+            grouping = _expr_strs(node.groupingExpressions())
+        except Exception:
+            return False
+        return grouping.issubset(key_strs)
+    kids = _jchildren(node)
+    if len(kids) != 1:
+        return False
+    if not name.startswith(_UNIQ_PASS_PREFIXES):
+        return False
+    return _keys_unique_below(kids[0], key_strs)
+
+
 def _input_bounded(node) -> bool:
     """Is this plan subtree's OUTPUT row count visibly bounded by a
     limit? Structural recursion (not "any Limit anywhere below" — a
@@ -59,24 +119,39 @@ def _input_bounded(node) -> bool:
 
     - a Limit-class node (GlobalLimit/LocalLimit/CollectLimit/
       WindowGroupLimit/TakeOrderedAndProject) bounds its subtree;
-    - a join is bounded by join type: inner/cross — either side
-      bounded bounds the output (<= bounded side x per-key matches);
-      left outer/semi/anti — the left side must be bounded; right
+    - an INNER equi-join accepts a bounded side only when the join key
+      is provably UNIQUE on that side (:func:`_keys_unique_below`: a
+      distinct-aggregate/top-k-distinct producer whose grouping keys
+      are a subset of the join keys, reached through row-preserving
+      nodes) — the round-9 fix of the accepted false negative, where
+      a top-k frame with a DUPLICATED join key against an unbounded
+      side has unbounded output; joins without extractable equi-keys
+      (cross, nested-loop theta) require BOTH sides bounded;
+    - left outer/semi/anti — the left side must be bounded; right
       outer — the right side; full outer — both;
     - any other node is bounded iff all its children are (unary
       pass-throughs inherit; leaves are unbounded).
 
-    Known limitation (accepted): the inner-join rule assumes per-key
-    match counts are O(1) — a top-k side equi-joined on a DUPLICATED
-    key against an unbounded side can have unbounded output, which
-    this structural check cannot see (key uniqueness is a data
-    property, not a plan property). The residual risk is a window fed
-    by such a join being under-flagged; the per-query plan tests and
-    the sf1 scale smoke are the backstop for that shape.
+    Residual assumption (now confined to the key-unique case): with k
+    DISTINCT bounded-side keys the output is sum of the unbounded
+    side's per-key match counts over those k keys — the k-keys
+    enrichment shape.  A data distribution concentrating the unbounded
+    side on the surviving keys is invisible to any structural check;
+    the per-query plan tests and the scale-smoke ladder remain the
+    backstop for that.
     """
     name = node.nodeName()
     if any(m in name for m in _LIMIT_NODE_MARKERS):
         return True
+    if any(m in name for m in _AGG_NODE_MARKERS):
+        # a GLOBAL aggregate (empty grouping) emits EXACTLY one row —
+        # the broadcast-scalar attach shape (corpus total, high-water
+        # mark) is bounded by construction and the rule is sound
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True
+        except Exception:
+            pass
     kids = _jchildren(node)
     if not kids:
         return False
@@ -87,7 +162,18 @@ def _input_bounded(node) -> bool:
             jt = ""
         lb, rb = _input_bounded(kids[0]), _input_bounded(kids[1])
         if jt in ("Inner", "Cross"):
-            return lb or rb
+            if lb and rb:
+                return True
+            try:
+                lk = _expr_strs(node.leftKeys())
+                rk = _expr_strs(node.rightKeys())
+            except Exception:
+                lk = rk = set()  # no equi-keys: cross/theta — need both
+            if lb and lk and _keys_unique_below(kids[0], lk):
+                return True
+            if rb and rk and _keys_unique_below(kids[1], rk):
+                return True
+            return False
         if jt.startswith("Left"):  # LeftOuter / LeftSemi / LeftAnti
             return lb
         if jt == "RightOuter":
