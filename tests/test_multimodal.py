@@ -80,3 +80,86 @@ def test_phash_dedup_finds_planted_suffix_dups(spark, sf_dir):
     }
     missed = [p for p in planted if (p.a_id, p.b_id) not in found]
     assert not missed, f"pHash missed planted near-dups: {missed}"
+
+
+# --- round-10: golden-bytes decode fixture (no Spark in the loop) -----
+
+# Expected values for tests/fixtures/golden_media.bin, computed
+# INDEPENDENTLY of decode_features (pure-Python dict count over
+# byte // 16 — no numpy, no bit shift; md5 via hashlib directly) and
+# pinned as literals, the same independent-parser treatment
+# tests/test_sas7bdat.py gives the SAS binary reader.  The blob covers
+# every byte value (every histogram bin non-zero), uneven repeats, and
+# a multi-byte UTF-8 tail.
+_GOLDEN_N_BYTES = 646
+_GOLDEN_MD5 = "f72ad9102ec478739b3e57dd46a53267"
+_GOLDEN_FEATURE = [
+    37.0, 38.0, 43.0, 40.0, 38.0, 37.0, 57.0, 44.0,
+    38.0, 40.0, 40.0, 39.0, 41.0, 38.0, 39.0, 37.0,
+]
+
+
+def _golden_blob() -> bytes:
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "golden_media.bin",
+    )
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_golden_blob_decode_features_no_spark():
+    """decode_features on the checked-in blob reproduces the pinned
+    independently-computed histogram — pure function test, no Spark."""
+    from udacity_data_engineer_capstone_spark.operators.multimodal import (
+        N_FEATURE_BINS,
+        decode_features,
+    )
+
+    blob = _golden_blob()
+    assert len(blob) == _GOLDEN_N_BYTES
+    got = decode_features(blob)
+    assert len(got) == N_FEATURE_BINS
+    assert got == _GOLDEN_FEATURE
+    assert sum(got) == float(_GOLDEN_N_BYTES)  # histogram is complete
+
+
+def test_golden_blob_checksum_no_spark():
+    import hashlib
+
+    assert hashlib.md5(_golden_blob()).hexdigest() == _GOLDEN_MD5
+
+
+def test_golden_blob_independent_recount():
+    """Belt-and-braces: a third, in-test derivation (collections.Counter
+    over byte // 16) agrees with both the pinned literals and
+    decode_features — three implementations, one answer."""
+    from collections import Counter
+
+    from udacity_data_engineer_capstone_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    blob = _golden_blob()
+    c = Counter(b // 16 for b in blob)
+    vec = [float(c.get(i, 0)) for i in range(16)]
+    assert vec == _GOLDEN_FEATURE == decode_features(blob)
+
+
+def test_golden_blob_through_arrow_batch(spark):
+    """The same blob through the REAL mapInPandas plumbing (schema,
+    Arrow batch, UDF signature) lands the pinned values — the
+    Spark-side end of the fixture."""
+    from udacity_data_engineer_capstone_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    blob = _golden_blob()
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, media binary")
+    row = extract_features(df).collect()[0]
+    assert row["n_bytes"] == _GOLDEN_N_BYTES
+    assert row["checksum"] == _GOLDEN_MD5
+    assert list(row["feature"]) == _GOLDEN_FEATURE

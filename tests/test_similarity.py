@@ -78,9 +78,11 @@ def test_binary_hamming_beats_random_baseline(spark, sf_dir):
 
 def test_ann_recall_eval_table(spark, sf_dir):
     """The registered recall@k eval artifact: all four variants
-    present, every query counted (zero-hit queries average in as 0),
-    and the recall floors of the quality tests reproduced from the
-    table itself."""
+    present across the two tables (the SQL-reproducible tiers in the
+    oracled ``sim_ann_recall_eval``, the trained tiers in the
+    rows-only ``sim_ann_recall_eval_trained``), every query counted
+    (zero-hit queries average in as 0), and the recall floors of the
+    quality tests reproduced from the table itself."""
     import udacity_data_engineer_capstone_spark as engine
 
     engine.load_all()
@@ -88,6 +90,15 @@ def test_ann_recall_eval_table(spark, sf_dir):
         r["variant"]: r
         for r in engine.QUERIES["sim_ann_recall_eval"].fn(spark, sf_dir).collect()
     }
+    assert set(rows) == {"lsh", "hamming"}
+    rows.update(
+        {
+            r["variant"]: r
+            for r in engine.QUERIES["sim_ann_recall_eval_trained"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+    )
     assert set(rows) == {"lsh", "ivf", "pq", "hamming"}
     for v, r in rows.items():
         assert r["n_queries"] == 5, (v, r)

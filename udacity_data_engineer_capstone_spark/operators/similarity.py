@@ -1249,22 +1249,177 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, variant_df: DataFrame,
     )
 
 
-@query("sim_ann_recall_eval", tags=("similarity", "eval"))
+def _recall_perq_cte(variant_cte: str) -> str:
+    """Per-query hit counts of ``variant_cte``'s (query_id, neighbor_id)
+    top-k against the exact baseline — zero-hit queries average in as 0
+    via the LEFT join from the exact query list (same anchoring as the
+    engine's ``_recall_vs_exact``)."""
+    return f"""(
+  SELECT eq.query_id, CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hit
+  FROM eq LEFT JOIN (
+    SELECT v.query_id, v.neighbor_id FROM {variant_cte} v
+    JOIN exact ON exact.query_id = v.query_id
+              AND exact.neighbor_id = v.neighbor_id
+  ) x ON x.query_id = eq.query_id
+  GROUP BY eq.query_id
+)"""
+
+
+def _lsh_hamming_recall_oracle() -> str:
+    """Generated DuckDB oracle for the SQL-expressible recall tiers.
+
+    The LSH tier is fully reproducible outside Spark: the hyperplanes
+    are seeded numpy constants, INLINED here at full float64 precision
+    (``repr`` is the shortest round-tripping decimal, and DuckDB's
+    decimal→double conversion is correctly rounded, so the literal
+    array restores the exact planes); bucketing is the sign of the
+    plane dot; candidates are bucket equi-matches over any of the 16
+    tables; the rerank is the same widened-double linear-fold cosine
+    the brute-force oracle uses.  The 1-bit Hamming tier reuses the
+    ``sim_binary_hamming`` packing.  Numerical note: the engine signs
+    come from a numpy matmul (pairwise summation) while the oracle
+    folds sequentially — they could only disagree on a dot within one
+    ulp of zero, which the N(0,8)-distributed dots of this data never
+    approach; parity is asserted end-to-end at three scale factors.
+    """
+    planes = _plane_matrix()  # (T, P, dim), seeded — import-deterministic
+    rows = []
+    for t in range(N_TABLES):
+        for p in range(N_PLANES):
+            vals = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, CAST([{vals}] AS DOUBLE[]))")
+    values = ",\n    ".join(rows)
+    dot_cos = f"{_DOT} / ({_NORM.format(s='q')} * {_NORM.format(s='e')})"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {dot_cos} AS cos_sim
+    FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+),
+eq AS (SELECT DISTINCT query_id FROM exact),
+planes(t, p, w) AS (VALUES
+    {values}),
+bits AS (
+  SELECT emb.vec_id, pl.t, pl.p,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+                            i -> emb.v[i] * pl.w[i])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM emb CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, t, string_agg(bit, '' ORDER BY p) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, eb.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets eb
+    ON eb.t = qb.t AND eb.bucket = qb.bucket AND eb.vec_id <> qb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+),
+lsh_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id, {dot_cos} AS cos_sim
+    FROM cand c
+    JOIN emb q ON q.vec_id = c.query_id
+    JOIN emb e ON e.vec_id = c.neighbor_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+),
+bq AS (
+  SELECT vec_id, {_bq_pack_duck(0, 32)} AS w0, {_bq_pack_duck(32, 64)} AS w1
+  FROM embeddings
+),
+ham_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q.w0, e.w0))
+                + bit_count(xor(q.w1, e.w1)) AS BIGINT) AS hamming
+    FROM bq q JOIN bq e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) <= {_BQ_TOPK}
+),
+lsh_perq AS {_recall_perq_cte('lsh_topk')},
+ham_perq AS {_recall_perq_cte('ham_topk')}
+SELECT 'lsh' AS variant, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hit) * 1000000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+         AS recall_ppm
+FROM lsh_perq
+UNION ALL
+SELECT 'hamming', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_hit) * 1000000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+FROM ham_perq
+"""
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=_lsh_hamming_recall_oracle,
+    tags=("similarity", "eval"),
+)
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of every ANN tier against the exact brute-force
-    baseline on the fixed query set — one row per variant
-    (hyperplane-LSH, IVF-nprobe, 16x4-bit PQ+ADC, 1-bit Hamming). The
-    table a vector-index deployment publishes per build; recall floors
-    are additionally pinned as tests. Cost: each variant's candidate
-    path + one id-width semi-join per variant against the exact top-k
-    (which Catalyst evaluates once per variant — all sides are
-    id-width, the embedding table is scanned by the variants
-    themselves).""".replace("{k}", str(TOP_K))
+    """Recall@{k} of the DETERMINISTICALLY-REPRODUCIBLE ANN tiers
+    (hyperplane-LSH, 1-bit Hamming) against the exact brute-force
+    baseline on the fixed query set — one row per variant, now with a
+    full hash-matching DuckDB oracle (round-9 directive 5: the seeded
+    hyperplanes inline as literals and the sign/bucket/rerank chain is
+    pure SQL, so this eval is no longer rows-only).  The trained tiers
+    (IVF, PQ) live in ``sim_ann_recall_eval_trained`` — their fits are
+    genuinely execution-engine artifacts (see its docstring) and
+    cannot be reproduced by an independent SQL engine.
+
+    Cost: each variant's candidate path + one id-width semi-join per
+    variant against the exact top-k; all sides are id-width, the
+    embedding table is scanned by the variants
+    themselves.""".replace("{k}", str(TOP_K))
     variants = [
         ("lsh", ann_lsh_topk(spark, sf_dir)),
+        ("hamming", sim_binary_hamming(spark, sf_dir)),
+    ]
+    out = None
+    for name, df in variants:
+        r = _recall_vs_exact(spark, sf_dir, df, name)
+        out = r if out is None else out.unionAll(r)
+    return out
+
+
+@query("sim_ann_recall_eval_trained", tags=("similarity", "eval"))
+def sim_ann_recall_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the TRAINED ANN tiers (IVF-nprobe, 16x4-bit
+    PQ+ADC) against the exact brute-force baseline — the other half of
+    the index-quality artifact, deliberately rows-only.  Why no SQL
+    oracle (each obstruction is an execution-engine artifact, not a
+    modeling choice):
+
+    - **PQ**: the codebooks fit on a byte-bounded sample drawn with
+      Spark's Bernoulli sampler (``df.sample``), whose per-partition
+      XORShift streams depend on partition LAYOUT — no independent SQL
+      engine can reproduce the sample, hence the codebooks, hence the
+      codes.
+    - **IVF**: the coarse quantizer trains through the distributed
+      Lloyd fit (``embeddings.lloyd_fit``), whose centroid updates are
+      float64 hash-aggregate sums — associativity-order-dependent in
+      the last ulps, which argmin assignment can amplify into
+      different (equally valid) cells.  The exact-integer Lloyd
+      variant (``emb_kmeans_lloyd``) IS oracled; the serving-path fit
+      keeps float math for fidelity to production index builds.
+
+    Recall floors for both tiers are pinned in tests/test_similarity.py
+    against the exact baseline computed in the SAME engine, which is
+    the meaningful invariant for approximate indexes.""".replace(
+        "{k}", str(TOP_K)
+    )
+    variants = [
         ("ivf", ann_ivf_topk(spark, sf_dir)),
         ("pq", ann_pq_topk(spark, sf_dir)),
-        ("hamming", sim_binary_hamming(spark, sf_dir)),
     ]
     out = None
     for name, df in variants:
