@@ -1,9 +1,15 @@
-"""Driver-sample insurance (VERDICT r5 directive #5).
+"""Driver-sample insurance (VERDICT r5 directive #5), widened to the
+FULL REGISTRY in round 10 (VERDICT r9 directive #6: the suite already
+proves every oracled query at the driver's gate scale, but the stamp
+only cited the driver-sampled IDs — the certificate now covers the
+never-sampled IDs explicitly).
 
-Replays every query ID the round driver has EVER sampled (the union of
-CORRECTNESS_r*.json keys) through the local type-strict oracle gate
-(tests/oracle.py — at least as strict as the driver's hash) at the
-driver's own gate scale (sf0.01), and stamps the result into RECERT.md.
+Replays EVERY registered query through the local type-strict oracle
+gate (tests/oracle.py — at least as strict as the driver's hash) at the
+driver's own gate scale (sf0.01) — oracled queries value-compared,
+rows-only queries executed and counted — and stamps the result into
+RECERT.md with the driver-sampled subset (union of CORRECTNESS_r*.json
+keys) called out separately.
 
 Purpose: any future red driver row can be answered immediately with
 same-scale local evidence from the same session family, instead of
@@ -29,17 +35,17 @@ sys.path.insert(0, REPO)
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def sampled_ids() -> list[str]:
+def sampled_ids() -> set[str]:
     ids: set[str] = set()
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(p) as fh:
             ids.update(json.load(fh).keys())
-    return sorted(ids)
+    return ids
 
 
 def main() -> int:
     label = sys.argv[1] if len(sys.argv) > 1 else "adhoc"
-    ids = sampled_ids()
+    sampled = sampled_ids()
 
     import udacity_data_engineer_capstone_spark as engine
     from udacity_data_engineer_capstone_spark.session import get_spark
@@ -49,24 +55,32 @@ def main() -> int:
     spark = get_spark("recert")
     spark.sparkContext.setLogLevel("ERROR")
 
+    all_ids = sorted(engine.QUERIES)
+    missing_sampled = sorted(sampled - set(all_ids))
+
     t0 = time.time()
     failures: list[tuple[str, str]] = []
-    for i, name in enumerate(ids, 1):
-        if name not in engine.QUERIES:
-            failures.append((name, "NOT REGISTERED"))
-            continue
+    n_oracled = n_rows_only = 0
+    for i, name in enumerate(all_ids, 1):
         try:
             if engine.QUERIES[name].oracle:
                 compare(spark, name, SF_DIR)
+                n_oracled += 1
             else:
                 n = engine.QUERIES[name].fn(spark, SF_DIR).count()
                 assert n >= 0
+                n_rows_only += 1
         except Exception:
             failures.append((name, traceback.format_exc(limit=3)))
-        print(f"[{i}/{len(ids)}] {name}: "
+        print(f"[{i}/{len(all_ids)}] {name}: "
               f"{'FAIL' if failures and failures[-1][0] == name else 'ok'}",
               flush=True)
     elapsed = time.time() - t0
+
+    failed_names = {n for n, _ in failures}
+    sampled_green = len(sampled & set(all_ids) - failed_names)
+    for name in missing_sampled:
+        failures.append((name, "NOT REGISTERED"))
 
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
@@ -79,10 +93,13 @@ def main() -> int:
         f"- commit: `{commit}`\n"
         f"- gate: tests/oracle.py type-strict compare at sf0.01 "
         f"(driver gate scale)\n"
-        f"- queries replayed: {len(ids)} "
-        f"(every ID ever sampled by the driver)\n"
-        f"- result: **{len(ids) - len(failures)}/{len(ids)} green**, "
-        f"{elapsed:.0f}s\n"
+        f"- FULL REGISTRY replayed: {len(all_ids)} queries "
+        f"({n_oracled} oracle-compared, {n_rows_only} rows-only by "
+        f"design)\n"
+        f"- result: **{len(all_ids) - len(failed_names)}/{len(all_ids)} "
+        f"green**, {elapsed:.0f}s\n"
+        f"- driver-sampled subset (union of CORRECTNESS_r*.json, "
+        f"{len(sampled)} IDs): **{sampled_green}/{len(sampled)} green**\n"
     )
     if failures:
         stamp += "- failures:\n" + "".join(
@@ -91,10 +108,13 @@ def main() -> int:
 
     path = os.path.join(REPO, "RECERT.md")
     header = (
-        "# RECERT — local re-certification of driver-sampled queries\n\n"
-        "Each stamp: every query ID the driver has ever sampled "
-        "(union of CORRECTNESS_r*.json), replayed through the local "
-        "type-strict oracle gate at the driver's sf0.01 gate scale.\n\n"
+        "# RECERT — local re-certification at the driver's gate scale\n\n"
+        "Each stamp (r10 onward): the FULL registry replayed through the "
+        "local type-strict oracle gate at sf0.01 — oracled queries "
+        "value-compared, rows-only queries executed — with the "
+        "driver-sampled subset (union of CORRECTNESS_r*.json) reported "
+        "separately.  Stamps before r10 replayed only the sampled "
+        "subset.\n\n"
     )
     existing = ""
     if os.path.exists(path):
@@ -107,8 +127,8 @@ def main() -> int:
 
     for name, tb in failures:
         print(f"FAILED {name}\n{tb}", file=sys.stderr)
-    print(f"RECERT {label}: {len(ids) - len(failures)}/{len(ids)} green "
-          f"in {elapsed:.0f}s -> RECERT.md")
+    print(f"RECERT {label}: {len(all_ids) - len(failed_names)}/"
+          f"{len(all_ids)} green in {elapsed:.0f}s -> RECERT.md")
     return 1 if failures else 0
 
 

@@ -177,7 +177,7 @@ def capture_stream_plans():
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str = "complete", timeout_sec: int = 120
+    df: DataFrame, output_mode: str = "complete", timeout_sec: int | None = None
 ) -> DataFrame:
     """Drain a streaming DataFrame with trigger(availableNow) into a
     memory sink; returns the sink table as a batch DataFrame.
@@ -186,14 +186,27 @@ def run_to_memory(
     after): a vanilla session's 200 shuffle partitions mean 200 state
     stores per stateful operator per micro-batch — pure fixed overhead
     at test scale, and a knob a cluster job would size to its executor
-    count anyway."""
+    count anyway.  Both drain knobs are environment-tunable for bigger
+    inputs (the round-10 sf10 ladder runs 100x the default data):
+    ``SPARK_GRAFT_STREAM_DRAIN_SEC`` (default 120) and
+    ``SPARK_GRAFT_STREAM_PARTS`` (default 8).
+
+    The timeout FAILS LOUDLY: a drain that exceeds the cap raises
+    instead of returning the partially-filled sink — a silently
+    truncated memory table reads exactly like a correct small result,
+    which is the worst possible failure mode for an oracle-compared
+    query (found by the sf10 ladder: the state sessionizer's drain
+    crossed 120 s at 10M events and returned 0 rows)."""
     spark = df.sparkSession
     if _capture_for_audit(df):
         return spark.createDataFrame([], df.schema)
+    if timeout_sec is None:
+        timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SEC", "120"))
+    drain_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
     name = f"mem_{uuid.uuid4().hex[:12]}"
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", drain_parts)
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -202,7 +215,13 @@ def run_to_memory(
             .start()
         )
         try:
-            q.awaitTermination(timeout_sec)
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise RuntimeError(
+                    f"streaming drain exceeded {timeout_sec}s (availableNow "
+                    "did not terminate) — raise SPARK_GRAFT_STREAM_DRAIN_SEC "
+                    "for bigger inputs; refusing to return a partial sink"
+                )
         finally:
             if q.isActive:
                 q.stop()
