@@ -1,0 +1,107 @@
+"""Round-10 bonus evidence: CORRECTNESS at sf10, not just timing.
+
+The driver's gate compares Spark vs DuckDB at sf0.01; the scale ladder
+times sf10 but (until now) nothing value-checks it. This replays the
+same type-strict oracle gate (tests/oracle.compare — column names,
+result types, row counts, exact values) at sf10 (60M lineitem / 10M
+events / 500k docs) for a representative slice across families: joins,
+aggregates, windows, ordinal ranks, dedup (incl. the derived-width
+Bloom), events, text, curation, and the recall eval.
+
+A hash-exact match at 100× the gate scale kills the "ties/edge cases
+only appear with more rows" class of residual risk for these shapes.
+
+Usage: python scripts/oracle_at_sf10_r10.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF10 = "/tmp/engine_scale/sf10"
+
+QUERIES = [
+    "flagship_regional_revenue",   # 5-table star join over 60M fact rows
+    "agg_groupby_sum",             # implicit-cast hash aggregate
+    "agg_rollup",                  # grouping sets
+    "win_rank_topk",               # partitioned rank
+    "ord_global_topk",             # two-phase global top-k
+    "act_sequence_gaps",           # dense-key lag over 15M distinct keys
+    "join_asof_event",             # as-of join over 10M events
+    "dedup_exact",                 # content-hash dedup over 500k docs
+    "dedup_bloom_incremental",     # derived-width Bloom (w=6 at 500k)
+    "text_quality",                # array-expression text scoring
+    "curate_dsir",                 # importance weights over 500k docs
+    "pipe_event_360",              # sessionize + funnel + boundary ntile
+    "sim_ann_recall_eval",         # the new LSH/Hamming recall oracle
+]
+
+
+def main() -> int:
+    os.environ["SPARK_GRAFT_CORPUS_DOCS"] = "500000"
+    os.environ["SPARK_GRAFT_STREAM_PARTS"] = os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"
+    )
+    os.environ["SPARK_GRAFT_STREAM_DRAIN_SEC"] = "1800"
+    import udacity_data_engineer_capstone_spark as engine
+
+    engine.load_all()
+    import tests.oracle as O
+    from udacity_data_engineer_capstone_spark.session import configure
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = configure(
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-at-sf10")
+        .config("spark.driver.memory", "64g")
+        .config("spark.ui.showConsoleProgress", "false")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Spark writes each table as a DIRECTORY of part files; DuckDB's
+    # read_parquet needs the glob form for those
+    def _dir_aware_con(sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in O.TABLES:
+            path = O.table_path(sf_dir, t)
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return con
+
+    O.duckdb_con = _dir_aware_con
+    results, fails = {}, []
+    for name in QUERIES:
+        t0 = time.time()
+        try:
+            O.compare(spark, name, SF10)
+            results[name] = round(time.time() - t0, 1)
+            print(f"  {name}: MATCH ({results[name]} s)", flush=True)
+        except Exception as ex:
+            fails.append(name)
+            print(f"  {name}: FAIL {str(ex)[:300]}", flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_at_sf10_r10",
+                "matched": len(results),
+                "failed": fails,
+                "secs": results,
+            }
+        )
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
