@@ -584,3 +584,55 @@ def test_checkpoint_ring_byte_bounded(spark):
         except Exception:
             pass
         o.evict_checkpoints()
+
+
+def test_hist_accuracy_derivation():
+    """The percentile_approx accuracy derives from the bucket count
+    (round-10: the last frozen ordinal constant): floor 2048, 4x the
+    bucket count above it — boundary error <= 1/4 bucket everywhere."""
+    from udacity_data_engineer_capstone_spark.operators.ordinal import (
+        _MAX_BUCKETS,
+        _MIN_BUCKETS,
+        _hist_accuracy,
+    )
+
+    assert _hist_accuracy(_MIN_BUCKETS) == 2048      # floor
+    assert _hist_accuracy(512) == 2048               # exactly at floor
+    assert _hist_accuracy(513) == 2052               # 4x takes over
+    assert _hist_accuracy(_MAX_BUCKETS) == 4096      # cap: 4x1024
+    for nb in (_MIN_BUCKETS, 128, 300, 512, 777, _MAX_BUCKETS):
+        assert _hist_accuracy(nb) >= 4 * nb  # error <= 1/4 bucket width
+
+
+def test_global_lag_dense_property_random_keys(spark):
+    """Hypothesis-style randomized truth check (seeded random, many
+    shapes): dense lag == single-partition window lag for arbitrary
+    unique integer key sets — sparse, clustered, negative, singleton
+    runs."""
+    import random
+
+    rng = random.Random(20261015)
+    from udacity_data_engineer_capstone_spark.operators.ordinal import (
+        global_lag_dense,
+    )
+
+    for trial in range(8):
+        n = rng.randint(1, 400)
+        lo = rng.randint(-100_000, 100_000)
+        keys = set()
+        cursor = lo
+        while len(keys) < n:
+            cursor += rng.choice([1, 1, 1, 2, 3, rng.randint(4, 5000)])
+            keys.add(cursor)
+        df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+        got = {
+            r["k"]: r["prev"]
+            for r in global_lag_dense(df, F.col("k"), out="prev").collect()
+        }
+        ref = {
+            r["k"]: r["prev"]
+            for r in df.withColumn(
+                "prev", F.lag("k").over(Window.orderBy("k"))
+            ).collect()
+        }
+        assert got == ref, f"trial {trial}: n={n} lo={lo}"
