@@ -11,7 +11,8 @@ Bloom), events, text, curation, and the recall eval.
 A hash-exact match at 100× the gate scale kills the "ties/edge cases
 only appear with more rows" class of residual risk for these shapes.
 
-Usage: python scripts/oracle_at_sf10_r10.py
+Usage: python scripts/oracle_at_sf10_r10.py [query ...]
+       (no args = the default 13-query slice)
 """
 
 from __future__ import annotations
@@ -43,6 +44,7 @@ QUERIES = [
 
 
 def main() -> int:
+    queries = sys.argv[1:] or QUERIES
     os.environ["SPARK_GRAFT_CORPUS_DOCS"] = "500000"
     os.environ["SPARK_GRAFT_STREAM_PARTS"] = os.environ.get(
         "SPARK_GRAFT_CPUS", "32"
@@ -60,6 +62,7 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-at-sf10")
         .config("spark.driver.memory", "64g")
+        .config("spark.driver.maxResultSize", "16g")
         .config("spark.ui.showConsoleProgress", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,7 +84,7 @@ def main() -> int:
 
     O.duckdb_con = _dir_aware_con
     results, fails = {}, []
-    for name in QUERIES:
+    for name in queries:
         t0 = time.time()
         try:
             O.compare(spark, name, SF10)

@@ -738,6 +738,13 @@ def stat_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r + (t-1)/2 becomes 2r + t - 1, an exact integer), so the rank sum
 # and U statistic are pure int64; the normal-approximation z is one
 # fixed IEEE expression at the end. Shared SQL text.
+#
+# The variance product n1*n2*(n1+n2+1) is CUBIC in sample size and
+# must multiply in DOUBLE, not int64 (each factor < 2^53 converts
+# exactly; the int64 product overflows past ~2.1M rows per group —
+# found by the round-10 sf10 oracle replay, where 10M events aborted
+# with ARITHMETIC_OVERFLOW). Both shared texts use the identical
+# double-product expression tree, so the engines stay bit-identical.
 _MWU_SQL = """
 WITH samples AS (
   SELECT event_type AS grp,
@@ -762,7 +769,8 @@ SELECT n1, n2,
        CAST((r1_doubled - n1 * (n1 + 1)) AS BIGINT) AS u1_doubled,
        (CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0
         - CAST(n1 * n2 AS DOUBLE) / 2.0)
-       / sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE) / 12.0) AS z_score
+       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+              * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) AS z_score
 FROM sums
 """
 
@@ -815,7 +823,8 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2.0"
             " - CAST(n1 * n2 AS DOUBLE) / 2.0)"
-            " / sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE) / 12.0)"
+            " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+            " * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0)"
         ).alias("z_score"),
     )
 
