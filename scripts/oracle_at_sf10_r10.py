@@ -40,6 +40,21 @@ QUERIES = [
     "curate_dsir",                 # importance weights over 500k docs
     "pipe_event_360",              # sessionize + funnel + boundary ntile
     "sim_ann_recall_eval",         # the new LSH/Hamming recall oracle
+    # -- second wave (round-10 continuation): family-diverse adds,
+    #    biased toward tie/overflow/sketch-sensitive shapes --
+    "stat_mann_whitney",           # the sf10-found int64 overflow fix itself
+    "stat_ks_test",                # distinct-value sup-gap ties at 10M rows
+    "curate_ccnet_buckets",        # LM-perplexity tier cuts over 500k docs
+    "dedup_minhash_lsh",           # banded candidates + exact-Jaccard verify
+    "text_tokens",                 # tokenizer counts over 500k docs
+    "evt_rfm_segmentation",        # boundary-quartile cuts over 150k users
+    "win_running_frame",           # running window frame over 10M events
+    "join_salted_skew",            # salted hot-key join at 100x driver data
+    "ts_rolling_median",           # exact rolling median (tie-dense)
+    "emb_normalize_quantize",      # float->int8 quantize over 200k vectors
+    "mm_phash_dedup",              # binary perceptual-hash buckets
+    "agg_weighted_median",         # weighted median boundary at 60M rows
+    "agg_theta_sketch_setops",     # theta sketch set ops: edge cases @ scale
 ]
 
 

@@ -448,7 +448,8 @@ idx AS (
 stats AS (
   SELECT event_type,
          CAST(SUM(sum_cents) AS BIGINT) AS s,
-         CAST(SUM(sum_cents * sum_cents // n) AS DOUBLE) AS sq_scaled,
+         CAST(SUM(CAST(CAST(sum_cents AS HUGEINT) * sum_cents // n
+                       AS HUGEINT)) AS DOUBLE) AS sq_scaled,
          CAST(SUM(n) AS BIGINT) AS tot_n,
          CAST(COUNT(*) AS BIGINT) AS nb
   FROM idx
@@ -494,10 +495,11 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses per-bucket mean-square ``sum_cents²/n`` (integer div, exact),
     an hour-weighted population variance — documented, deterministic,
     and the z-scores it feeds are scale-normalized either way.
-    Headroom (same discipline as ``stat_cusum_changepoint``): the int64
-    product ``sum_cents²`` needs ``sum_cents < ~3.0e9`` per
-    (type, hour) bucket — ≈ 60 k max-priced events per bucket per type;
-    past that, pre-divide by a fixed power of two on both sides.
+    Headroom: the mean-square lane runs in the DECIMAL(38,0)↔HUGEINT
+    wide pair (round-10 overflow audit — the old int64 product died at
+    ~3e9 cents per (type, hour) bucket); the per-bucket quotient
+    ``sum_cents²/n`` ≈ mean²·n ≈ 4.6e16 at the 1e12-row target still
+    fits the LONG lane Spark's ``DIV`` emits.
 
     Scale shape: one corpus-sized hash aggregate builds the hourly
     buckets; everything after (frame index, stats join, listagg) runs
@@ -522,7 +524,19 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = idx.groupBy("event_type").agg(
         F.sum("sum_cents").alias("s"),
-        F.sum(F.expr("sum_cents * sum_cents DIV n")).cast("double").alias("sq_scaled"),
+        # wide product + wide re-accumulate: sum_cents² dies in int64 at
+        # ~3e9 cents/bucket and the Σ of quotients at ~1e20 (the old
+        # docstring's "pre-divide" mitigation, executed as widening);
+        # the per-row quotient itself (mean²·n ≈ 4.6e16 at 1e12 rows)
+        # still fits the LONG that Spark's DIV returns
+        F.sum(
+            F.expr(
+                "CAST(CAST(sum_cents AS DECIMAL(38,0)) * sum_cents DIV n"
+                " AS DECIMAL(38,0))"
+            )
+        )
+        .cast("double")
+        .alias("sq_scaled"),
         F.sum("n").alias("tot_n"),
         F.count(F.lit(1)).alias("nb"),
     )
@@ -1131,10 +1145,15 @@ paired AS (
   FROM dd JOIN resid r ON r.event_type = dd.event_type AND r.h = dd.h
 ),
 mo AS (
+  -- quadratic lanes wide (DECIMAL(38,0), same literal both engines):
+  -- detrended hourly millicents reach ~4.6e15 at the 1e12-row target,
+  -- so d·d ≈ 2e31 overflows int64 PER ROW (round-10 overflow audit)
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sd2,
-         CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(r * r) AS BIGINT) AS sr2
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0)) AS sd2,
+         CAST(SUM(r) AS BIGINT) AS sr,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0)) AS sr2
   FROM paired GROUP BY event_type
 )
 SELECT event_type, n AS n_hours,
@@ -1256,11 +1275,15 @@ lagp AS (
   FROM obs cur JOIN obs prev ON prev.h = cur.h - 1
 ),
 mo AS (
+  -- quadratic lanes wide (DECIMAL(38,0) parses identically in Spark
+  -- and DuckDB, so the shared text survives): hourly cents reach
+  -- ~4.6e12 at the 1e12-row target, so x·x ≈ 2e25 overflows int64
+  -- PER ROW (round-10 overflow audit)
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
-         CAST(SUM(x * dy) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sx2,
-         CAST(SUM(dy * dy) AS BIGINT) AS sy2
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sx2,
+         CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sy2
   FROM lagp
 ),
 fit AS (
@@ -1334,20 +1357,27 @@ pairs AS (
   JOIN y ON y.h = x.h + l.lag
 ),
 moments AS (
+  -- quadratic lanes wide (DECIMAL(38,0), same literal both engines):
+  -- hourly counts reach ~4.6e8 at the 1e12-row target, so Σcx² ≈
+  -- 4.6e20 and the centering products n·sxx ≈ 1e24 overflow int64
+  -- (round-10 overflow audit)
   SELECT lag,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cx) AS BIGINT) AS sx,
          CAST(SUM(cy) AS BIGINT) AS sy,
-         CAST(SUM(cx * cy) AS BIGINT) AS sxy,
-         CAST(SUM(cx * cx) AS BIGINT) AS sxx,
-         CAST(SUM(cy * cy) AS BIGINT) AS syy
+         CAST(SUM(CAST(cx AS DECIMAL(38,0)) * cy) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(cx AS DECIMAL(38,0)) * cx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(cy AS DECIMAL(38,0)) * cy) AS DECIMAL(38,0)) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, n,
        CAST(FLOOR(
-         (CAST(n * sxy - sx * sy AS DOUBLE))
-         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                * (n * syy - sy * sy))
+         CAST(CAST(n AS DECIMAL(38,0)) * sxy
+              - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+         / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                       - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
          * 1000000
        ) AS BIGINT) AS pearson_micro
 FROM moments
@@ -1398,7 +1428,8 @@ rolled AS (
   SELECT event_type, bucket, cents,
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
          CAST(SUM(cents) OVER w AS BIGINT) AS s,
-         CAST(SUM(cents * cents) OVER w AS BIGINT) AS q
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER w
+              AS DECIMAL(38,0)) AS q
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
@@ -1406,10 +1437,14 @@ rolled AS (
 SELECT event_type, bucket, cents,
        CAST(FLOOR(s * 1000.0 / n) AS BIGINT) AS roll_mean_milli,
        n * cents - s > 0
-         AND (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+         AND CAST(n * cents - s AS DECIMAL(38,0)) * (n * cents - s)
+             > 4 * (CAST(n AS DECIMAL(38,0)) * q
+                    - CAST(s AS DECIMAL(38,0)) * s)
          AS breakout_hi,
        n * cents - s < 0
-         AND (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+         AND CAST(n * cents - s AS DECIMAL(38,0)) * (n * cents - s)
+             > 4 * (CAST(n AS DECIMAL(38,0)) * q
+                    - CAST(s AS DECIMAL(38,0)) * s)
          AS breakout_lo
 FROM rolled
 """
@@ -1427,9 +1462,11 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one hash aggregate to hourly grain, then one window
     pass partitioned by series — the same single-shuffle shape as
-    every rolling operator here. Headroom: S² and 4nQ stay inside
-    int64 while hourly sums stay under ~6e8 cents (≈ $6M/hour/series);
-    past that, pre-scale cents to dollars before rolling."""
+    every rolling operator here. Headroom: the squared lanes (Q, S²,
+    the cross-multiplied breakout comparison) run in DECIMAL(38,0) —
+    the old int64 lanes died at ~6e8 cents/hour (round-10 overflow
+    audit); the verdict is still EXACT integer arithmetic, now good to
+    ~3.8e17 cents/hour (the n·x−S int64 lane)."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_BOLLINGER_TEMPLATE.format(EPOCH="unix_timestamp(ts)"))
 
@@ -1444,6 +1481,12 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are exact integer cents; energies are exact integer sums of squares.
 # Headroom: |d| ≤ block-sum ≈ 2^L·max-hourly-cents, so at L=3 and 1e7
 # cents/hour d² ≈ 6e15 — inside int64 with ~1000 blocks of margin.
+# Width cliff (round-10 overflow audit): energy_cents2 is an OUTPUT
+# column in cents² units, so its int64 bound (~9.2e18, i.e. hourly
+# sums ≳ 1e9 cents) is a REPORTING-width choice both engines share and
+# fail loudly on (Spark ANSI multiply / DuckDB cast) — widening the
+# internal lane would only move the failure to the output cast;
+# rescale to dollars² upstream when series carry >$10M/hour.
 _HAAR_LEVELS = (1, 2, 3)
 
 _HAAR_TEMPLATE = """
@@ -1681,9 +1724,12 @@ terms AS (
   FROM idx i CROSS JOIN periods pr
 ),
 sums AS (
+  -- DFT sums wide (DECIMAL(38,0), same literal both engines): the
+  -- int64 bound |y|·1e6·n_hours held only ~9x margin at the 1e12-row
+  -- target (round-10 overflow audit)
   SELECT event_type, p,
-         CAST(SUM(y * c) AS BIGINT) AS re_u,
-         CAST(SUM(y * s) AS BIGINT) AS im_u,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS re_u,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS im_u,
          CAST(SUM(y) AS BIGINT) AS sy,
          CAST(COUNT(*) AS BIGINT) AS n_hours
   FROM terms GROUP BY event_type, p

@@ -554,10 +554,16 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an experimenter actually reads: assignment health (SRM), the
 # conversion delta (pooled z²), and the spend-per-user delta (Welch
 # t²) — each as a row with its exact-integer inputs and verdict.
-# Shared SQL text; every statistic is a fixed double expression over
+# Shared SQL shape; every statistic is a fixed double expression over
 # exact integer moments (cf. stat_srm_check / stat_proportion_ztest /
-# stat_welch_ttest for the per-piece derivations).
-_READOUT_SQL = """
+# stat_welch_ttest for the per-piece derivations). Round-10 overflow
+# audit: the count-product lanes (Σspend², conv·n cross products, the
+# SRM diff² comparison) are quadratic in users and die in int64 at
+# ~3e9 users, so they run in the DECIMAL(38,0)↔HUGEINT wide pair —
+# exact integers cast to DOUBLE once, values unchanged below the old
+# cliff.
+def _readout_sql(w: str) -> str:
+    return f"""
 WITH per_user AS (
   SELECT user_id,
          CAST(((user_id * 2654435761 + 987654321) % 97) % 2 AS BIGINT) AS arm,
@@ -578,16 +584,20 @@ m AS (
            AS s_a,
          CAST(SUM(CASE WHEN arm = 1 THEN spend_cents ELSE 0 END) AS BIGINT)
            AS s_b,
-         CAST(SUM(CASE WHEN arm = 0 THEN spend_cents * spend_cents ELSE 0 END)
-              AS BIGINT) AS q_a,
-         CAST(SUM(CASE WHEN arm = 1 THEN spend_cents * spend_cents ELSE 0 END)
-              AS BIGINT) AS q_b
+         CAST(SUM(CASE WHEN arm = 0
+                       THEN CAST(spend_cents AS {w}) * spend_cents
+                       ELSE 0 END) AS {w}) AS q_a,
+         CAST(SUM(CASE WHEN arm = 1
+                       THEN CAST(spend_cents AS {w}) * spend_cents
+                       ELSE 0 END) AS {w}) AS q_b
   FROM per_user
 )
 SELECT 'srm' AS metric, n_a AS value_a, n_b AS value_b,
-       CAST(FLOOR((n_a - n_b) * (n_a - n_b) * 1000.0 / (n_a + n_b))
+       CAST(FLOOR(CAST(CAST(n_a - n_b AS {w}) * (n_a - n_b) AS DOUBLE)
+                  * 1000.0 / (n_a + n_b))
             AS BIGINT) AS stat_milli,
-       (n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)
+       CAST(n_a - n_b AS {w}) * (n_a - n_b) * 1000000
+         > CAST(3841459 AS {w}) * (n_a + n_b)
          AS flagged
 FROM m
 UNION ALL
@@ -595,15 +605,19 @@ SELECT 'conversion_z2', conv_a, conv_b,
        CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
             THEN CAST(0 AS BIGINT)
             ELSE CAST(FLOOR(
-              (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
-               * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+              (CAST(CAST(conv_a AS {w}) * n_b
+                    - CAST(conv_b AS {w}) * n_a AS DOUBLE)
+               * CAST(CAST(conv_a AS {w}) * n_b
+                      - CAST(conv_b AS {w}) * n_a AS DOUBLE) * (n_a + n_b))
               / (CAST((conv_a + conv_b) AS DOUBLE)
                  * (n_a + n_b - conv_a - conv_b) * n_a * n_b) * 1000
             ) AS BIGINT) END,
        CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
             THEN FALSE
-            ELSE (CAST((conv_a * n_b - conv_b * n_a) AS DOUBLE)
-                  * (conv_a * n_b - conv_b * n_a) * (n_a + n_b))
+            ELSE (CAST(CAST(conv_a AS {w}) * n_b
+                       - CAST(conv_b AS {w}) * n_a AS DOUBLE)
+                  * CAST(CAST(conv_a AS {w}) * n_b
+                         - CAST(conv_b AS {w}) * n_a AS DOUBLE) * (n_a + n_b))
                  / (CAST((conv_a + conv_b) AS DOUBLE)
                     * (n_a + n_b - conv_a - conv_b) * n_a * n_b)
                  > 3.841459 END
@@ -629,7 +643,11 @@ FROM m
 """
 
 
-@query("pipe_experiment_readout", oracle=_READOUT_SQL, tags=("pipeline", "experiment"))
+@query(
+    "pipe_experiment_readout",
+    oracle=_readout_sql("HUGEINT"),
+    tags=("pipeline", "experiment"),
+)
 def pipe_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-page A/B readout: assignment health (SRM chi²),
     conversion delta (pooled z²), and spend-per-user delta (Welch t²)
@@ -642,7 +660,7 @@ def pipe_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     every statistic reads the 1-row moment table. Headroom: spend q_a
     sums of squared cents hold to ~1e5-cent users × 1e8 rows."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_READOUT_SQL)
+    return spark.sql(_readout_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------

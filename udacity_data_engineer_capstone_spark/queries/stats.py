@@ -34,24 +34,32 @@ from udacity_data_engineer_capstone_spark.registry import query
 # Welch's two-sample t-test: doc length, per source pair vs source 'src0'
 # ---------------------------------------------------------------------------
 
-# Shared SQL text (runs verbatim in Spark and DuckDB). Sample variance
-# from exact integer power sums: v = (n*ss - s^2) / (n*(n-1)), evaluated
-# as one double division of two exact BIGINT products. At petabyte row
-# counts the BIGINT products would need DECIMAL(38,0) widening; the
-# shape (two exact partial sums per group) is unchanged.
-_TTEST_SQL = """
+# Shared SQL text shape (wide lane parameterized per engine). Sample
+# variance from exact integer power sums: v = (n*ss - s^2) / (n*(n-1)),
+# evaluated as one double division of two exact products. The round-9
+# text disclosed "at petabyte row counts the BIGINT products would
+# need DECIMAL(38,0) widening" — the round-10 overflow audit executed
+# that widening (Σlen² ≈ 1e20 and n·ss ≈ s² ≈ 1e32 at the 1e12-row /
+# 100 TB target): the quadratic lanes now run in the
+# DECIMAL(38,0)↔HUGEINT wide pair, exact to 1e38, cast to DOUBLE once.
+
+
+def _ttest_sql(wide: str) -> str:
+    return f"""
 WITH moments AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(length(text)) AS BIGINT) AS s,
-         CAST(SUM(CAST(length(text) AS BIGINT) * length(text)) AS BIGINT) AS ss
+         CAST(SUM(CAST(length(text) AS {wide}) * length(text)) AS {wide})
+           AS ss
   FROM documents
   GROUP BY source
 ),
 stats AS (
   SELECT source, n, s, ss,
          CAST(s AS DOUBLE) / n AS mean_len,
-         CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS BIGINT)
+         CAST(CAST(n AS {wide}) * ss - CAST(s AS {wide}) * s AS DOUBLE)
+           / CAST(CAST(n AS {wide}) * (n - 1) AS DOUBLE)
            AS var_len
   FROM moments
 ),
@@ -70,7 +78,7 @@ WHERE o.source <> 'src0'
 """
 
 
-@query("stat_welch_ttest", oracle=_TTEST_SQL, tags=("stats",))
+@query("stat_welch_ttest", oracle=_ttest_sql("HUGEINT"), tags=("stats",))
 def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test of document length, every source
     against the 'src0' baseline — the drift detector a corpus refresh
@@ -80,7 +88,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines and partitionings. The baseline row is
     a 1-row broadcast to every comparison."""
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_TTEST_SQL)
+    return spark.sql(_ttest_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +155,13 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of IEEE double ops — deterministic under any partitioning. The token
 # count reuses the whitespace tokenizer contract from text_tokens
 # (split on runs of whitespace).
-_OLS_SQL = """
+# Quadratic lanes (sxx/syy/sxy and the n·s-product numerators) run in
+# the DECIMAL(38,0)↔HUGEINT wide pair: at the 1e12-row target Σy² ≈
+# 1e20 and n·syy ≈ 1e32 overflow int64 (round-10 overflow audit).
+
+
+def _ols_sql(wide: str) -> str:
+    return f"""
 WITH obs AS (
   SELECT source,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
@@ -160,28 +174,31 @@ m AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         CAST(SUM(CAST(x AS {wide}) * x) AS {wide}) AS sxx,
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS syy,
+         CAST(SUM(CAST(x AS {wide}) * y) AS {wide}) AS sxy
   FROM obs
   GROUP BY source
+),
+cov AS (
+  SELECT source, n, sx, sy,
+         CAST(CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy AS DOUBLE)
+           AS cxy,
+         CAST(CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx AS DOUBLE)
+           AS cxx,
+         CAST(CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS DOUBLE)
+           AS cyy
+  FROM m
 )
 SELECT source, n,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT)
-         AS slope,
-       (CAST(sy AS DOUBLE)
-          - (CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS BIGINT)) * sx) / n
-         AS intercept,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         * CAST(n * sxy - sx * sy AS BIGINT)
-         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS BIGINT))
-         AS r2
-FROM m
+       cxy / cxx AS slope,
+       (CAST(sy AS DOUBLE) - (cxy / cxx) * sx) / n AS intercept,
+       cxy * cxy / (cxx * cyy) AS r2
+FROM cov
 """
 
 
-@query("stat_ols_regression", oracle=_OLS_SQL, tags=("stats",))
+@query("stat_ols_regression", oracle=_ols_sql("HUGEINT"), tags=("stats",))
 def stat_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source simple linear regression (char length ~ token count) —
     the chars-per-token fit that flags machine-generated or boilerplate
@@ -190,7 +207,7 @@ def stat_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-precision expressions over them, bit-identical cross-engine.
     Map-side combine does the heavy lifting; output is |sources| rows."""
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_OLS_SQL)
+    return spark.sql(_ols_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -408,8 +425,19 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact integer cents + a total order (cents, orderkey) make the ranked
 # sum deterministic; the statistic is one fixed double expression over
-# three exact BIGINT sums. Shared SQL text.
-_GINI_SQL = """
+# exact integer sums. The rank-weighted sum Σi·c is O(n²·c̄) — int64
+# died at sf10 (5M rows/group × 1.5e7 cents ≈ 2e20; found by the
+# round-10 third-decade oracle replay, ARITHMETIC_OVERFLOW under
+# Spark 4's ANSI default) — so that lane and Σc run in the
+# DECIMAL(38,0)↔HUGEINT wide pair (cf. ``stat_skew_kurtosis``):
+# headroom Σi·c ≤ 1e12² × 5e7 ≈ 5e31 ≪ 1e38 at the 100 TB row target.
+# The numerator stays EXACT integer arithmetic in the wide type and is
+# cast to DOUBLE once, so values (and hashes) are unchanged wherever
+# the old int64 lane didn't overflow.
+
+
+def _gini_sql(wide: str) -> str:
+    return f"""
 WITH cents AS (
   SELECT o_orderstatus,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
@@ -425,28 +453,29 @@ ranked AS (
 sums AS (
   SELECT o_orderstatus,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(c) AS BIGINT) AS sx,
-         CAST(SUM(i * c) AS BIGINT) AS six
+         CAST(SUM(CAST(c AS {wide})) AS {wide}) AS sx,
+         CAST(SUM(CAST(i AS {wide}) * c) AS {wide}) AS six
   FROM ranked GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, n,
-       CAST(2 * six - (n + 1) * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
-         AS gini
+       CAST(2 * six - (CAST(n AS {wide}) + 1) * sx AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
 FROM sums
 """
 
 
-@query("stat_gini", oracle=_GINI_SQL, tags=("stats",))
+@query("stat_gini", oracle=_gini_sql("HUGEINT"), tags=("stats",))
 def stat_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order value per status — the inequality /
     concentration measure (is revenue spread across orders or owned by
     a few whales?). Uses the ranked-sum identity
     G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over integer
     cents with a total order, so everything up to the final division is
-    exact integer arithmetic. One per-group sort window + one hash
+    exact integer arithmetic (wide DECIMAL(38,0) lanes — the int64
+    rank-sum overflowed at sf10). One per-group sort window + one hash
     aggregate; output is |statuses| rows."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_GINI_SQL)
+    return spark.sql(_gini_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -579,7 +608,13 @@ def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double bit-for-bit (same discipline as the anomaly/corr operators).
 # Pairs are (h, h+lag) where BOTH hours observed events — join, not a
 # dense-spine fill, so the statistic is over the observed series.
-_AUTOCORR_SQL = """
+# Quadratic lanes wide (DECIMAL(38,0)↔HUGEINT): hourly counts reach
+# ~4.6e8 at the 1e12-row target, so Σx² ≈ 2160·2.1e17 ≈ 4.6e20 and
+# n·sxx ≈ 1e24 overflow int64 (round-10 overflow audit).
+
+
+def _autocorr_sql(wide: str) -> str:
+    return f"""
 WITH buckets AS (
   SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
   FROM events GROUP BY event_type, date_trunc('hour', ts)
@@ -597,30 +632,43 @@ moments AS (
   SELECT event_type, lag,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
+         CAST(SUM(CAST(x AS {wide}) * x) AS {wide}) AS sxx,
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS syy,
+         CAST(SUM(CAST(x AS {wide}) * y) AS {wide}) AS sxy
   FROM pairs
   GROUP BY event_type, lag
+),
+cov AS (
+  SELECT event_type, lag, n,
+         CAST(CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy AS DOUBLE)
+           AS cxy,
+         CAST(CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx AS DOUBLE)
+           AS cxx,
+         CAST(CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS DOUBLE)
+           AS cyy
+  FROM moments
 )
 SELECT event_type, CAST(lag AS INT) AS lag, n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
-FROM moments
-WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       cxy / (sqrt(cxx) * sqrt(cyy)) AS autocorr
+FROM cov
+WHERE cxx > 0 AND cyy > 0
 """
 
 
-@query("stat_autocorrelation", oracle=_AUTOCORR_SQL, tags=("stats", "timeseries"))
+@query(
+    "stat_autocorrelation",
+    oracle=_autocorr_sql("HUGEINT"),
+    tags=("stats", "timeseries"),
+)
 def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1/2/3 autocorrelation of each event type's hourly rate — the
     seasonality screen a capacity planner or anomaly detector runs
     first. Integer moments ride one hash aggregate per (type, lag);
     the lag alignment is an equi-join of the bucket series against
     itself shifted by whole hours (bucket-cardinality-sized, tiny
-    relative to the event scan). Shared SQL text with the oracle."""
+    relative to the event scan). Shared SQL shape with the oracle."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_AUTOCORR_SQL)
+    return spark.sql(_autocorr_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +793,13 @@ def stat_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # found by the round-10 sf10 oracle replay, where 10M events aborted
 # with ARITHMETIC_OVERFLOW). Both shared texts use the identical
 # double-product expression tree, so the engines stay bit-identical.
+#
+# Remaining (documented) width cliff: the DOUBLED rank-sum lanes
+# r1_doubled/u1_doubled are OUTPUT columns ~ n² and the centering
+# product n1*(n1+1) is int64 — both die loudly (ANSI) at ~3e9 rows per
+# group. That is a reporting-width choice shared by both engines (same
+# class as stat_wilcoxon_signed_rank's w_plus_x2), not a silent-wrong
+# lane; the z statistic itself is double-safe to that point.
 _MWU_SQL = """
 WITH samples AS (
   SELECT event_type AS grp,
@@ -1232,12 +1287,18 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns needed, because tied values receive the SAME rank in both
 # engines by definition; Pearson-on-ranks is then a pure function of the
 # multiset of (rx, ry) pairs. Headroom: with per-group n rows, rank
-# sums obey Σr ≤ n², Σr² and Σrx·ry ≤ n³ — int64-safe through n ≈ 2.1M
-# rows per group (sf≈3); beyond that, widen the three quadratic lanes to
-# DECIMAL(38,0)/HUGEINT like ``stat_skew_kurtosis``. The closed form
-# runs on doubles cast once from those exact integers (identical IEEE op
-# tree both engines) and lands as a floor-scaled ppm BIGINT.
-_SPEARMAN_SQL = """
+# sums obey Σr ≤ n², Σr² and Σrx·ry ≤ n³ — int64 died at sf10 (24M
+# rows/group → Σr² ≈ 1.4e22; found by the round-10 third-decade oracle
+# replay, ARITHMETIC_OVERFLOW under Spark 4's ANSI default), so ALL
+# five rank-sum lanes run in the DECIMAL(38,0)↔HUGEINT wide pair like
+# ``stat_skew_kurtosis``: n³ ≤ 1e36 < 1e38 even at 1e12 rows per
+# group. The closed form runs on doubles cast once from those exact
+# integers (identical IEEE op tree both engines) and lands as a
+# floor-scaled ppm BIGINT — values unchanged wherever int64 sufficed.
+
+
+def _spearman_sql(wide: str) -> str:
+    return f"""
 WITH ranked AS (
   SELECT l_returnflag AS flag,
          CAST(RANK() OVER (PARTITION BY l_returnflag
@@ -1249,25 +1310,28 @@ WITH ranked AS (
 sums AS (
   SELECT flag,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx) AS BIGINT) AS sx,
-         CAST(SUM(ry) AS BIGINT) AS sy,
-         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
-         CAST(SUM(rx * rx) AS BIGINT) AS sx2,
-         CAST(SUM(ry * ry) AS BIGINT) AS sy2
+         CAST(SUM(CAST(rx AS {wide})) AS {wide}) AS sx,
+         CAST(SUM(CAST(ry AS {wide})) AS {wide}) AS sy,
+         CAST(SUM(CAST(rx AS {wide}) * ry) AS {wide}) AS sxy,
+         CAST(SUM(CAST(rx AS {wide}) * rx) AS {wide}) AS sx2,
+         CAST(SUM(CAST(ry AS {wide}) * ry) AS {wide}) AS sy2
   FROM ranked
   GROUP BY flag
 )
 SELECT flag, n,
        CAST(floor(
-         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
-            * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          * 1000000) AS BIGINT) AS spearman_ppm
 FROM sums
 """
 
 
-@query("stat_spearman", oracle=_SPEARMAN_SQL, tags=("stats", "window"))
+@query("stat_spearman", oracle=_spearman_sql("HUGEINT"), tags=("stats", "window"))
 def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between quantity and extended price per
     return flag — the robust (monotone, outlier-insensitive) companion
@@ -1285,7 +1349,7 @@ def stat_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE, identical closed-form op tree both engines (see lane
     headroom note above)."""
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_SPEARMAN_SQL)
+    return spark.sql(_spearman_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1382,7 +1446,8 @@ def stat_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reject ranks 1..max{ i : p_i * m <= i * alpha }.
 _BH_ALPHA_MICRO = 50_000  # 0.05 in micro-units
 
-_BH_SQL = """
+# Σc² lane wide (DECIMAL(38,0)↔HUGEINT): ≈1e20 at the 1e12-row target.
+_BH_TEMPLATE = """
 WITH vals AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events
@@ -1391,13 +1456,13 @@ grp AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n1,
          CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS q1
+         CAST(SUM(CAST(c AS {wide}) * c) AS {wide}) AS q1
   FROM vals GROUP BY event_type
 ),
 tot AS (
   SELECT CAST(SUM(n1) AS BIGINT) AS n_all,
          CAST(SUM(s1) AS BIGINT) AS s_all,
-         CAST(SUM(q1) AS BIGINT) AS q_all,
+         CAST(SUM(q1) AS {wide}) AS q_all,
          CAST(COUNT(*) AS BIGINT) AS m
   FROM grp
 ),
@@ -1436,10 +1501,14 @@ SELECT event_type, n1 AS n, z_milli, p_micro,
        CAST(rk AS INT) AS p_rank,
        rk <= COALESCE(max_sig, 0) AS significant
 FROM cutoff
-""".format(alpha=_BH_ALPHA_MICRO)
+"""
 
 
-@query("stat_benjamini_hochberg", oracle=_BH_SQL, tags=("stats",))
+def _bh_sql(wide: str) -> str:
+    return _BH_TEMPLATE.format(alpha=_BH_ALPHA_MICRO, wide=wide)
+
+
+@query("stat_benjamini_hochberg", oracle=_bh_sql("HUGEINT"), tags=("stats",))
 def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH false-discovery-rate correction over the family of per-type
     mean-shift tests — what an experimentation/drift platform runs when
@@ -1452,7 +1521,7 @@ def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizations are the same literal op tree in both engines; the BH
     step-up comparison is pure integer arithmetic."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BH_SQL)
+    return spark.sql(_bh_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1600,7 +1669,11 @@ def evt_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (z_{a/2} + z_b) * sqrt(2 * var / n) / mean — the literals 1.959964
 # and 0.841621 are spelled identically in both engines, so the whole
 # readout is one shared closed-form tree over exact moment sums.
-_MDE_SQL = """
+# Σc² lane wide (DECIMAL(38,0)↔HUGEINT): ≈1e20 at the 1e12-row target.
+
+
+def _mde_sql(wide: str) -> str:
+    return f"""
 WITH vals AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events
@@ -1609,7 +1682,7 @@ sums AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS s2
+         CAST(SUM(CAST(c AS {wide}) * c) AS {wide}) AS s2
   FROM vals GROUP BY event_type
 )
 SELECT event_type, n,
@@ -1624,7 +1697,7 @@ FROM sums
 """
 
 
-@query("stat_power_mde", oracle=_MDE_SQL, tags=("stats",))
+@query("stat_power_mde", oracle=_mde_sql("HUGEINT"), tags=("stats",))
 def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum detectable effect per event type at the CURRENT sample
     size (alpha=0.05 two-sided, power=0.80) — the "is this experiment
@@ -1636,7 +1709,7 @@ def stat_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| rows. Exact int64 sums, one cast to DOUBLE, identical
     literal z constants in both engines, floor-scaled ppm output."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_MDE_SQL)
+    return spark.sql(_mde_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1697,9 +1770,17 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Normal equations solved in closed form (Cramer over the 3x3 moment
 # matrix) — every determinant is the same literal double expression in
-# both engines, fed by exact int64 sums over the calendar-bounded
+# both engines, fed by exact integer sums over the calendar-bounded
 # hourly table. The multivariate sibling of stat_ols_regression.
-_OLS2_SQL = """
+# The y-product lanes (s1y, s2y, syy) are quadratic in the hourly
+# revenue total: at sf100 Σy² ≈ 2160·(4.6e8)² ≈ 4.6e20 overflows
+# int64 (and at 1e12 rows the per-row y² already does), so they run
+# in the DECIMAL(38,0)↔HUGEINT wide pair; x-only lanes are calendar-
+# bounded (x1 ≤ 23, x2 ≤ 31) and stay int64.
+
+
+def _ols2_sql(wide: str) -> str:
+    return f"""
 WITH hourly AS (
   SELECT CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS x1,
          CAST(day(date_trunc('hour', ts)) AS BIGINT) AS x2,
@@ -1714,9 +1795,9 @@ mo AS (
          CAST(SUM(x1 * x2) AS BIGINT) AS s12,
          CAST(SUM(x2 * x2) AS BIGINT) AS s22,
          CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x1 * y) AS BIGINT) AS s1y,
-         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(x1 * CAST(y AS {wide})) AS {wide}) AS s1y,
+         CAST(SUM(x2 * CAST(y AS {wide})) AS {wide}) AS s2y,
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS syy
   FROM hourly
 ),
 d AS (
@@ -1767,7 +1848,7 @@ FROM beta
 """
 
 
-@query("stat_ols_multiple", oracle=_OLS2_SQL, tags=("stats",))
+@query("stat_ols_multiple", oracle=_ols2_sql("HUGEINT"), tags=("stats",))
 def stat_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature OLS of hourly revenue on (hour-of-day,
     day-of-month) via the closed-form normal equations — the
@@ -1778,11 +1859,11 @@ def stat_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-sized hourly aggregate, then a constant
     fold — the same moments-then-closed-form pattern as
-    ``stat_skew_kurtosis``/``evt_cuped``. Exact int64 moment lanes
-    (headroom: Σx2·y <= 30·hours·1e8 ≪ 2^63), doubles cast once,
-    identical literal determinant trees in both engines."""
+    ``stat_skew_kurtosis``/``evt_cuped``. Exact integer moment lanes
+    (y-product lanes wide — int64 Σy² dies at sf100), doubles cast
+    once, identical literal determinant trees in both engines."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_OLS2_SQL)
+    return spark.sql(_ols2_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1791,9 +1872,14 @@ def stat_ols_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Ratio metrics (revenue/session, clicks/user) need the delta method:
 # var(x̄/ȳ) ≈ (var_x - 2r·cov + r²·var_y) / (n·ȳ²). All moments are
-# exact int64 sums over per-user (x=cents, y=events) pairs; the closed
-# form and the ±1.959964·se band are one shared double tree.
-_RATIO_CI_SQL = """
+# exact integer sums over per-user (x=cents, y=events) pairs; the
+# closed form and the ±1.959964·se band are one shared double tree.
+# Σx² lanes wide (DECIMAL(38,0)↔HUGEINT): per-user spend² ≈ 1e12 at
+# ~1e10 users ⇒ Σx² ≈ 1e22 past int64 (round-10 overflow audit).
+
+
+def _ratio_ci_sql(wide: str) -> str:
+    return f"""
 WITH per_user AS (
   SELECT user_id,
          user_id % 2 AS variant,
@@ -1806,9 +1892,9 @@ mo AS (
   SELECT variant,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+         CAST(SUM(CAST(x AS {wide}) * x) AS {wide}) AS sxx,
+         CAST(SUM(CAST(x AS {wide}) * y) AS {wide}) AS sxy,
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS syy
   FROM per_user GROUP BY variant
 ),
 calc AS (
@@ -1835,7 +1921,7 @@ FROM calc
 """
 
 
-@query("stat_ratio_delta_ci", oracle=_RATIO_CI_SQL, tags=("stats",))
+@query("stat_ratio_delta_ci", oracle=_ratio_ci_sql("HUGEINT"), tags=("stats",))
 def stat_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-method 95% confidence interval for the ratio metric
     revenue-per-event, per experiment variant — the correct interval
@@ -1846,9 +1932,9 @@ def stat_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     this (ratio readout).
 
     One user-keyed aggregate, then |variants| rows of closed form —
-    exact int64 moments, doubles cast once, shared literal z."""
+    exact integer moments, doubles cast once, shared literal z."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_RATIO_CI_SQL)
+    return spark.sql(_ratio_ci_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1870,7 +1956,9 @@ def _qq_case() -> str:
     return f"CASE k {whens} END"
 
 
-_QQ_SQL = f"""
+# Σc² lane wide (DECIMAL(38,0)↔HUGEINT): ≈1e20 at the 1e12-row target.
+def _qq_sql(wide: str) -> str:
+    return f"""
 WITH vals AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events
@@ -1879,7 +1967,7 @@ mo AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS s2
+         CAST(SUM(CAST(c AS {wide}) * c) AS {wide}) AS s2
   FROM vals GROUP BY event_type
 ),
 ranked AS (
@@ -1908,7 +1996,7 @@ FROM deciles d JOIN mo m ON m.event_type = d.event_type
 """
 
 
-@query("stat_qq_normal", oracle=_QQ_SQL, tags=("stats", "window"))
+@query("stat_qq_normal", oracle=_qq_sql("HUGEINT"), tags=("stats", "window"))
 def stat_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QQ table per event type: the standardized observed decile
     boundaries next to the N(0,1) decile quantiles (shared milli-unit
@@ -1923,7 +2011,7 @@ def stat_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on positive operands."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(
-        _QQ_SQL.replace(
+        _qq_sql("DECIMAL(38,0)").replace(
             "CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k) k",
             "CROSS JOIN (SELECT explode(array(1, 2, 3, 4, 5, 6, 7, 8, 9))"
             " AS k) k",
@@ -2492,7 +2580,12 @@ def stat_evt_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts; F = (RSS_r − RSS_u)/(RSS_u/(n−3)) with 1 numerator dof. The
 # descriptive companion is ts_cross_correlation; this one is the
 # inferential gate.
-_GRANGER_SQL = """
+# Daily-count product lanes wide (DECIMAL(38,0)↔HUGEINT): at the
+# 1e12-row target a single day's count is ~1.1e10, so the PER-ROW
+# product y·y ≈ 1.2e20 already exceeds int64 (round-10 overflow
+# audit); the centering products sy·sy follow.
+def _granger_sql(wide: str) -> str:
+    return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2514,12 +2607,12 @@ m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(yl) AS BIGINT) AS sa,
          CAST(SUM(xl) AS BIGINT) AS sb,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(yl * yl) AS BIGINT) AS saa,
-         CAST(SUM(xl * xl) AS BIGINT) AS sbb,
-         CAST(SUM(y * yl) AS BIGINT) AS sya,
-         CAST(SUM(y * xl) AS BIGINT) AS syb,
-         CAST(SUM(yl * xl) AS BIGINT) AS sab
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS syy,
+         CAST(SUM(CAST(yl AS {wide}) * yl) AS {wide}) AS saa,
+         CAST(SUM(CAST(xl AS {wide}) * xl) AS {wide}) AS sbb,
+         CAST(SUM(CAST(y AS {wide}) * yl) AS {wide}) AS sya,
+         CAST(SUM(CAST(y AS {wide}) * xl) AS {wide}) AS syb,
+         CAST(SUM(CAST(yl AS {wide}) * xl) AS {wide}) AS sab
   FROM obs
 ),
 cent AS (
@@ -2551,7 +2644,11 @@ FROM fits
 """
 
 
-@query("stat_granger_lite", oracle=_GRANGER_SQL, tags=("stats", "timeseries"))
+@query(
+    "stat_granger_lite",
+    oracle=_granger_sql("HUGEINT"),
+    tags=("stats", "timeseries"),
+)
 def stat_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Granger-causality F-test (one lag): does adding yesterday's
     VIEW count to an autoregression of today's PURCHASE count reduce
@@ -2565,7 +2662,7 @@ def stat_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window plus one moment aggregate on the calendar-sized
     series."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_GRANGER_SQL)
+    return spark.sql(_granger_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -2578,7 +2675,11 @@ def stat_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double expression over their moments.
 _PAIRED_SPLIT = "2024-01-16 00:00:00"
 
-_PAIRED_SQL = f"""
+
+# Σd² lane wide (DECIMAL(38,0)↔HUGEINT): per-user diff² ≈ 1e12 at
+# ~1e10 users ⇒ Σd² ≈ 1e22 past int64 (round-10 overflow audit).
+def _paired_sql(wide: str) -> str:
+    return f"""
 WITH halves AS (
   SELECT user_id,
          CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PAIRED_SPLIT}'
@@ -2600,7 +2701,7 @@ pairs AS (
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(d) AS BIGINT) AS s,
-         CAST(SUM(d * d) AS BIGINT) AS q
+         CAST(SUM(CAST(d AS {wide}) * d) AS {wide}) AS q
   FROM pairs
 )
 SELECT n AS n_pairs,
@@ -2618,7 +2719,9 @@ FROM m
 """
 
 
-@query("stat_paired_ttest", oracle=_PAIRED_SQL, tags=("stats", "experiment"))
+@query(
+    "stat_paired_ttest", oracle=_paired_sql("HUGEINT"), tags=("stats", "experiment")
+)
 def stat_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paired t-test of per-user spend before vs after the mid-month
     split — each user is their own control, so between-user variance
@@ -2628,14 +2731,20 @@ def stat_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user-keyed aggregate, one 1-row moment rollup."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_PAIRED_SQL)
+    return spark.sql(_paired_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
 # Simpson's paradox detector: group trends that contradict the pooled trend
 # ---------------------------------------------------------------------------
 
-_SIMPSON_SQL = """
+# Per-row values are tiny (x ≤ 10, y ≤ 50) so the Σ lanes fit int64
+# to ~1e15 rows, but the CENTERING products n·sxy and sx·sy are
+# O(n²·x̄·ȳ): at sf100 (200M rows/group) n·sxy ≈ 2e19 already exceeds
+# int64 (round-10 overflow audit) — those products run in the
+# DECIMAL(38,0)↔HUGEINT wide pair, exact, cast to DOUBLE once.
+def _simpson_sql(wide: str) -> str:
+    return f"""
 WITH pts AS (
   SELECT l_returnflag AS grp,
          CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x,
@@ -2661,12 +2770,18 @@ tot AS (
 ),
 corr AS (
   SELECT g.grp, g.n,
-         (g.n * g.sxy - g.sx * g.sy)
-           / SQRT(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
-                  * (g.n * g.syy - g.sy * g.sy)) AS r_grp,
-         (t.n * t.sxy - t.sx * t.sy)
-           / SQRT(CAST(t.n * t.sxx - t.sx * t.sx AS DOUBLE)
-                  * (t.n * t.syy - t.sy * t.sy)) AS r_pool
+         CAST(CAST(g.n AS {wide}) * g.sxy
+              - CAST(g.sx AS {wide}) * g.sy AS DOUBLE)
+           / SQRT(CAST(CAST(g.n AS {wide}) * g.sxx
+                       - CAST(g.sx AS {wide}) * g.sx AS DOUBLE)
+                  * CAST(CAST(g.n AS {wide}) * g.syy
+                         - CAST(g.sy AS {wide}) * g.sy AS DOUBLE)) AS r_grp,
+         CAST(CAST(t.n AS {wide}) * t.sxy
+              - CAST(t.sx AS {wide}) * t.sy AS DOUBLE)
+           / SQRT(CAST(CAST(t.n AS {wide}) * t.sxx
+                       - CAST(t.sx AS {wide}) * t.sx AS DOUBLE)
+                  * CAST(CAST(t.n AS {wide}) * t.syy
+                         - CAST(t.sy AS {wide}) * t.sy AS DOUBLE)) AS r_pool
   FROM gm g CROSS JOIN tot t
 )
 SELECT grp, n,
@@ -2678,7 +2793,11 @@ FROM corr
 """
 
 
-@query("stat_simpson_detector", oracle=_SIMPSON_SQL, tags=("stats", "quality"))
+@query(
+    "stat_simpson_detector",
+    oracle=_simpson_sql("HUGEINT"),
+    tags=("stats", "quality"),
+)
 def stat_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson's-paradox detector: the discount↔quantity correlation
     within every return-flag stratum next to the pooled correlation,
@@ -2691,7 +2810,7 @@ def stat_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one grouped moment aggregate; the pooled row is the
     SUM of group moments (no second scan), broadcast back."""
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_SIMPSON_SQL)
+    return spark.sql(_simpson_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -2952,7 +3071,8 @@ agg AS (
   FROM ranked
 ),
 ties AS (
-  SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie_term
+  SELECT CAST(COALESCE(SUM(CAST(t AS {WIDE}) * t * t - t), 0) AS {WIDE})
+           AS tie_term
   FROM (SELECT absd, CAST(COUNT(*) AS BIGINT) AS t
         FROM d GROUP BY absd) g
   WHERE t > 1
@@ -2966,12 +3086,18 @@ SELECT a.n AS n_pairs, a.w_plus_x2, a.w_minus_x2,
 FROM agg a CROSS JOIN ties t
 """
 
+# Tie-term lane wide: t³ over tie-group sizes t ≈ n/|distinct absd|
+# kills int64 at ~1e8 nonzero-diff users — a decade and a half BEFORE
+# the documented ×2-rank-sum OUTPUT cliff (w_plus_x2 ≈ n² > int64 at
+# ~3e9 users, a loud reporting-width cast both engines share).
 _WILCOXON_ORACLE = _WILCOXON_TEMPLATE.format(
     EPOCH_DAY="CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))"
-    " AS BIGINT)"
+    " AS BIGINT)",
+    WIDE="HUGEINT",
 )
 _WILCOXON_SPARK = _WILCOXON_TEMPLATE.format(
-    EPOCH_DAY="CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+    EPOCH_DAY="CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)",
+    WIDE="DECIMAL(38,0)",
 )
 
 
@@ -3017,17 +3143,20 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("t_v"), F.lit(0)).cast("long").alias("n"),
         F.sum(F.col("pos_v") * ar_x2).cast("long").alias("w_plus_x2"),
         F.sum(F.col("neg_v") * ar_x2).cast("long").alias("w_minus_x2"),
+        # wide lane (cf. the template's {WIDE} tie_term): t³ over
+        # tie-group sizes dies in int64 at ~1e8 nonzero-diff users
         F.coalesce(
             F.sum(
                 F.when(
                     F.col("t_v") > 1,
-                    F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v"),
-                ).otherwise(0)
+                    F.col("t_v").cast("decimal(38,0)")
+                    * F.col("t_v")
+                    * F.col("t_v")
+                    - F.col("t_v"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
             ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("tie_term"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tie_term"),
     )
     return sums.select(
         F.col("n").alias("n_pairs"),

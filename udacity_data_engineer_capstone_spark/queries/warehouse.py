@@ -1630,9 +1630,13 @@ def act_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distance between a cell's segment distribution and the global one is
 # total variation distance (the categorical EMD): TVD = ½·Σ|p_cell −
 # p_global| — computed in EXACT integer lanes: p_cell − p_global =
-# (n_cs·N − N_s·n_c)/(n_c·N), so Σ|numerator| is an exact BIGINT and
-# one final integer division yields ppm (numerator ≤ 2·n_c·N ≈ 4.5e8
-# at sf0.1; ×1e6 stays far inside int64).
+# (n_cs·N − N_s·n_c)/(n_c·N), so Σ|numerator| is exact and one final
+# integer division yields ppm. The count-product lanes are O(n_c·N) —
+# quadratic in table size — so they run in the DECIMAL(38,0)↔HUGEINT
+# wide pair (round-10 overflow audit: n_cs·N ≈ 1e24 at the 1e12-row
+# target; int64 held only to ~3e9 customers). Spark's DIV and DuckDB's
+# // both accept the wide types and the ppm quotient ≤ 2e6 lands back
+# in BIGINT.
 _T_CLOSE_T_PPM = 300_000  # t = 0.3
 
 _T_CLOSE_TEMPLATE = """
@@ -1657,8 +1661,9 @@ expanded AS (
 ),
 dist AS (
   SELECT e.nation, e.bal_band, e.n_c, e.n,
-         CAST(SUM(abs(COALESCE(c.n_cs, 0) * e.n - e.n_s * e.n_c))
-              AS BIGINT) AS absnum
+         CAST(SUM(abs(CAST(COALESCE(c.n_cs, 0) AS {WIDE}) * e.n
+                      - CAST(e.n_s AS {WIDE}) * e.n_c))
+              AS {WIDE}) AS absnum
   FROM expanded e
   LEFT JOIN cell c
     ON c.nation = e.nation AND c.bal_band = e.bal_band
@@ -1666,15 +1671,18 @@ dist AS (
   GROUP BY e.nation, e.bal_band, e.n_c, e.n
 )
 SELECT nation, bal_band, n_c AS cell_size,
-       CAST(absnum * 1000000 {IDIV} (2 * n_c * n) AS BIGINT) AS tvd_ppm
+       CAST(absnum * 1000000 {IDIV} (2 * CAST(n_c AS {WIDE}) * n) AS BIGINT)
+         AS tvd_ppm
 FROM dist
-WHERE absnum * 1000000 {IDIV} (2 * n_c * n) > {T}
+WHERE absnum * 1000000 {IDIV} (2 * CAST(n_c AS {WIDE}) * n) > {T}
 """
 
 
 @query(
     "curate_t_closeness",
-    oracle=_T_CLOSE_TEMPLATE.format(IDIV="//", T=_T_CLOSE_T_PPM),
+    oracle=_T_CLOSE_TEMPLATE.format(
+        IDIV="//", T=_T_CLOSE_T_PPM, WIDE="HUGEINT"
+    ),
     tags=("curation", "privacy"),
 )
 def curate_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,7 +1699,11 @@ def curate_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments-×-cells expansion joined back at QI width — the expansion
     factor is |sensitive domain| (5), not data size."""
     register_views(spark, sf_dir, ("customer",))
-    return spark.sql(_T_CLOSE_TEMPLATE.format(IDIV="DIV", T=_T_CLOSE_T_PPM))
+    return spark.sql(
+        _T_CLOSE_TEMPLATE.format(
+            IDIV="DIV", T=_T_CLOSE_T_PPM, WIDE="DECIMAL(38,0)"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
