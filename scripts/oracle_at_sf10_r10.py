@@ -55,6 +55,16 @@ QUERIES = [
     "mm_phash_dedup",              # binary perceptual-hash buckets
     "agg_weighted_median",         # weighted median boundary at 60M rows
     "agg_theta_sketch_setops",     # theta sketch set ops: edge cases @ scale
+    # -- overflow-audit proof set: queries whose int64 lanes died at or
+    #    near this scale, replayed hash-exact on the widened lanes --
+    "stat_gini",                   # rank-weighted sum: died at sf10 pre-fix
+    "stat_spearman",               # rank^2 sums: died at sf10 pre-fix
+    "stat_ols_multiple",           # hourly cents^2: died at sf100 pre-fix
+    "stat_simpson_detector",       # centering n*sxy: died at sf100 pre-fix
+    "curate_t_closeness",          # cell-count products n_c*N
+    "rec_market_basket",           # lift numerator pair_cnt*n_baskets
+    "ts_adf_unit_root",            # hourly-series quadratic moments
+    "pipe_experiment_readout",     # per-user spend^2 + conv*n products
 ]
 
 

@@ -69,12 +69,28 @@ SCALES = [
 ]
 
 
+def _rung_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def run_at(spark, label: str, sf_dir: str, corpus_docs: str) -> dict:
     from udacity_data_engineer_capstone_spark.operators.ordinal import (
         evict_checkpoints,
     )
 
     os.environ["SPARK_GRAFT_CORPUS_DOCS"] = corpus_docs
+    # Apply the engine's own SizingProfile shuffle derivation PER RUNG
+    # (session.py: max(cores, input_bytes / 128 MB target)). The static
+    # local default (32) leaves ~600 MB shuffle partitions at sf100 —
+    # exactly the spill the profile exists to prevent; AQE coalesces
+    # the over-partitioned small rungs back down for free.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parts = max(cpus, _rung_bytes(sf_dir) // (128 << 20))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    print(f"  [{label}] shuffle.partitions={parts}", flush=True)
     times = {}
     for name in QUERIES:
         t0 = time.time()

@@ -74,14 +74,19 @@ ALL_TABLES = (
 ).split()
 
 
-# Output layout: ~32 MB files at EVERY scale, so scan parallelism is
-# proportional to data on every rung of the ladder. Without this, the
-# crossJoin plan writes one file per INPUT split (2-3 multi-GB files at
-# sf100) and effective read parallelism collapses to the few row groups
-# one writer task produced — the ladder then measures a generator
-# artifact, not the operators (observed: pipe_pretrain_mix 74 s at a
-# 2-file sf10 vs 24 s at the v2 many-file layout).
+# Output layout: at least CORES files per table and ~32 MB per file
+# above that, so scan parallelism is CONSTANT (= all cores) at every
+# rung for small tables and proportional to data for big ones — the
+# ladder's cross-rung ratios then measure operator data-cost, not
+# layout. Without the floor, a 58 MB documents table lands in 4 files
+# and the CPU-bound shingle scans run 4-wide on a 32-core box
+# (observed: dedup_minhash_lsh 45 s at sf10 under a 7-file layout vs
+# 13 s under v2's many-file layout); without any repartition at all,
+# the crossJoin writes one file per input split (2-3 multi-GB files at
+# sf100) and reads collapse to the few row groups one writer produced
+# (observed: pipe_pretrain_mix 74 s vs 24 s at sf10).
 _TARGET_FILE_BYTES = 32 << 20
+_MIN_FILES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def _replicate(base, t: str, replicas: int, strides: dict):
@@ -148,7 +153,18 @@ def main() -> int:
     spark = get_spark("scale-up-testdata-v3")
     spark.sparkContext.setLogLevel("ERROR")
 
-    base = {t: spark.read.parquet(f"{SRC}/{t}.parquet") for t in ALL_TABLES}
+    # The driver's base files are SINGLE-row-group parquet (TESTDATA.md),
+    # so a raw scan yields ONE non-empty split and the whole crossJoin
+    # fan-out runs in one task (observed: the sf100 lineitem stage sat
+    # 31-done/1-running for 25+ minutes generating 600M rows single-
+    # threaded). Repartitioning the tiny base FIRST spreads the
+    # replication across all cores; the final repartition below still
+    # owns the output layout, and values are order-independent.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    base = {
+        t: spark.read.parquet(f"{SRC}/{t}.parquet").repartition(cpus)
+        for t in ALL_TABLES
+    }
     strides = {
         t: base[t].agg(F.max(KEY_OF[t])).collect()[0][0] + 1 for t in KEY_OF
     }
@@ -162,7 +178,7 @@ def main() -> int:
 
     for t in OFFSETS:
         est_bytes = os.path.getsize(f"{SRC}/{t}.parquet") * replicas
-        n_files = max(4, -(-est_bytes // _TARGET_FILE_BYTES))
+        n_files = max(_MIN_FILES, -(-est_bytes // _TARGET_FILE_BYTES))
         _replicate(base[t], t, replicas, strides).repartition(
             int(n_files)
         ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")

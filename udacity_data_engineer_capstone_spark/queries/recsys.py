@@ -76,7 +76,9 @@ SELECT p.item_a, p.item_b, p.pair_cnt,
          AS support_ppm,
        CAST(FLOOR(p.pair_cnt * 1000000.0 / ca.cnt) AS BIGINT)
          AS confidence_a_to_b_ppm,
-       CAST(FLOOR(p.pair_cnt * nb.n_baskets * 1000.0 / (ca.cnt * cb.cnt))
+       CAST(FLOOR(CAST(CAST(p.pair_cnt AS DECIMAL(38,0)) * nb.n_baskets
+                       AS DOUBLE) * 1000.0
+                  / CAST(CAST(ca.cnt AS DECIMAL(38,0)) * cb.cnt AS DOUBLE))
             AS BIGINT) AS lift_milli
 FROM pairs p
 JOIN item_cnt ca ON ca.item = p.item_a
@@ -168,11 +170,17 @@ def rec_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("pair_cnt") * F.lit(1000000.0) / F.col("cnt_a"))
             .cast("long")
             .alias("confidence_a_to_b_ppm"),
+            # count-product lanes wide (round-10 overflow audit): the
+            # int64 products pair_cnt·n_baskets and cnt_a·cnt_b die at
+            # ~3e9 baskets; decimal keeps them exact, one cast to
+            # DOUBLE preserves the old values below that cliff
             F.floor(
-                F.col("pair_cnt")
-                * F.col("n_baskets")
+                (F.col("pair_cnt").cast("decimal(38,0)") * F.col("n_baskets"))
+                .cast("double")
                 * F.lit(1000.0)
-                / (F.col("cnt_a") * F.col("cnt_b"))
+                / (F.col("cnt_a").cast("decimal(38,0)") * F.col("cnt_b")).cast(
+                    "double"
+                )
             )
             .cast("long")
             .alias("lift_milli"),
