@@ -24,7 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF10 = "/tmp/engine_scale/sf10"
+# Default replay dir; override with SPARK_GRAFT_ORACLE_DIR to replay
+# the same gate at any rung (e.g. /tmp/engine_scale/sf100 for a
+# three-decades-above-gate value check).
+SF10 = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/tmp/engine_scale/sf10")
 
 QUERIES = [
     "flagship_regional_revenue",   # 5-table star join over 60M fact rows
@@ -70,7 +73,9 @@ QUERIES = [
 
 def main() -> int:
     queries = sys.argv[1:] or QUERIES
-    os.environ["SPARK_GRAFT_CORPUS_DOCS"] = "500000"
+    # honest per-rung corpus size (drives the derived Bloom width);
+    # 500k = the sf10 documents row count, override per replay dir
+    os.environ.setdefault("SPARK_GRAFT_CORPUS_DOCS", "500000")
     os.environ["SPARK_GRAFT_STREAM_PARTS"] = os.environ.get(
         "SPARK_GRAFT_CPUS", "32"
     )
