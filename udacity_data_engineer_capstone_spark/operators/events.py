@@ -517,7 +517,14 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE-correctly-rounded ops (casts, +,-,*,/, sqrt), so z is
 # bit-identical cross-engine and the |z| > 3 cut is deterministic.
 # Shared SQL text for both engines.
-_ANOMALY_SQL = """
+# The Σc² lane runs in the DECIMAL(38,0)↔HUGEINT wide pair: with the
+# event window fixed, per-minute counts grow linearly with corpus size
+# (c ≈ 2e6 at the 1e12-row target), so Σc² ≈ 4e17·minutes crosses int64
+# within a decade of the target (round-11 Σ-square audit).
+
+
+def _anomaly_sql(wide: str) -> str:
+    return f"""
 WITH buckets AS (
   SELECT event_type, date_trunc('minute', ts) AS minute,
          CAST(COUNT(*) AS BIGINT) AS c
@@ -527,7 +534,7 @@ m AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s,
-         CAST(SUM(c * c) AS BIGINT) AS ss
+         CAST(SUM(CAST(c AS {wide}) * c) AS {wide}) AS ss
   FROM buckets GROUP BY event_type
 )
 SELECT b.event_type, b.minute, b.c AS n_events,
@@ -541,7 +548,9 @@ WHERE abs((b.c - CAST(m.s AS DOUBLE) / m.n)
 """
 
 
-@query("evt_anomaly_zscore", oracle=_ANOMALY_SQL, tags=("events", "stats"))
+@query(
+    "evt_anomaly_zscore", oracle=_anomaly_sql("HUGEINT"), tags=("events", "stats")
+)
 def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-minute event-rate anomalies: minutes whose event count sits
     more than 3 sample standard deviations from that event type's mean
@@ -552,7 +561,7 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer moments, so the 3-sigma cut is deterministic — no
     float-fold drift can flip a row in or out."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ANOMALY_SQL)
+    return spark.sql(_anomaly_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -1348,6 +1357,9 @@ def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 # burstiness: Fano factor of the hourly arrival counts
 # ---------------------------------------------------------------------------
 
+# The Σc² lane is HUGEINT (Spark side: SUM over DECIMAL(38,0)): hourly
+# counts c ≈ 1e8 at the 1e12-row target make Σc² ≈ 2e19 exceed int64
+# (round-11 Σ-square audit).
 _FANO_ORACLE = """
 WITH counts AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
@@ -1359,7 +1371,7 @@ mo AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS s2
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
   FROM counts GROUP BY event_type
 )
 SELECT event_type, n AS n_hours, s1 AS n_events,
@@ -1385,7 +1397,7 @@ def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     mo = counts.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     return mo.select(
         "event_type",
@@ -2127,6 +2139,9 @@ def agg_behavior_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coverage (distinct active hours-of-day), and inhumanly regular
 # timing (coefficient of variation of inter-arrival gaps below 10%).
 # Humans trip none; scrapers and replayers trip one or more.
+# The Σgap² lane runs in the {WIDE} pair (DECIMAL(38,0)↔HUGEINT): a
+# year-scale gap (~3e7 s) squares to ~1e15, so a bursty user with ~1e4
+# gaps already puts Σgap² within one decade of int64 (round-11 audit).
 _BOT_SQL = """
 WITH gaps AS (
   SELECT user_id,
@@ -2144,7 +2159,7 @@ per_user AS (
            AS n_burst_gaps,
          CAST(COUNT(DISTINCT hour_of_day) AS BIGINT) AS active_hours_of_day,
          CAST(SUM(gap_sec) AS BIGINT) AS s,
-         CAST(SUM(gap_sec * gap_sec) AS BIGINT) AS q
+         CAST(SUM(CAST(gap_sec AS {WIDE}) * gap_sec) AS {WIDE}) AS q
   FROM gaps
   WHERE gap_sec IS NOT NULL
   GROUP BY user_id
@@ -2167,7 +2182,9 @@ WHERE n_gaps >= 2
 
 @query(
     "evt_bot_detection",
-    oracle=_BOT_SQL.format(EPOCH="FLOOR(EPOCH(ts))", HOUR="hour(ts)"),
+    oracle=_BOT_SQL.format(
+        EPOCH="FLOOR(EPOCH(ts))", HOUR="hour(ts)", WIDE="HUGEINT"
+    ),
     tags=("events", "quality"),
 )
 def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2181,7 +2198,11 @@ def evt_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-partitioned lag window + one user-keyed
     moment aggregate — a single shuffle."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_BOT_SQL.format(EPOCH="unix_timestamp(ts)", HOUR="hour(ts)"))
+    return spark.sql(
+        _BOT_SQL.format(
+            EPOCH="unix_timestamp(ts)", HOUR="hour(ts)", WIDE="DECIMAL(38,0)"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -528,7 +528,14 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~3e9 cents/bucket and the Σ of quotients at ~1e20 (the old
         # docstring's "pre-divide" mitigation, executed as widening);
         # the per-row quotient itself (mean²·n ≈ 4.6e16 at 1e12 rows)
-        # still fits the LONG that Spark's DIV returns
+        # still fits the LONG that Spark's DIV returns.
+        # KNOWN ASYMMETRY (engine-side-only cliff): Spark's DIV on a
+        # DECIMAL(38,0) product emits BIGINT, so a per-row quotient past
+        # ~9.2e18 ANSI-aborts HERE while the DuckDB oracle's HUGEINT //
+        # keeps int128 and succeeds. That is ~200× above the 1e12-row
+        # target (documented headroom), and the failure is loud, not a
+        # silent divergence — revisit only if per-bucket cent sums ever
+        # exceed ~3e9 at 200× today's target.
         F.sum(
             F.expr(
                 "CAST(CAST(sum_cents AS DECIMAL(38,0)) * sum_cents DIV n"

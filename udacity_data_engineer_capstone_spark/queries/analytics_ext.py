@@ -482,7 +482,14 @@ def agg_percentile_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFram
 # int64-exact (x = position index ≤ stream length, y = cents), and the
 # slope is one fixed IEEE expression — engine-invariant. NULL where the
 # trailing variance is zero or the window is a single row.
-_ROLLREG_SQL = """
+# The quadratic window lanes (x², x·y and the centering products) run
+# in the DECIMAL(38,0)↔HUGEINT wide pair: x is the per-user row number,
+# so a hot user with ~1e10 events puts a single x² ≈ 1e20 past int64
+# before any summation (round-11 Σ-square audit).
+
+
+def _rollreg_sql(wide: str) -> str:
+    return f"""
 WITH seq AS (
   SELECT user_id, ts, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
@@ -495,30 +502,35 @@ moments AS (
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
          CAST(SUM(x) OVER w AS BIGINT) AS sx,
          CAST(SUM(y) OVER w AS BIGINT) AS sy,
-         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
-         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+         CAST(SUM(CAST(x AS {wide}) * x) OVER w AS {wide}) AS sxx,
+         CAST(SUM(CAST(x AS {wide}) * y) OVER w AS {wide}) AS sxy
   FROM seq
   WINDOW w AS (PARTITION BY user_id ORDER BY x
                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, ts, event_id, y,
-       CASE WHEN n > 1 AND n * sxx - sx * sx > 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       CASE WHEN n > 1 AND CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx > 0
+            THEN CAST(CAST(n AS {wide}) * sxy
+                      - CAST(sx AS {wide}) * sy AS DOUBLE)
+                 / CAST(CAST(n AS {wide}) * sxx
+                        - CAST(sx AS {wide}) * sx AS DOUBLE)
             END AS slope_cents_per_step
 FROM moments
 """
 
 
-@query("win_rolling_regression", oracle=_ROLLREG_SQL, tags=("window", "stats"))
+@query(
+    "win_rolling_regression", oracle=_rollreg_sql("HUGEINT"), tags=("window", "stats")
+)
 def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling OLS slope of spend over the trailing 16 events —
     the windowed trend detector behind 'is this account ramping up'.
     One window pass per user carrying five integer moments; the slope
-    is a single division of exact int64 expressions, so both engines
-    emit identical doubles. Shared SQL text."""
+    is a single division of exact wide-integer expressions (the x², x·y
+    and centering lanes run DECIMAL(38,0)↔HUGEINT), so both engines
+    emit identical doubles. Shared SQL text shape."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_ROLLREG_SQL)
+    return spark.sql(_rollreg_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------

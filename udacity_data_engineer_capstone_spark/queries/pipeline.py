@@ -657,8 +657,12 @@ def pipe_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate fanned into three report rows).
 
     Scale shape: the only data-sized pass is the per-user rollup;
-    every statistic reads the 1-row moment table. Headroom: spend q_a
-    sums of squared cents hold to ~1e5-cent users × 1e8 rows."""
+    every statistic reads the 1-row moment table. Headroom: the spend
+    q_a/q_b squared-cents and conv·n lanes were widened to the
+    DECIMAL(38,0)↔HUGEINT pair in the round-10 overflow audit (exact
+    to 1e38 ≈ any user count × 1e5-cent spends at the 1e12-row
+    target); the remaining int64 lanes are the linear sums s_a/s_b
+    (≤ ~1e17 at target) and per-arm counts."""
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_readout_sql("DECIMAL(38,0)"))
 

@@ -2823,12 +2823,19 @@ def stat_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q = Σwᵢ(dᵢ−pooled)² with I² = max(0, (Q−df)/Q). Per-source
 # contributions are quantized to exact integers before the final sums
 # (the chi2 discipline), so pooling is fold-order exact.
-_META_SQL = """
+# Quadratic lanes run in the DECIMAL(38,0)↔HUGEINT wide pair: at the
+# 1e12-row target Σchars² ≈ 1e20 exceeds int64 (same bound as the
+# widened ttest Σlen²), and w_micro ≈ 1e6·n/σ² ≈ 1e18 makes the
+# w_micro·d_milli pooling product overflow too.
+
+
+def _meta_sql(wide: str) -> str:
+    return f"""
 WITH src AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(n_chars) AS BIGINT) AS s,
-         CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+         CAST(SUM(CAST(n_chars AS {wide}) * n_chars) AS {wide}) AS q
   FROM documents GROUP BY source
 ),
 tot AS (
@@ -2851,7 +2858,7 @@ quant AS (
 pool AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(w_micro) AS BIGINT) AS sw,
-         CAST(SUM(w_micro * d_milli) AS BIGINT) AS swd
+         CAST(SUM(CAST(w_micro AS {wide}) * d_milli) AS {wide}) AS swd
   FROM quant
 ),
 qstat AS (
@@ -2879,7 +2886,7 @@ FROM qstat
 """
 
 
-@query("stat_meta_analysis", oracle=_META_SQL, tags=("stats",))
+@query("stat_meta_analysis", oracle=_meta_sql("HUGEINT"), tags=("stats",))
 def stat_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-effect meta-analysis of per-source document-length
     effects: inverse-variance pooling of each source's deviation from
@@ -2893,7 +2900,7 @@ def stat_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one grouped moment aggregate over the corpus;
     everything downstream is source-count-sized."""
     register_views(spark, sf_dir, ("documents",))
-    return spark.sql(_META_SQL)
+    return spark.sql(_meta_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -2904,7 +2911,13 @@ def stat_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1 − Σ itemvar / totalvar). All variances come from exact integer
 # per-user counts; per-item variance contributions quantize to milli
 # before the cross-item sum.
-_CRONBACH_SQL = """
+# The Σ-of-squares lanes (q1..q5, qt) run in the DECIMAL(38,0)↔HUGEINT
+# wide pair: a hot user with ~1e9 events puts a single i² ≈ 1e18 within
+# 10× of int64, and the per-user totals square to 25× that.
+
+
+def _cronbach_sql(wide: str) -> str:
+    return f"""
 WITH per_user AS (
   SELECT user_id,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -2921,14 +2934,19 @@ WITH per_user AS (
 ),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1 * i1) AS BIGINT) AS q1,
-         CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2 * i2) AS BIGINT) AS q2,
-         CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3 * i3) AS BIGINT) AS q3,
-         CAST(SUM(i4) AS BIGINT) AS s4, CAST(SUM(i4 * i4) AS BIGINT) AS q4,
-         CAST(SUM(i5) AS BIGINT) AS s5, CAST(SUM(i5 * i5) AS BIGINT) AS q5,
+         CAST(SUM(i1) AS BIGINT) AS s1,
+         CAST(SUM(CAST(i1 AS {wide}) * i1) AS {wide}) AS q1,
+         CAST(SUM(i2) AS BIGINT) AS s2,
+         CAST(SUM(CAST(i2 AS {wide}) * i2) AS {wide}) AS q2,
+         CAST(SUM(i3) AS BIGINT) AS s3,
+         CAST(SUM(CAST(i3 AS {wide}) * i3) AS {wide}) AS q3,
+         CAST(SUM(i4) AS BIGINT) AS s4,
+         CAST(SUM(CAST(i4 AS {wide}) * i4) AS {wide}) AS q4,
+         CAST(SUM(i5) AS BIGINT) AS s5,
+         CAST(SUM(CAST(i5 AS {wide}) * i5) AS {wide}) AS q5,
          CAST(SUM(i1 + i2 + i3 + i4 + i5) AS BIGINT) AS st,
-         CAST(SUM((i1 + i2 + i3 + i4 + i5) * (i1 + i2 + i3 + i4 + i5))
-              AS BIGINT) AS qt
+         CAST(SUM(CAST(i1 + i2 + i3 + i4 + i5 AS {wide})
+                  * (i1 + i2 + i3 + i4 + i5)) AS {wide}) AS qt
   FROM per_user
 ),
 vars_t AS (
@@ -2951,7 +2969,7 @@ FROM vars_t
 """
 
 
-@query("stat_cronbach_alpha", oracle=_CRONBACH_SQL, tags=("stats",))
+@query("stat_cronbach_alpha", oracle=_cronbach_sql("HUGEINT"), tags=("stats",))
 def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's alpha over the five per-user engagement counts: do
     the individual signals co-vary enough to justify summing them into
@@ -2963,7 +2981,7 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed conditional aggregate, one 1-row
     moment rollup."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_CRONBACH_SQL)
+    return spark.sql(_cronbach_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -3179,7 +3197,13 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z_ij = |cents_ij − group-median cents| (exact integers: percentile_disc
 # on integer cents); the F statistic folds from exact integer moments
 # (Σz, Σz², n per group) in IEEE-exact double expressions, milli-quantized.
-_LEVENE_SQL = """
+# The Σz² lane runs in the DECIMAL(38,0)↔HUGEINT wide pair: zv ≤ ~1e5
+# cents so zv² ≤ 1e10, and 1e12 rows per group put Σzv² ≈ 1e22 past
+# int64 (the same bound that widened _mde/_bh/_qq in round 10).
+
+
+def _levene_sql(wide: str) -> str:
+    return f"""
 WITH v AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events
@@ -3198,7 +3222,7 @@ g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(zv) AS BIGINT) AS s,
-         CAST(SUM(zv * zv) AS BIGINT) AS q
+         CAST(SUM(CAST(zv AS {wide}) * zv) AS {wide}) AS q
   FROM z GROUP BY event_type
 ),
 tot AS (
@@ -3226,7 +3250,7 @@ FROM parts
 """
 
 
-@query("stat_brown_forsythe", oracle=_LEVENE_SQL, tags=("stats",))
+@query("stat_brown_forsythe", oracle=_levene_sql("HUGEINT"), tags=("stats",))
 def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown–Forsythe test (Levene with MEDIAN centers): are the event
     types' value spreads actually comparable? — the gate before any
@@ -3241,7 +3265,7 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment fold is unchanged), one grouped moment aggregate, constant
     output."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_LEVENE_SQL)
+    return spark.sql(_levene_sql("DECIMAL(38,0)"))
 
 
 # ---------------------------------------------------------------------------
@@ -3252,7 +3276,13 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under Poisson D ≈ 1 with (n−1)·D ~ χ²(n−1), so the gate is
 # D > 1 + 2·sqrt(2/(n−1)) (the ~2σ cut). Counts are exact integers →
 # moments exact; one division + one sqrt, milli-quantized.
-_OVERDISP_SQL = """
+# The Σy² lane runs in the DECIMAL(38,0)↔HUGEINT wide pair: at the
+# 1e12-row target a single day's count y ≈ 1e10 makes y² ≈ 1e20 exceed
+# int64 on its own (the bound the round-10 Granger note cited).
+
+
+def _overdisp_sql(wide: str) -> str:
+    return f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS y
@@ -3262,7 +3292,7 @@ m AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(y) AS BIGINT) AS s,
-         CAST(SUM(y * y) AS BIGINT) AS q
+         CAST(SUM(CAST(y AS {wide}) * y) AS {wide}) AS q
   FROM daily GROUP BY event_type
 )
 SELECT event_type, n AS n_days, s AS n_events,
@@ -3278,7 +3308,9 @@ WHERE n > 1 AND s > 0
 """
 
 
-@query("stat_overdispersion", oracle=_OVERDISP_SQL, tags=("stats",))
+@query(
+    "stat_overdispersion", oracle=_overdisp_sql("HUGEINT"), tags=("stats",)
+)
 def stat_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson overdispersion check on daily event counts per type:
     dispersion index D = variance/mean with the ~2σ χ² gate — the
@@ -3291,4 +3323,4 @@ def stat_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one daily rollup + one per-type moment fold — both
     map-side combinable; output is type-count rows."""
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_OVERDISP_SQL)
+    return spark.sql(_overdisp_sql("DECIMAL(38,0)"))
