@@ -677,45 +677,86 @@ from udacity_data_engineer_capstone_spark.queries.warehouse import (  # noqa: E4
 )
 
 
+# Python state functions are invoked ONCE PER GROUP per micro-batch, so
+# keying the state by raw o_orderkey costs one Arrow slice + one pandas
+# call per KEY (~220k calls at sf0.1 — measured 69 s, >half the round-10
+# rotation bench). The state key is therefore a HASH BUCKET of the
+# orderkey and the bucket's live keys ride as array-valued state: Python
+# dispatch is ∝ buckets (constant), the per-bucket fold is one
+# vectorized pandas sort/drop_duplicates, and per-bucket state stays
+# bounded by keys/bucket — size `SPARK_GRAFT_CDC_BUCKETS` to the key
+# cardinality exactly like shuffle partitions (150 keys/bucket here;
+# a 1e9-key table at 1024 keys/bucket wants ~1e6 buckets).
+_CDC_STATE_BUCKETS = int(os.environ.get("SPARK_GRAFT_CDC_BUCKETS", "1024"))
+
+_CDC_STATE_COLS = ["o_orderkey", "seq", "o_orderstatus", "price_cents", "deleted"]
+
+
 @query("stream_cdc_apply", oracle=_CDC_BATCH_ORACLE, tags=("streaming", "pipeline"))
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-materialized CDC target: replay the I/U/D change-log
-    stream into per-key state with ``applyInPandasWithState`` and read
-    back the final table — last-writer-wins by batch seq, deletes as
-    tombstones filtered at the end. Oracle: the BATCH ranked-window
-    replay (cdc_upsert_log's SQL), so the streaming fold provably equals
-    the declarative merge.
+    stream into bucketed per-key state with ``applyInPandasWithState``
+    and read back the final table — last-writer-wins by batch seq,
+    deletes as tombstones filtered at the end. Oracle: the BATCH
+    ranked-window replay (cdc_upsert_log's SQL), so the streaming fold
+    provably equals the declarative merge. The native no-Python-state
+    formulation of the same merge is ``stream_cdc_apply_native``; this
+    form exists for state a declarative aggregate can't express
+    (conditional merges, column-subset upserts).
 
-    Scale shape: state is one row per live key (bounded by table
-    cardinality, the same bound a MERGE target has); each micro-batch
-    shuffles only that batch's keys. The memory-sink drain emits one row
-    per (key, batch) — the final max_by(seq) collapse is test harness,
-    not operator; a production job writes state updates straight to the
-    sink table."""
+    Scale shape: state is one row per live key, array-packed per hash
+    bucket (bounded by table cardinality / bucket count — the same
+    bound a MERGE target has); each micro-batch shuffles only that
+    batch's rows, and Python is invoked once per BUCKET with a
+    vectorized pandas fold, not once per key. The memory-sink drain
+    emits one row per touched (key, batch) — the final max_by(seq)
+    collapse is test harness, not operator; a production job writes
+    state updates straight to the sink table."""
 
     def update(key, pdfs, state: GroupState):
-        seq, status, cents, deleted = (
-            state.get if state.exists else (-1, "", 0, False)
-        )
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                if r.seq > seq:
-                    seq, status, cents, deleted = (
-                        int(r.seq),
-                        str(r.o_orderstatus),
-                        int(r.price_cents),
-                        r.op == "D",
-                    )
-        state.update((seq, status, cents, deleted))
-        yield pd.DataFrame(
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        new = pd.DataFrame(
             {
-                "o_orderkey": [key[0]],
-                "o_orderstatus": [status],
-                "price_cents": [cents],
-                "seq": [seq],
-                "deleted": [deleted],
+                "o_orderkey": batch["o_orderkey"],
+                "seq": batch["seq"].astype("int64"),
+                "o_orderstatus": batch["o_orderstatus"],
+                "price_cents": batch["price_cents"],
+                "deleted": batch["op"].eq("D"),
             }
         )
+        if state.exists:
+            keys, seqs, statuses, cents, dels = state.get
+            prev = pd.DataFrame(
+                {
+                    "o_orderkey": pd.array(keys, dtype="int64"),
+                    "seq": pd.array(seqs, dtype="int64"),
+                    "o_orderstatus": statuses,
+                    "price_cents": pd.array(cents, dtype="int64"),
+                    "deleted": pd.array(dels, dtype="bool"),
+                }
+            )
+            merged = pd.concat([prev, new], ignore_index=True)
+        else:
+            merged = new
+        # LWW fold, vectorized: stable sort on seq then keep the last
+        # row per key (state rows precede batch rows, so equal seqs —
+        # impossible here, each micro-batch is one seq — would keep the
+        # batch row; the old per-row loop's `>` kept state, and no seq
+        # repeats across batches by construction).
+        merged = merged.sort_values("seq", kind="stable").drop_duplicates(
+            "o_orderkey", keep="last"
+        )
+        state.update(
+            (
+                merged["o_orderkey"].tolist(),
+                merged["seq"].tolist(),
+                merged["o_orderstatus"].tolist(),
+                merged["price_cents"].tolist(),
+                merged["deleted"].tolist(),
+            )
+        )
+        touched = merged[merged["o_orderkey"].isin(new["o_orderkey"])]
+        yield touched[_CDC_STATE_COLS]
 
     src = stage_cdc_dir(spark, sf_dir)
     stream = (
@@ -723,13 +764,19 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    applied = stream.groupBy("o_orderkey").applyInPandasWithState(
+    bucketed = stream.withColumn(
+        "bucket", F.pmod(F.col("o_orderkey"), F.lit(_CDC_STATE_BUCKETS))
+    )
+    applied = bucketed.groupBy("bucket").applyInPandasWithState(
         update,
         outputStructType=(
-            "o_orderkey long, o_orderstatus string, price_cents long, "
-            "seq long, deleted boolean"
+            "o_orderkey long, seq long, o_orderstatus string, "
+            "price_cents long, deleted boolean"
         ),
-        stateStructType="seq long, o_orderstatus string, price_cents long, deleted boolean",
+        stateStructType=(
+            "keys array<long>, seqs array<long>, statuses array<string>, "
+            "cents array<long>, dels array<boolean>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -740,6 +787,48 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("deleted", "seq").alias("deleted"),
         F.max("seq").alias("last_seq"),
     )
+    return final.where(~F.col("deleted")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_cents") / F.lit(100.0)).alias("o_totalprice"),
+        F.col("last_seq").cast("int").alias("last_seq"),
+    )
+
+
+@query(
+    "stream_cdc_apply_native",
+    oracle=_CDC_BATCH_ORACLE,
+    tags=("streaming", "pipeline"),
+)
+def stream_cdc_apply_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same continuously-materialized CDC merge with NO Python
+    state at all: last-writer-wins is just ``max_by(col, seq)``, a
+    native streaming aggregation whose state lives in the JVM state
+    store — the formulation to prefer whenever the merge rule is
+    expressible as an aggregate (LWW always is). Oracle: the identical
+    BATCH ranked-window replay (``_CDC_BATCH_ORACLE``), so this and the
+    ``applyInPandasWithState`` form are provably the same table and the
+    Python-state form is a choice, not the only path.
+
+    Scale shape: one keyed streaming aggregate — state is one
+    fixed-width row per live key in the JVM state store, each
+    micro-batch shuffles only its own rows, zero Python in the loop.
+    The complete-mode memory sink is test harness (it re-emits the
+    table per trigger); a production job runs update mode into a keyed
+    sink."""
+    src = stage_cdc_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_CDC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    applied = stream.groupBy("o_orderkey").agg(
+        F.max_by("o_orderstatus", "seq").alias("o_orderstatus"),
+        F.max_by("price_cents", "seq").alias("price_cents"),
+        F.max_by(F.col("op") == F.lit("D"), "seq").alias("deleted"),
+        F.max("seq").alias("last_seq"),
+    )
+    final = run_to_memory(applied, output_mode="complete")
     return final.where(~F.col("deleted")).select(
         "o_orderkey",
         "o_orderstatus",
