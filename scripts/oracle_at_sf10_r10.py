@@ -51,15 +51,13 @@ QUERIES = [
     "dedup_minhash_lsh",           # banded candidates + exact-Jaccard verify
     "text_tokens",                 # tokenizer counts over 500k docs
     "evt_rfm_segmentation",        # boundary-quartile cuts over 150k users
-    # NOTE: win_running_frame / ts_rolling_median were tried here and
-    # dropped: their outputs are FULL-TABLE (10M rows at sf10) and the
-    # row-materializing compare OOMs the replay process (~108 GB RSS
-    # observed) — a limit of the gate harness, not the queries (both
-    # stay oracle-verified at the driver's gate scale). Aggregate-
-    # shaped representatives of the same families stand in.
-    # (join_salted_skew's output is the FULL joined fact table — same
-    # row-materializing OOM as above; the skew family is represented by
-    # its aggregate-shaped diagnostics query instead)
+    # NOTE (closed in round 11): win_running_frame / ts_rolling_median /
+    # join_salted_skew were dropped HERE because their FULL-TABLE
+    # outputs (10M+ rows at sf10) OOM this row-materializing compare
+    # (~108 GB RSS observed). tests/oracle.compare_agghash +
+    # scripts/oracle_agghash_r11.py close that class: each engine folds
+    # its whole result to scalars internally, and all three queries are
+    # now hash-exact at sf10 AND sf100 (SCALE.md round-11 section).
     "win_ntile_dist",              # window-family rep: ntile distribution
     "stat_join_skew_diag",         # skew-family rep: hot-key diagnostics
     "ts_resample_ohlc",            # ts-family rep: hourly OHLC resample

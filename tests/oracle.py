@@ -16,6 +16,7 @@ as strict as the driver.
 from __future__ import annotations
 
 import math
+import os
 import re
 from datetime import date, datetime
 from decimal import Decimal
@@ -29,8 +30,12 @@ from udacity_data_engineer_capstone_spark.registry import QUERIES
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = table_path(sf_dir, t)
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
@@ -167,3 +172,171 @@ def compare(spark, name: str, sf_dir: str) -> None:
         if s != d
     ]
     assert not bad, f"{name}: {len(bad)} mismatched rows; first 3: {bad[:3]}"
+
+
+# --- aggregate-hash compare (scaled-result mode) ---------------------------
+#
+# ``compare`` materializes both result sets on the driver — at sf10+ a
+# full-table output (10M+ rows) OOMs the comparing process (~108 GB RSS
+# observed, round 10). ``compare_agghash`` instead folds each engine's
+# ENTIRE result down to three scalars INSIDE that engine — row count
+# plus two independent 60-bit sums of per-row md5 chunks over a
+# canonicalized row string — and compares the scalars. Order-
+# insensitive (sum), distributed on the Spark side (no driver
+# materialization), out-of-core on the DuckDB side.
+#
+# Canonical cell rendering (must be bit-identical across engines):
+#   int lanes  -> CAST AS STRING          (identical decimal text)
+#   string     -> the value itself
+#   boolean    -> '1' / '0'
+#   date       -> CAST AS STRING          (ISO-8601 in both)
+#   timestamp  -> epoch micros as text    (unix_micros / epoch_us;
+#                 session TZ is UTC so LTZ wall-clocks agree)
+#   double     -> CAST(FLOOR(x * 10^k + 0.5) AS BIGINT) text — the
+#                 engine's integer-lane idiom. Every double op here is
+#                 IEEE-identical in both engines, so the rendering is
+#                 deterministic; and because the engine's double lanes
+#                 carry <=k-decimal rationals (cents/micros
+#                 discipline), the scaled integer recovers the EXACT
+#                 underlying rational, not an approximation. A double
+#                 whose |x|*10^k exceeds int64 ANSI-aborts loudly in
+#                 both engines (no silent wrap). NaN/±inf render as
+#                 literals.
+# NULL renders as chr(1) (unreachable by real data); cells join with
+# chr(31). Java's %.17e is NOT correctly rounded (pads shortest-repr
+# digits with zeros, measured: 0.1 -> ...00000e-01 vs DuckDB's
+# ...00006e-01), which is why doubles canonicalize via scaled integers
+# rather than text formatting.
+
+_AGGHASH_DOUBLE_SCALE = 4
+
+
+def _cell_exprs(col: str, canon_type: str, engine: str, scale: int):
+    """Render one column to its canonical string in ``engine``
+    ('spark' | 'duck') SQL. Raises on types with no portable canonical
+    form (arrays/maps/structs/decimal) — those queries keep the
+    row-materializing gate."""
+    q = f'"{col}"' if engine == "duck" else f"`{col}`"
+    if canon_type == "string":
+        base = q
+    elif canon_type in ("bigint", "int", "smallint", "tinyint"):
+        base = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
+    elif canon_type == "boolean":
+        base = f"CASE WHEN {q} THEN '1' ELSE '0' END"
+    elif canon_type == "date":
+        base = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
+    elif canon_type == "timestamp":
+        base = (
+            f"CAST(unix_micros({q}) AS STRING)"
+            if engine == "spark"
+            else f"CAST(epoch_us({q}) AS VARCHAR)"
+        )
+    elif canon_type in ("double", "float"):
+        mul = 10**scale
+        if engine == "spark":
+            num = (
+                f"CASE WHEN isnan({q}) THEN 'nan'"
+                f" WHEN {q} = double('Infinity') THEN 'inf'"
+                f" WHEN {q} = double('-Infinity') THEN '-inf'"
+                f" ELSE CAST(CAST(FLOOR({q} * {mul} + 0.5) AS BIGINT) AS STRING) END"
+            )
+        else:
+            num = (
+                f"CASE WHEN isnan({q}) THEN 'nan'"
+                f" WHEN isinf({q}) AND {q} > 0 THEN 'inf'"
+                f" WHEN isinf({q}) THEN '-inf'"
+                f" ELSE CAST(CAST(FLOOR({q} * {mul} + 0.5) AS BIGINT) AS VARCHAR) END"
+            )
+        base = num
+    else:
+        raise AssertionError(
+            f"column {col}: no portable canonical form for type {canon_type}"
+        )
+    return f"COALESCE({base}, chr(1))"
+
+
+def _agghash_scalars_spark(sdf, cols, types, scale):
+    cells = [
+        _cell_exprs(c, t, "spark", scale) for c, t in zip(cols, types)
+    ]
+    row_s = f"concat_ws(chr(31), {', '.join(cells)})"
+    agg = sdf.selectExpr(f"md5({row_s}) AS h").selectExpr(
+        "CAST(COUNT(*) AS STRING) AS n",
+        "CAST(SUM(CAST(conv(substring(h, 1, 15), 16, 10) AS DECIMAL(38,0)))"
+        " AS STRING) AS h1",
+        "CAST(SUM(CAST(conv(substring(h, 17, 15), 16, 10) AS DECIMAL(38,0)))"
+        " AS STRING) AS h2",
+    )
+    r = agg.collect()[0]
+    return int(r["n"]), int(r["h1"] or 0), int(r["h2"] or 0)
+
+
+def _agghash_scalars_duck(con, oracle_sql: str, cols, types, scale):
+    cells = [
+        _cell_exprs(c, t, "duck", scale) for c, t in zip(cols, types)
+    ]
+    row_s = f"concat_ws(chr(31), {', '.join(cells)})"
+    q = f"""
+WITH q AS ({oracle_sql}),
+h AS (SELECT md5({row_s}) AS h FROM q)
+SELECT CAST(COUNT(*) AS VARCHAR) AS n,
+       CAST(SUM(CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS HUGEINT))
+            AS VARCHAR) AS h1,
+       CAST(SUM(CAST(CAST('0x' || substr(h, 17, 15) AS BIGINT) AS HUGEINT))
+            AS VARCHAR) AS h2
+FROM h
+"""
+    n, h1, h2 = con.sql(q).fetchone()
+    return int(n), int(h1 or 0), int(h2 or 0)
+
+
+def compare_agghash(
+    spark, name: str, sf_dir: str, scale: int = _AGGHASH_DOUBLE_SCALE
+) -> dict:
+    """Scaled-result oracle gate: assert the Spark query and its DuckDB
+    oracle agree at ``sf_dir`` on column names, canonical result types,
+    row count, and an order-insensitive whole-result hash — WITHOUT
+    materializing a single result row outside either engine. Strictly
+    weaker than :func:`compare` only in that equal hashes are
+    probabilistic evidence (two independent 60-bit chunk sums) rather
+    than row-by-row equality; every canonical rendering above is
+    value-exact for this engine's lanes, including doubles (scaled
+    integers of <=``scale``-decimal rationals)."""
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert_no_decimal(name, sdf)
+    fields = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    spark_cols = sorted(sdf.columns)
+    spark_types = [fields[c] for c in spark_cols]
+
+    assert spec.oracle is not None, f"{name} has no oracle"
+    con = duckdb_con(sf_dir)
+    rel = con.sql(spec.oracle_text())  # binds lazily: types without a run
+    duck_cols_raw = list(rel.columns)
+    duck_types_raw = [canon_duck_type(t) for t in rel.types]
+    order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
+    duck_cols = [duck_cols_raw[i] for i in order]
+    duck_types = [duck_types_raw[i] for i in order]
+
+    assert spark_cols == duck_cols, (
+        f"{name}: column mismatch spark={spark_cols} duckdb={duck_cols}"
+    )
+    type_diffs = [
+        (c, st, dt)
+        for c, st, dt in zip(spark_cols, spark_types, duck_types)
+        if st != dt
+    ]
+    assert not type_diffs, (
+        f"{name}: result-TYPE mismatch [(col, spark, duckdb)]: {type_diffs}"
+    )
+
+    s_n, s_h1, s_h2 = _agghash_scalars_spark(sdf, spark_cols, spark_types, scale)
+    d_n, d_h1, d_h2 = _agghash_scalars_duck(
+        con, spec.oracle_text(), duck_cols, duck_types, scale
+    )
+    assert s_n == d_n, f"{name}: row count mismatch spark={s_n} duckdb={d_n}"
+    assert (s_h1, s_h2) == (d_h1, d_h2), (
+        f"{name}: aggregate-hash mismatch over {s_n} rows "
+        f"(spark=({s_h1},{s_h2}) duckdb=({d_h1},{d_h2}))"
+    )
+    return {"rows": s_n, "h1": s_h1, "h2": s_h2}
