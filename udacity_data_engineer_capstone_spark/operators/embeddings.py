@@ -650,19 +650,25 @@ _KM_ITERS = 2
 _KM_DIM = 64
 
 
-def _km_oracle() -> str:
+def km_ctes(k: int, iters: int, p: str = "") -> list[str]:
+    """Unrolled exact-integer Lloyd CTEs (DuckDB SQL) — the oracle twin
+    of :func:`int_lloyd`; the two must stay in lockstep. ``p`` prefixes
+    every CTE name so callers (the deterministic-trained ANN eval)
+    can embed a Lloyd chain beside other CTE chains in one statement.
+    The quantize CTE is ``{p}q``; the final centroid arrays are
+    ``{p}c{iters}``; the final update table is ``{p}e{iters}``."""
     ctes = [
-        """q AS (
+        f"""{p}q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
   FROM embeddings
 )""",
-        f"c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {_KM_K})",
+        f"{p}c0 AS (SELECT vec_id AS cid, q AS c FROM {p}q WHERE vec_id < {k})",
     ]
-    for i in range(1, _KM_ITERS + 1):
+    for i in range(1, iters + 1):
         ctes.append(
-            f"""a{i} AS (
+            f"""{p}a{i} AS (
   SELECT vec_id, cid FROM (
     SELECT q.vec_id, c.cid,
            ROW_NUMBER() OVER (
@@ -670,27 +676,31 @@ def _km_oracle() -> str:
              ORDER BY list_sum(list_transform(range(1, {_KM_DIM + 1}),
                         j -> (q.q[j] - c.c[j]) * (q.q[j] - c.c[j]))), c.cid)
              AS rn
-    FROM q CROSS JOIN c{i - 1} c
+    FROM {p}q q CROSS JOIN {p}c{i - 1} c
   ) t WHERE rn = 1
 )""")
         ctes.append(
-            f"""e{i} AS (
+            f"""{p}e{i} AS (
   SELECT a.cid, u.j,
          CAST(floor(CAST(SUM(q.q[u.j]) AS DOUBLE) / COUNT(*)) AS BIGINT)
            AS c_milli,
          CAST(COUNT(*) AS BIGINT) AS n_members
-  FROM a{i} a JOIN q ON q.vec_id = a.vec_id,
+  FROM {p}a{i} a JOIN {p}q q ON q.vec_id = a.vec_id,
        LATERAL (SELECT unnest(range(1, {_KM_DIM + 1})) AS j) u
   GROUP BY a.cid, u.j
 )""")
         ctes.append(
-            f"""c{i} AS (
+            f"""{p}c{i} AS (
   SELECT cid, list(c_milli ORDER BY j) AS c
-  FROM e{i} GROUP BY cid
+  FROM {p}e{i} GROUP BY cid
 )""")
+    return ctes
+
+
+def _km_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(km_ctes(_KM_K, _KM_ITERS))
         + f"""
 SELECT cid AS centroid_id, CAST(j AS BIGINT) AS dim, c_milli, n_members
 FROM e{_KM_ITERS}
@@ -718,49 +728,80 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (numpy argmin picks the first minimum = smallest cid because the
     matrix rows are ordered by cid), floor(double) centroid updates."""
     emb = load_table_scaled(spark, sf_dir, "embeddings")
-    q = emb.select(
+    q = milli_quantize(emb).localCheckpoint()
+    _cents, last_update = int_lloyd(q, _KM_K, _KM_ITERS)
+
+    return last_update.select(
+        F.col("cid").alias("centroid_id"),
+        F.col("j").cast("long").alias("dim"),
+        "c_milli",
+        "n_members",
+    )
+
+
+def milli_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, q: array<bigint>) — embeddings milli-quantized to exact
+    integers, the shared lane of every exact-arithmetic vector op
+    (Lloyd, the deterministic-trained ANN eval tiers)."""
+    return emb.select(
         "vec_id",
         F.expr(
             "transform(embedding,"
             " x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
         ).alias("q"),
-    ).localCheckpoint()
-
-    cents = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("c")
     )
 
-    assigned = None
-    for _ in range(_KM_ITERS):
-        # constant-size driver fetch (k x d ints), the PCA-Gram pattern
-        cent_rows = sorted(
-            ((r["cid"], list(r["c"])) for r in cents.collect()),
-            key=lambda t: t[0],
-        )
-        cids = [c for c, _ in cent_rows]
 
-        def _assign(batches, _cent_rows=cent_rows, _cids=cids):
-            import numpy as np
-            import pandas as pd
+def int_lloyd_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """One exact-int64 Lloyd assignment pass: (vec_id, cid) of each
+    vector's nearest centroid with smallest-cid tie-break. The k×d
+    centroid coordinates are a constant-size driver fetch (the
+    PCA-Gram pattern); assignment is ONE Arrow-batched int64 matmul —
+    narrow map, no shuffle."""
+    cent_rows = sorted(
+        ((r["cid"], list(r["c"])) for r in cents.collect()),
+        key=lambda t: t[0],
+    )
+    cids = [c for c, _ in cent_rows]
 
-            cmat = np.array([v for _, v in _cent_rows], dtype=np.int64)
-            cnorm = (cmat * cmat).sum(axis=1)  # (k,)
-            cid_arr = np.array(_cids, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-                d = (
-                    (qm * qm).sum(axis=1, keepdims=True)
-                    - 2 * (qm @ cmat.T)
-                    + cnorm[None, :]
-                )  # exact int64 squared L2
-                pick = cid_arr[np.argmin(d, axis=1)]
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"].to_numpy(), "cid": pick}
-                )
+    def _assign(batches, _cent_rows=cent_rows, _cids=cids):
+        import numpy as np
+        import pandas as pd
 
-        assigned = q.mapInPandas(_assign, schema="vec_id long, cid long")
+        cmat = np.array([v for _, v in _cent_rows], dtype=np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)  # (k,)
+        cid_arr = np.array(_cids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = (
+                (qm * qm).sum(axis=1, keepdims=True)
+                - 2 * (qm @ cmat.T)
+                + cnorm[None, :]
+            )  # exact int64 squared L2
+            pick = cid_arr[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cid": pick}
+            )
+
+    return q.mapInPandas(_assign, schema="vec_id long, cid long")
+
+
+def int_lloyd(q: DataFrame, k: int, iters: int):
+    """The exact-integer Lloyd round machinery (first-k seeding,
+    smallest-cid tie-break, floor(double) centroid updates) shared by
+    ``emb_kmeans_lloyd`` and the deterministic-trained ANN eval's IVF
+    tier. Returns ``(cents, last_update)``: the centroid-array table
+    after the final round and the long-format (cid, j, c_milli,
+    n_members) update table that produced it. Its unrolled-SQL twin is
+    :func:`_km_ctes` — the two must stay in lockstep."""
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    last_update = None
+    for _ in range(iters):
+        assigned = int_lloyd_assign(q, cents)
         upd = (
             assigned.join(q, "vec_id")
             .select("cid", F.posexplode("q").alias("j0", "qv"))
@@ -779,13 +820,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
         last_update = upd
-
-    return last_update.select(
-        F.col("cid").alias("centroid_id"),
-        F.col("j").cast("long").alias("dim"),
-        "c_milli",
-        "n_members",
-    )
+    return cents, last_update
 
 
 def lloyd_fit(

@@ -1391,35 +1391,417 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("sim_ann_recall_eval_trained", tags=("similarity", "eval"))
-def sim_ann_recall_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of the TRAINED ANN tiers (IVF-nprobe, 16x4-bit
-    PQ+ADC) against the exact brute-force baseline — the other half of
-    the index-quality artifact, deliberately rows-only.  Why no SQL
-    oracle (each obstruction is an execution-engine artifact, not a
-    modeling choice):
+# --- deterministic-trained tiers (round-11 directive 4) --------------------
+#
+# The float serving-path fits (ann_ivf_topk's float64 Lloyd,
+# ann_pq_topk's Bernoulli-sampled codebooks) are execution-engine
+# artifacts no independent SQL engine can reproduce (layout-dependent
+# sampling; ulp-order-dependent float sums). The TRAINED-tier recall
+# eval therefore evaluates deterministic-training twins of the same
+# index families — still genuinely trained on the data, but through
+# the exact-integer Lloyd machinery that emb_kmeans_lloyd already
+# proved SQL-replayable:
+#
+#   IVF tier: coarse cells = the exact-integer Lloyd clustering
+#     (milli-quantized vectors, first-k seeding, smallest-id
+#     tie-break), nprobe nearest cells per query by the same integer
+#     distance, exact widened-fold cosine rerank.
+#   PQ tier: 16 subspaces x 4 dims, codebooks from the same integer
+#     Lloyd per subspace (in lockstep), ADC scores as EXACT int64
+#     dot products of milli-quantized query subvectors against
+#     codewords — the score sum is integer, so no float fold-order
+#     can diverge anywhere in the tier.
+#
+# The float serving paths keep their recall floors pinned in
+# tests/test_similarity.py; the planted-neighbor contract
+# (sim_ann_ivf / sim_ann_pq) covers their correctness.
 
-    - **PQ**: the codebooks fit on a byte-bounded sample drawn with
-      Spark's Bernoulli sampler (``df.sample``), whose per-partition
-      XORShift streams depend on partition LAYOUT — no independent SQL
-      engine can reproduce the sample, hence the codebooks, hence the
-      codes.
-    - **IVF**: the coarse quantizer trains through the distributed
-      Lloyd fit (``embeddings.lloyd_fit``), whose centroid updates are
-      float64 hash-aggregate sums — associativity-order-dependent in
-      the last ulps, which argmin assignment can amplify into
-      different (equally valid) cells.  The exact-integer Lloyd
-      variant (``emb_kmeans_lloyd``) IS oracled; the serving-path fit
-      keeps float math for fidelity to production index builds.
+_DET_NPROBE = 2  # of the emb_kmeans_lloyd k=8 cells
+_PQ_SUBS = 16
+_PQ_SUBDIM = 4
+_PQ_CODES = 16  # 4-bit codes, the float tier's width
+_PQ_ITERS = 2
+_PQ_SHORTLIST = 4 * TOP_K  # ADC shortlist reranked by exact cosine
 
-    Recall floors for both tiers are pinned in tests/test_similarity.py
-    against the exact baseline computed in the SAME engine, which is
-    the meaningful invariant for approximate indexes.""".replace(
-        "{k}", str(TOP_K)
+_FOLD_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
+
+def _ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the deterministic exact-integer coarse quantizer: the
+    cells ARE emb_kmeans_lloyd's clustering (same k, iters, seeding,
+    tie-break); probing and assignment use the same exact int64
+    distance; the rerank is the widened-fold cosine shared with the
+    brute-force baseline."""
+    from udacity_data_engineer_capstone_spark.operators.embeddings import (
+        _KM_ITERS,
+        _KM_K,
+        int_lloyd,
+        int_lloyd_assign,
+        milli_quantize,
     )
+
+    raw = load_table_scaled(spark, sf_dir, "embeddings")
+    emb = _as_double(raw)
+    q = milli_quantize(raw).localCheckpoint()
+    cents, _upd = int_lloyd(q, _KM_K, _KM_ITERS)
+    cents = cents.localCheckpoint()
+    cells = int_lloyd_assign(q, cents)
+
+    qq = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qm")
+    )
+    d2 = F.expr(_FOLD_D2.format(a="qm", b="c"))
+    w = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DET_NPROBE)
+        .select("qid", "cid")
+    )
+    # a vector lives in exactly one cell and a query probes distinct
+    # cells, so (query, neighbor) pairs are already unique
+    cand = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("ev")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, ev, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    nq = F.sqrt(
+        F.expr("aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x)")
+    )
+    ne = F.sqrt(
+        F.expr("aggregate(transform(ev, x -> x * x), 0D, (acc, x) -> acc + x)")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("cos_sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def _pq_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ+ADC with deterministic exact-integer codebooks: per-subspace
+    integer Lloyd (first-k seeding, smallest-code tie-break), ADC
+    scores as exact int64 dots of milli-quantized query subvectors
+    against codewords — integer everywhere, so the tier is
+    bit-reproducible by construction."""
+    from udacity_data_engineer_capstone_spark.operators.embeddings import (
+        milli_quantize,
+    )
+
+    raw = load_table_scaled(spark, sf_dir, "embeddings")
+    q = milli_quantize(raw)
+    qsub = q.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}),"
+                f" s -> slice(q, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("s", "qs"),
+    ).localCheckpoint()
+
+    cb = qsub.filter(F.col("vec_id") < _PQ_CODES).select(
+        "s", F.col("vec_id").alias("code"), F.col("qs").alias("c")
+    )
+    d2 = F.expr(_FOLD_D2.format(a="qs", b="c"))
+
+    def _assign_codes(codebook: DataFrame) -> DataFrame:
+        return (
+            qsub.join(F.broadcast(codebook), "s")
+            .withColumn("d2", d2)
+            .groupBy("vec_id", "s")
+            .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+        )
+
+    for _ in range(_PQ_ITERS):
+        assigned = _assign_codes(cb)
+        upd = (
+            assigned.join(qsub, ["vec_id", "s"])
+            .select("s", "code", F.posexplode("qs").alias("j0", "qv"))
+            .groupBy("s", "code", (F.col("j0") + 1).alias("j"))
+            .agg(
+                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("c_milli")
+            )
+        )
+        cb = (
+            upd.groupBy("s", "code")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, c_milli))),"
+                    " t -> t.c_milli)"
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+
+    codes = _assign_codes(cb)
+    qpart = (
+        qsub.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", "qs")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.expr(
+                "aggregate(zip_with(qs, c, (x, y) -> x * y),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("p"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qpart), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("p").alias("score"))
+    )
+    # ADC shortlist, then the exact widened-fold cosine rerank the
+    # float tier also does — ADC ranks with quantization noise; the
+    # true neighbors only need to LAND in the shortlist
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    emb = _as_double(raw)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("ev")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, ev, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    nq = F.sqrt(
+        F.expr("aggregate(transform(qv, x -> x * x), 0D, (acc, x) -> acc + x)")
+    )
+    ne = F.sqrt(
+        F.expr("aggregate(transform(ev, x -> x * x), 0D, (acc, x) -> acc + x)")
+    )
+    rer = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .select("query_id", "neighbor_id", (dot / (nq * ne)).alias("cos_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _trained_recall_oracle() -> str:
+    """Generated DuckDB oracle for the deterministic-trained tiers:
+    the IVF chain reuses emb_kmeans_lloyd's unrolled Lloyd CTEs
+    (km_ctes — the engine and oracle share one textual definition of
+    the fit), adds a final assignment + nprobe probing + the widened
+    cosine rerank; the PQ chain unrolls the per-subspace integer Lloyd
+    the same way and scores candidates with exact integer ADC sums."""
+    from udacity_data_engineer_capstone_spark.operators.embeddings import (
+        _KM_ITERS,
+        _KM_K,
+        km_ctes,
+    )
+
+    dot_cos = f"{_DOT} / ({_NORM.format(s='q')} * {_NORM.format(s='e')})"
+    d2_64 = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (q.q[j] - c.c[j]) * (q.q[j] - c.c[j])))"
+    )
+    d2_sub = (
+        f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+        " j -> (q.qs[j] - c.c[j]) * (q.qs[j] - c.c[j])))"
+    )
+    ctes = [
+        """emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {dot_cos} AS cos_sim
+    FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+)""",
+        "eq AS (SELECT DISTINCT query_id FROM exact)",
+    ]
+    ctes += km_ctes(_KM_K, _KM_ITERS, p="kv")
+    ctes += [
+        f"""kvafin AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2_64}, c.cid) AS rn
+    FROM kvq q CROSS JOIN kvc{_KM_ITERS} c
+  ) t WHERE rn = 1
+)""",
+        f"""probe AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {d2_64}, c.cid) AS rn
+    FROM kvq q CROSS JOIN kvc{_KM_ITERS} c
+    WHERE q.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {_DET_NPROBE}
+)""",
+        f"""ivf_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.qid AS query_id, a.vec_id AS neighbor_id, {dot_cos} AS cos_sim
+    FROM probe p
+    JOIN kvafin a ON a.cid = p.cid AND a.vec_id <> p.qid
+    JOIN emb q ON q.vec_id = p.qid
+    JOIN emb e ON e.vec_id = a.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+)""",
+        f"""sub AS (
+  SELECT vec_id, u.s,
+         q[u.s * {_PQ_SUBDIM} + 1 : u.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS qs
+  FROM kvq, LATERAL (SELECT unnest(range(0, {_PQ_SUBS})) AS s) u
+)""",
+        f"pcb0 AS (SELECT s, vec_id AS code, qs AS c FROM sub"
+        f" WHERE vec_id < {_PQ_CODES})",
+    ]
+    for i in range(1, _PQ_ITERS + 1):
+        ctes.append(
+            f"""pa{i} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT q.vec_id, q.s, c.code,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id, q.s
+             ORDER BY {d2_sub}, c.code) AS rn
+    FROM sub q JOIN pcb{i - 1} c ON c.s = q.s
+  ) t WHERE rn = 1
+)""")
+        ctes.append(
+            f"""pe{i} AS (
+  SELECT a.s, a.code, u.j,
+         CAST(floor(CAST(SUM(q.qs[u.j]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS c_milli
+  FROM pa{i} a JOIN sub q ON q.vec_id = a.vec_id AND q.s = a.s,
+       LATERAL (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS j) u
+  GROUP BY a.s, a.code, u.j
+)""")
+        ctes.append(
+            f"pcb{i} AS (SELECT s, code, list(c_milli ORDER BY j) AS c"
+            f" FROM pe{i} GROUP BY s, code)"
+        )
+    ctes += [
+        f"""codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT q.vec_id, q.s, c.code,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id, q.s
+             ORDER BY {d2_sub}, c.code) AS rn
+    FROM sub q JOIN pcb{_PQ_ITERS} c ON c.s = q.s
+  ) t WHERE rn = 1
+)""",
+        f"""qpart AS (
+  SELECT q.vec_id AS query_id, q.s, c.code,
+         list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),
+                  j -> q.qs[j] * c.c[j])) AS p
+  FROM sub q JOIN pcb{_PQ_ITERS} c ON c.s = q.s
+  WHERE q.vec_id < {N_QUERIES}
+)""",
+        f"""pq_short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, cd.vec_id AS neighbor_id,
+           SUM(p.p) AS score
+    FROM codes cd JOIN qpart p ON p.s = cd.s AND p.code = cd.code
+    WHERE cd.vec_id <> p.query_id
+    GROUP BY p.query_id, cd.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id)
+      <= {_PQ_SHORTLIST}
+)""",
+        f"""pq_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT sl.query_id, sl.neighbor_id, {dot_cos} AS cos_sim
+    FROM pq_short sl
+    JOIN emb q ON q.vec_id = sl.query_id
+    JOIN emb e ON e.vec_id = sl.neighbor_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+)""",
+        f"ivf_perq AS {_recall_perq_cte('ivf_topk')}",
+        f"pq_perq AS {_recall_perq_cte('pq_topk')}",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT 'ivf' AS variant, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hit) * 1000000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+         AS recall_ppm
+FROM ivf_perq
+UNION ALL
+SELECT 'pq', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_hit) * 1000000 // (COUNT(*) * {TOP_K}) AS BIGINT)
+FROM pq_perq
+"""
+    )
+
+
+@query(
+    "sim_ann_recall_eval_trained",
+    oracle=_trained_recall_oracle,
+    tags=("similarity", "eval"),
+)
+def sim_ann_recall_eval_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the TRAINED ANN tiers against the exact
+    brute-force baseline, now with a full hash-matching DuckDB oracle
+    (round-11 directive 4). The evaluated tiers are the
+    deterministic-training twins of IVF and PQ (module note above):
+    exact-integer Lloyd cells / codebooks, integer probing distances,
+    integer ADC — trained on the data, reproducible by construction,
+    so the entire fit→index→search→recall chain replays in SQL. The
+    float serving-path fits (ann_ivf_topk, ann_pq_topk) remain
+    evaluated by the planted-neighbor contract (sim_ann_ivf,
+    sim_ann_pq) and the recall floors in tests/test_similarity.py —
+    their Bernoulli sample / float-sum fits are execution-engine
+    artifacts no independent SQL engine can reproduce.
+
+    Cost: the Lloyd fits are constant-size driver fetches + narrow
+    Arrow maps (emb_kmeans_lloyd's scale shape); candidate generation
+    is cell-bounded (IVF) / codes-table-bounded (PQ, the point of
+    ADC); rerank joins are id-width.""".replace("{k}", str(TOP_K))
     variants = [
-        ("ivf", ann_ivf_topk(spark, sf_dir)),
-        ("pq", ann_pq_topk(spark, sf_dir)),
+        ("ivf", _ivf_det_topk(spark, sf_dir)),
+        ("pq", _pq_det_topk(spark, sf_dir)),
     ]
     out = None
     for name, df in variants:
