@@ -199,6 +199,128 @@ HIGH_VARIANCE = {
 ROTATION_N = 20
 
 
+# Round-11 directive 7a: the ad-hoc throwaway-worktree control that
+# decided round 10's bench verdict (unchanged r9 tree re-benched on the
+# r10 box: 134.0 s vs its recorded 106.7 s — the "regression" was the
+# box) is now a PERMANENT bench artifact. After the headline pass,
+# bench.py checks the PRIOR round's snapshot tree out into a throwaway
+# worktree and re-times a fixed stable subset of headliners there, in a
+# fresh subprocess/JVM on this same box. BENCH_DETAIL.json then carries
+# {head, control_prior_tree}: prior-code-on-today's-box vs its own
+# recorded numbers isolates box drift; HEAD's same-subset medians vs
+# the control isolates the code delta. Disable with
+# SPARK_GRAFT_BENCH_CONTROL=0; failures are recorded, never fatal.
+CONTROL_QUERIES = [
+    "flagship_regional_revenue",
+    "agg_groupby_sum",
+    "join_left_5way",
+    "dedup_exact",
+    "text_quality",
+    "tpch_q1_pricing_summary",
+    "graph_pagerank",
+    "ts_resample_ohlc",
+]
+
+
+def _prior_snapshot_ref(repo: str, rnd: int) -> str | None:
+    import subprocess
+
+    env_ref = os.environ.get("SPARK_GRAFT_BENCH_CONTROL_REF")
+    if env_ref:
+        return env_ref
+    out = subprocess.run(
+        ["git", "-C", repo, "log", "--format=%H %s"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    if out.returncode != 0:
+        return None
+    for line in out.stdout.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(rf"round {rnd - 1}: end-of-round snapshot", subject):
+            return sha
+    return None
+
+
+def _control_prior_tree(
+    repo: str, rnd: int, sf_dir: str, cpus: str
+) -> dict:
+    import subprocess
+    import tempfile
+    import textwrap
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_BENCH_CONTROL=0"}
+    ref = _prior_snapshot_ref(repo, rnd)
+    if ref is None:
+        return {"skipped": f"no round-{rnd - 1} snapshot commit found"}
+    wt = tempfile.mkdtemp(prefix="bench_ctrl_")
+    try:
+        add = subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        if add.returncode != 0:
+            return {"error": f"worktree add failed: {add.stderr[:200]}"}
+        script = textwrap.dedent(
+            f"""
+            import json, statistics, sys, time
+            sys.path.insert(0, {wt!r})
+            import udacity_data_engineer_capstone_spark as engine
+            engine.load_all()
+            from pyspark.sql import SparkSession
+            from udacity_data_engineer_capstone_spark.session import configure
+            spark = configure(
+                SparkSession.builder.master("local[{cpus}]")
+                .appName("bench-control")
+                .config("spark.driver.memory", "16g")
+                .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+                .config("spark.ui.showConsoleProgress", "false")
+            ).getOrCreate()
+            spark.sparkContext.setLogLevel("ERROR")
+            fns = engine.get_queries()
+            names = {CONTROL_QUERIES!r}
+            for n in names:
+                fns[n](spark, "/root/testdata/sf0.001").count()
+            samples = {{n: [] for n in names}}
+            for r in range(3):
+                for n in names:
+                    t0 = time.perf_counter()
+                    fns[n](spark, {sf_dir!r}).count()
+                    samples[n].append(time.perf_counter() - t0)
+            print(json.dumps(
+                {{n: round(statistics.median(t), 3)
+                  for n, t in samples.items()}}))
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=wt,
+        )
+        if proc.returncode != 0:
+            return {"ref": ref, "error": proc.stderr[-300:]}
+        timings = json.loads(proc.stdout.strip().splitlines()[-1])
+        return {
+            "ref": ref,
+            "queries": timings,
+            "total": round(sum(timings.values()), 3),
+        }
+    except Exception as e:  # noqa: BLE001 — control must never fail bench
+        return {"error": str(e)[:300]}
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+            timeout=120,
+        )
+
+
 def _current_round(repo_dir: str) -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
@@ -301,6 +423,23 @@ def main() -> None:
         for name, ts in rot_samples.items()
     }
 
+    # box-normalization control (see CONTROL_QUERIES note): stop the
+    # bench session first so the control JVM doesn't contend with it
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    import subprocess
+
+    head_sha = subprocess.run(
+        ["git", "-C", repo_dir, "rev-parse", "HEAD"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    ).stdout.strip() or None
+    spark.stop()
+    control = _control_prior_tree(repo_dir, rnd, sf_dir, cpus)
+    control["head_subset_total"] = round(
+        sum(timings[q] for q in CONTROL_QUERIES if q in timings), 3
+    )
+
     # The driver captures only a ~2 KB tail of stdout; 82 per-query
     # timings plus runs metadata no longer fit one line (BENCH_r04-r06
     # all recorded "parsed": null — VERDICT r6 directive #2). Full
@@ -332,6 +471,8 @@ def main() -> None:
                         for k, v in rot_samples.items()
                     },
                 },
+                "head": head_sha,
+                "control_prior_tree": control,
             },
             fh,
             indent=1,
