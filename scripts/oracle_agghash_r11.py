@@ -43,11 +43,21 @@ SF100_WAVE = [
     "agg_approx_distinct",        # sketch family (HLL)
     "agg_theta_sketch_setops",    # sketch set-ops family
     "dedup_simhash",              # near-dup banding family
-    "dedup_ngram_jaccard",        # inverted-index dedup family
+    # dedup_ngram_jaccard was tried here and DROPPED for sf100: its
+    # DuckDB oracle's inverted-index self-join over 5M docs ballooned
+    # past this box's RAM+disk (118 GB RSS observed) — an oracle-engine
+    # limit, not an engine limit; the dedup family stays represented at
+    # sf100 by dedup_exact and dedup_simhash (both hash-exact)
     "text_langid",                # text-analysis family
     "text_zipf_ranks",            # corpus-statistics family
     "curate_moore_lewis",         # curation family
-    "emb_kmeans_lloyd",           # embedding-iterative family
+    # embedding-iterative family: emb_pca_power_iteration (Gram-based
+    # oracle, 64x64 sums). emb_kmeans_lloyd was tried at sf100 and hit
+    # an oracle-engine disk limit: DuckDB's unrolled Lloyd CTEs
+    # materialize q CROSS JOIN c (40M rows of 64-dim lists) per round
+    # and ENOSPC'd the spill dir — loud, engine-side-only; the kmeans
+    # query stays gate-proven and ladder-timed.
+    "emb_pca_power_iteration",
     "sim_topk_bruteforce",        # similarity family
     "evt_window_session",         # event-windows family
     "stat_benjamini_hochberg",    # multiple-testing stats family
@@ -76,6 +86,9 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-agghash-r11")
         .config("spark.driver.memory", mem)
+        # JDK unified logging (GCLocker retry warnings) writes to stdout
+        # and corrupts the single JSON result line
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .config("spark.ui.showConsoleProgress", "false")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,6 +29,13 @@ from udacity_data_engineer_capstone_spark.registry import QUERIES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # bound the oracle engine: an in-memory DuckDB with no temp
+    # directory cannot offload, and a big self-join balloons RSS until
+    # the OS kills the whole comparing process (observed 118 GB on the
+    # sf100 ngram inverted-index oracle). With a spill dir it degrades
+    # to disk and fails loudly on ENOSPC instead.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         path = table_path(sf_dir, t)
         if os.path.isdir(path):
