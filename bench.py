@@ -158,6 +158,12 @@ HEADLINE = [
     "snk_parquet_global_sorted",  # range-exchange clustered layout write
     # round-9 wave: two-LM cross-entropy-difference selection
     "curate_moore_lewis",         # Moore-Lewis in-domain selection
+    # round-11 wave: the r10-flagged CDC stream (bucketed vectorized
+    # state — judge criterion: under ~10 s at sf0.1), its native
+    # max_by twin, and the reach-bounded BFS layout
+    "stream_cdc_apply",           # bucketed applyInPandasWithState LWW
+    "stream_cdc_apply_native",    # same merge, pure-JVM max_by agg
+    "graph_bfs_multisource_bucketed",  # frontier-pruned adjacency scan
 ]
 
 # Queries whose r4->r5 delta exceeded 15% on identical code (tenant

@@ -1419,3 +1419,31 @@ def test_audit_cross_join_unbounded_side_still_flags(spark):
     assert unbounded_global_windows(out), (
         "limit x unbounded cross join must flag"
     )
+
+
+def test_bfs_bucketed_scan_prunes_partitions_and_rowgroups(spark, sf_dir):
+    """graph_bfs_multisource_bucketed (round-11 directive 2): the
+    per-round adjacency scan must be pruned at BOTH layers — the
+    frontier's bucket list as a PARTITION filter (directory pruning)
+    and the frontier's src range as a PUSHED filter (row-group min/max
+    skipping on the src-sorted files). Without these, every round is
+    an edge-linear full scan and the layout buys nothing."""
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _BFS_LAYOUT_WIDTH,
+        _bfs_bucketed_layout,
+    )
+
+    path = _bfs_bucketed_layout(spark, sf_dir)
+    width = _BFS_LAYOUT_WIDTH[path]
+    adj = spark.read.parquet(path)
+    # the shape the round loop builds: bucket IN-list + src range
+    pruned = adj.where(
+        F.col("sb").isin([0, 1]) & F.col("s").between(2, 2 + width)
+    )
+    text = plan_text(pruned)
+    assert "PartitionFilters" in text, text
+    pf = text.split("PartitionFilters")[1][:250]
+    assert "sb" in pf, pf
+    assert "PushedFilters" in text, text
+    pushed = text.split("PushedFilters")[1][:250]
+    assert "s" in pushed, pushed
