@@ -786,16 +786,21 @@ def test_bloom_incremental_no_false_negatives(spark, sf_dir):
         dedup_bloom_incremental,
     )
 
+    from udacity_data_engineer_capstone_spark.operators.dedup import (
+        doc_offset,
+    )
+
     c = corpus(spark, sf_dir)
+    off = doc_offset(spark, sf_dir).collect()[0]["off"]
     hist_hashes = {
         r["h"]
-        for r in c.filter(F.col("doc_id") < 1000000)
+        for r in c.filter(F.col("doc_id") < off)
         .select(F.md5("text").alias("h"))
         .collect()
     }
     batch = {
         r["doc_id"]: r["h"]
-        for r in c.filter(F.col("doc_id") >= 1000000)
+        for r in c.filter(F.col("doc_id") >= off)
         .select("doc_id", F.md5("text").alias("h"))
         .collect()
     }

@@ -653,11 +653,17 @@ def curate_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Production dedup keeps the copy from the most-trusted source, THEN the
 # earliest id — encoded as one integer keep-key so the argmin rides
 # partial aggregation map-side (no window, no struct comparator).
-_PRIORITY_CTE = """
+# The mirror-id offset and the keep-key width are DERIVED (2·(MAX+1)):
+# the old fixed +10000 offset collided with real doc ids already at
+# sf0.1 (60k docs) and the fixed 100000 key width inverted the
+# priority order at sf1 (round-11 fixed-offset audit).
+_PRIORITY_OFF = "(SELECT MAX(doc_id) + 1 FROM documents)"
+
+_PRIORITY_CTE = f"""
 corpus AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text, 'mirror' AS source
+  SELECT doc_id + {_PRIORITY_OFF} AS doc_id, text, 'mirror' AS source
   FROM documents WHERE doc_id % 7 = 0
 )
 """
@@ -667,13 +673,15 @@ WITH {_PRIORITY_CTE},
 keyed AS (
   SELECT md5(text) AS text_hash,
          doc_id,
-         CASE WHEN source = 'mirror' THEN 1 ELSE 0 END * 100000 + doc_id AS k
+         CASE WHEN source = 'mirror' THEN 1 ELSE 0 END
+           * (2 * {_PRIORITY_OFF}) + doc_id AS k
   FROM corpus
 )
 SELECT text_hash,
        CAST(COUNT(*) AS BIGINT) AS n_copies,
-       MIN(k) % 100000 AS keep_doc,
-       CAST(SUM(CASE WHEN k >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mirrors
+       MIN(k) % (2 * {_PRIORITY_OFF}) AS keep_doc,
+       CAST(SUM(CASE WHEN k >= 2 * {_PRIORITY_OFF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mirrors
 FROM keyed
 GROUP BY text_hash
 """
@@ -684,28 +692,44 @@ def curate_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with source-priority keep selection: for every
     distinct text, keep the copy from the trusted source (mirrors lose),
     tie-broken by lowest doc_id. The preference is one integer keep-key
-    (priority * 100000 + doc_id) minimized per md5(text) group, so the
-    whole operator is a single hash aggregate with map-side combine —
-    same shuffle width as plain exact dedup."""
+    (priority · 2·(MAX(doc_id)+1) + doc_id, widths data-derived so the
+    encoding cannot invert at any corpus size) minimized per md5(text)
+    group, so the whole operator is a single hash aggregate with
+    map-side combine — same shuffle width as plain exact dedup. The
+    derived offset rides as a broadcast scalar."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.select("doc_id", "text", "source").unionAll(
-        docs.where(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
-            "text",
-            F.lit("mirror").alias("source"),
+    off = docs.agg((F.max("doc_id") + 1).alias("off"))
+    corpus = (
+        docs.select("doc_id", "text", "source")
+        .unionAll(
+            docs.where(F.col("doc_id") % 7 == 0)
+            .crossJoin(F.broadcast(off))
+            .select(
+                (F.col("doc_id") + F.col("off")).alias("doc_id"),
+                "text",
+                F.lit("mirror").alias("source"),
+            )
         )
+        .crossJoin(F.broadcast(off))
     )
     k = (
-        F.when(F.col("source") == "mirror", 1).otherwise(0) * 100000
+        F.when(F.col("source") == "mirror", 1).otherwise(0)
+        * (2 * F.col("off"))
         + F.col("doc_id")
     )
     return (
-        corpus.select(F.md5("text").alias("text_hash"), k.alias("k"))
+        corpus.select(
+            F.md5("text").alias("text_hash"),
+            k.alias("k"),
+            (2 * F.col("off")).alias("w"),
+        )
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
-            (F.min("k") % 100000).alias("keep_doc"),
-            F.sum(F.when(F.col("k") >= 100000, 1).otherwise(0)).alias("n_mirrors"),
+            (F.min("k") % F.first("w")).alias("keep_doc"),
+            F.sum(
+                F.when(F.col("k") >= F.col("w"), 1).otherwise(0)
+            ).alias("n_mirrors"),
         )
     )
 
@@ -719,11 +743,13 @@ def curate_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic split everybody ships — then audited for texts that
 # leak across the boundary. This is the val-set decontamination check
 # run before every training launch.
-_SPLIT_OVERLAP_ORACLE = """
+# mirror-id offset derived (round-11 fixed-offset audit: +10000
+# collided with real ids at sf0.1 already)
+_SPLIT_OVERLAP_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text
+  SELECT doc_id + {_PRIORITY_OFF} AS doc_id, text
   FROM documents WHERE doc_id % 7 = 0
 ),
 split AS (
@@ -760,10 +786,11 @@ def curate_validation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass must catch. One md5-keyed hash aggregate over
     the split corpus; train/val tallies ride map-side combine."""
     docs = load_table(spark, sf_dir, "documents")
+    off = docs.agg((F.max("doc_id") + 1).alias("off"))
     corpus = docs.select("doc_id", "text").unionAll(
-        docs.where(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
-        )
+        docs.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)

@@ -36,16 +36,35 @@ from udacity_data_engineer_capstone_spark.registry import query
 # derived corpus with planted duplicates
 # ---------------------------------------------------------------------------
 
-CORPUS_CTE = """
+# The planted ids ride in DATA-DERIVED disjoint ranges: originals in
+# [0, off), planted exact dups in [off, 2·off), planted near-dups in
+# [2·off, 3·off), where off = MAX(doc_id)+1. The round-11 scaled-gate
+# sweep found the previous FIXED offsets (+1e6/+2e6) collide with real
+# doc ids at sf100 (doc_id reaches 5e6) — the same at-scale fixture
+# defect class as the CDC change-log's fixed NEW-key offset. The
+# offset is a scalar subquery in SQL and a broadcast 1-row aggregate
+# in the engine (no driver collect, no extra job on the hot path).
+_DOC_OFF_SQL = "(SELECT MAX(doc_id) + 1 FROM documents)"
+
+CORPUS_CTE = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  SELECT doc_id + {_DOC_OFF_SQL} AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
   UNION ALL
-  SELECT doc_id + 2000000 AS doc_id, text || ' zzz extra' AS text
+  SELECT doc_id + 2 * {_DOC_OFF_SQL} AS doc_id, text || ' zzz extra' AS text
   FROM documents WHERE doc_id % 50 = 7
 )
 """
+
+
+def doc_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row ('off') frame carrying MAX(doc_id)+1 — the planted-id
+    range width shared by :func:`corpus`, the bloom hist/batch split,
+    and tests. Broadcast-joined, never collected on the hot path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.agg((F.max("doc_id") + 1).alias("off"))
 
 
 def corpus(spark: SparkSession, sf_dir: str, scaled: bool = False) -> DataFrame:
@@ -60,14 +79,17 @@ def corpus(spark: SparkSession, sf_dir: str, scaled: bool = False) -> DataFrame:
     document text."""
     loader = load_table_scaled if scaled else load_table
     docs = loader(spark, sf_dir, "documents").select("doc_id", "text")
+    off = doc_offset(spark, sf_dir)
     exact = (
         docs.filter(F.col("doc_id") % 50 == 0)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("off")).alias("doc_id"), "text")
     )
     near = (
         docs.filter(F.col("doc_id") % 50 == 7)
+        .crossJoin(F.broadcast(off))
         .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
+            (F.col("doc_id") + 2 * F.col("off")).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
         )
     )
@@ -443,12 +465,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESHOLD = 0.99
 
-_EMB_CORPUS_CTE = """
+# planted vec ids in a DERIVED disjoint range (round-11 fixed-offset
+# audit: the old +100000 collides with real vec_ids at sf100's 5M)
+_VEC_OFF_SQL = "(SELECT MAX(vec_id) + 1 FROM embeddings)"
+
+_EMB_CORPUS_CTE = f"""
 emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + {_VEC_OFF_SQL} AS vec_id,
          list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
                      list_transform(embedding[2:64], x -> CAST(x AS DOUBLE))) AS v
   FROM embeddings WHERE vec_id % 40 = 0
@@ -471,15 +497,20 @@ def embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings (as double arrays) ∪ planted near-identical vectors
     (first coordinate nudged by 0.05). SQL twin: _EMB_CORPUS_CTE."""
     emb = load_table(spark, sf_dir, "embeddings")
+    voff = emb.agg((F.max("vec_id") + 1).alias("voff"))
     base = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr(
-            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.05), "
-            "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
-        ).alias("v"),
+    planted = (
+        emb.filter(F.col("vec_id") % 40 == 0)
+        .crossJoin(F.broadcast(voff))
+        .select(
+            (F.col("vec_id") + F.col("voff")).alias("vec_id"),
+            F.expr(
+                "concat(array(CAST(embedding[0] AS DOUBLE) + 0.05), "
+                "transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE)))"
+            ).alias("v"),
+        )
     )
     return base.unionAll(planted)
 
@@ -562,7 +593,7 @@ _CONTAIN_CORPUS_CTE = f"""
 ccorpus AS (
   SELECT doc_id, text FROM corpus
   UNION ALL
-  SELECT doc_id + 3000000 AS doc_id,
+  SELECT doc_id + 3 * {_DOC_OFF_SQL} AS doc_id,
          array_to_string(
            list_slice(regexp_split_to_array(lower(text), '\\s+'), 1,
                       len(regexp_split_to_array(lower(text), '\\s+')) // 2),
@@ -615,12 +646,16 @@ FROM scored WHERE CAST(common AS DOUBLE) / nb >= {_CONTAIN_THRESHOLD}
 def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus ∪ planted first-half-prefix docs (SQL twin above)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    prefix = docs.filter(F.col("doc_id") % 50 == 21).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
-        F.expr(
-            "array_join(slice(split(lower(text), '\\\\s+'), 1, "
-            "size(split(lower(text), '\\\\s+')) DIV 2), ' ')"
-        ).alias("text"),
+    prefix = (
+        docs.filter(F.col("doc_id") % 50 == 21)
+        .crossJoin(F.broadcast(doc_offset(spark, sf_dir)))
+        .select(
+            (F.col("doc_id") + 3 * F.col("off")).alias("doc_id"),
+            F.expr(
+                "array_join(slice(split(lower(text), '\\\\s+'), 1, "
+                "size(split(lower(text), '\\\\s+')) DIV 2), ' ')"
+            ).alias("text"),
+        )
     )
     return corpus(spark, sf_dir).unionAll(prefix)
 
@@ -1351,8 +1386,9 @@ def _bloom_oracle(hex_width: int) -> str:
     pos_list = _bloom_pos_list(hex_width)
     return f"""
 WITH {CORPUS_CTE},
-hist AS (SELECT md5(text) AS h FROM corpus WHERE doc_id < 1000000),
-batch AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000),
+hist AS (SELECT md5(text) AS h FROM corpus WHERE doc_id < {_DOC_OFF_SQL}),
+batch AS (SELECT doc_id, md5(text) AS h FROM corpus
+          WHERE doc_id >= {_DOC_OFF_SQL}),
 hp AS (SELECT unnest([{pos_list}]) AS pos FROM hist),
 words AS (
   SELECT pos >> {_BLOOM_WORD_SHIFT} AS word,
@@ -1428,10 +1464,14 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     PICKS for 600k docs (6 hex / 2^24 bits), FP ≈ 0.03% — the rule
     keeps the verification join dup-rate-sized at every declared
     scale."""
-    c = corpus(spark, sf_dir)
+    c = corpus(spark, sf_dir).crossJoin(
+        F.broadcast(doc_offset(spark, sf_dir))
+    )
     pos_list = _bloom_pos_list(_bloom_width_now())
-    hist = c.filter(F.col("doc_id") < 1000000).select(F.md5("text").alias("h"))
-    batch = c.filter(F.col("doc_id") >= 1000000).select(
+    hist = c.filter(F.col("doc_id") < F.col("off")).select(
+        F.md5("text").alias("h")
+    )
+    batch = c.filter(F.col("doc_id") >= F.col("off")).select(
         "doc_id", F.md5("text").alias("h")
     )
     words = (

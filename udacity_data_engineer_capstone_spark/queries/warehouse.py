@@ -41,9 +41,12 @@ from udacity_data_engineer_capstone_spark.registry import query
 # ---------------------------------------------------------------------------
 
 # the change batch, derived deterministically: every 7th customer changes
-# segment; 45 brand-new customers arrive with keys above 1_000_000
+# segment; brand-new customers arrive with keys in the DERIVED disjoint
+# range above MAX(c_custkey) (round-11 fixed-offset audit: the old
+# +1e6 offset collides with real custkeys at sf10's 1.5M)
 _UPD_MOD = 7
 _NEW_MOD = 11
+_CUST_OFF = "(SELECT MAX(c_custkey) + 1 FROM customer)"
 
 _SCD2_ORACLE = f"""
 WITH dim AS (
@@ -53,7 +56,7 @@ upd AS (
   SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_acctbal
   FROM customer WHERE c_custkey % {_UPD_MOD} = 0
   UNION ALL
-  SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment,
+  SELECT c_custkey + {_CUST_OFF} AS c_custkey, 'NEW' AS c_mktsegment,
          CAST(0.0 AS DOUBLE) AS c_acctbal
   FROM customer WHERE c_custkey % {_NEW_MOD} = 3
 )
@@ -92,8 +95,14 @@ def snk_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
         )
         .unionAll(
-            dim.filter(F.col("c_custkey") % _NEW_MOD == 3).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            dim.filter(F.col("c_custkey") % _NEW_MOD == 3)
+            .crossJoin(
+                F.broadcast(
+                    dim.agg((F.max("c_custkey") + 1).alias("coff"))
+                )
+            )
+            .select(
+                (F.col("c_custkey") + F.col("coff")).alias("c_custkey"),
                 F.lit("NEW").alias("c_mktsegment"),
                 F.lit(0.0).alias("c_acctbal"),
             )
@@ -212,7 +221,8 @@ log AS (
          2 AS seq, 'D' AS op
   FROM orders WHERE o_orderkey % 5 = 2
   UNION ALL
-  SELECT o_orderkey + 2000000 AS o_orderkey, 'NEW' AS o_orderstatus,
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+           AS o_orderkey, 'NEW' AS o_orderstatus,
          CAST(1.00 AS DECIMAL(18,2)) AS o_totalprice, 2 AS seq, 'I' AS op
   FROM orders WHERE o_orderkey % 11 = 4
   UNION ALL
@@ -563,7 +573,8 @@ v2 AS (
               AS DECIMAL(18,2)) AS price
   FROM orders WHERE o_orderkey % 17 <> 5
   UNION ALL
-  SELECT o_orderkey + 3000000 AS k, 'NEW' AS status,
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS k,
+         'NEW' AS status,
          CAST(2.00 AS DECIMAL(18,2)) AS price
   FROM orders WHERE o_orderkey % 19 = 7
 ),

@@ -632,7 +632,8 @@ SELECT o_orderkey, o_orderstatus,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 2, 'D'
 FROM orders WHERE o_orderkey % 5 = 2
 UNION ALL
-SELECT o_orderkey + 2000000, 'NEW', CAST(100 AS BIGINT), 2, 'I'
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+       'NEW', CAST(100 AS BIGINT), 2, 'I'
 FROM orders WHERE o_orderkey % 11 = 4
 UNION ALL
 SELECT o_orderkey, 'U3',
