@@ -195,7 +195,11 @@ def compare(spark, name: str, sf_dir: str) -> None:
 # Canonical cell rendering (must be bit-identical across engines):
 #   int lanes  -> CAST AS STRING          (identical decimal text)
 #   string     -> the value itself
-#   boolean    -> '1' / '0'
+#   boolean    -> '1' / '0' (NULL-preserving CASE: a NULL boolean must
+#                 fall through to the chr(1) null marker like every
+#                 other lane, not silently render as '0' — a plain
+#                 CASE WHEN x THEN '1' ELSE '0' END would make a
+#                 NULL-vs-false cross-engine divergence hash-invisible)
 #   date       -> CAST AS STRING          (ISO-8601 in both)
 #   timestamp  -> epoch micros as text    (unix_micros / epoch_us;
 #                 session TZ is UTC so LTZ wall-clocks agree)
@@ -214,6 +218,35 @@ def compare(spark, name: str, sf_dir: str) -> None:
 # digits with zeros, measured: 0.1 -> ...00000e-01 vs DuckDB's
 # ...00006e-01), which is why doubles canonicalize via scaled integers
 # rather than text formatting.
+#
+# INPUT CONTRACT for the double lane (round-12, after the r11
+# hypothesis counterexample 1801439850948.6562): the rendering is
+# bit-identical ONLY for bit-identical input doubles. That holds in
+# every real gate run — both engines read the same parquet bits and
+# every double op in enrolled queries is IEEE-identical — but NOT for
+# doubles ingested as bare SQL literals: DuckDB parses a bare
+# `1801439850948.6562` as DECIMAL(17,4) and converts (hugeint→double,
+# two roundings, measured bits ...4a7f) while Spark/Python parse the
+# string correctly-rounded (bits ...4a80) — a 1-ulp ingestion skew
+# that the x*10^k magnification then exposes, measured:
+# 18014398509486564 vs 18014398509486560. The r11 red
+# test_double_rendering_parity was exactly this harness-ingestion
+# artifact (its DuckDB lane interpolated bare literals); the fix is
+# `CAST('<repr>' AS DOUBLE)` (string parse, correctly rounded in both)
+# everywhere a test feeds doubles to DuckDB by literal, and the
+# property suite re-certifies the rendering over the full drawn range.
+# Corollary: oracle SQL enrolled for agghash must not synthesize NEW
+# fractional double literals on result lanes (comparisons/ratios
+# against literals are fine — both parse to doubles within 1 ulp and
+# the engine-side values they gate are identical).
+#
+# SCALE discipline (per-query): `scale` is a parameter of
+# compare_agghash. The default k=4 is exact for this engine's
+# cents/rates discipline (every enrolled double lane carries a
+# <=4-decimal rational); any future query with finer lanes (e.g. a
+# 6-decimal price*(1-disc)*(1+tax)) must enroll with its own k and
+# int64 headroom check — divergences below 5·10^-(k+1) are invisible
+# at scale k by construction.
 
 _AGGHASH_DOUBLE_SCALE = 4
 
@@ -229,7 +262,10 @@ def _cell_exprs(col: str, canon_type: str, engine: str, scale: int):
     elif canon_type in ("bigint", "int", "smallint", "tinyint"):
         base = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
     elif canon_type == "boolean":
-        base = f"CASE WHEN {q} THEN '1' ELSE '0' END"
+        # NULL-preserving: no ELSE, so NULL stays NULL and COALESCE
+        # maps it to chr(1) like every other lane (a blanket ELSE '0'
+        # would render NULL and false identically)
+        base = f"CASE WHEN {q} THEN '1' WHEN NOT {q} THEN '0' END"
     elif canon_type == "date":
         base = f"CAST({q} AS STRING)" if engine == "spark" else f"CAST({q} AS VARCHAR)"
     elif canon_type == "timestamp":

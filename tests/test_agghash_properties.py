@@ -40,10 +40,24 @@ def _spark_render(spark, values, sql_type, canon):
     return [r[0] for r in sdf.selectExpr(f"{cell} AS c").collect()]
 
 
+def _duck_literal(v, duck_type):
+    """One VALUES cell. Doubles go through a STRING cast: DuckDB parses
+    a bare fractional literal as DECIMAL first (e.g. 1801439850948.6562
+    → DECIMAL(17,4) → double, two roundings, bits ...4a7f) which lands
+    1 ulp off the correctly-rounded string parse Python/Spark use
+    (...4a80) — the r11 red parity test was exactly this ingestion
+    artifact, not a rendering bug. CAST('<repr>' AS DOUBLE) is
+    correctly rounded in both engines and matches the real gate, where
+    both engines read identical parquet bits."""
+    if isinstance(v, float):
+        return f"(CAST('{v!r}' AS {duck_type}))"
+    return f"(CAST({v!r} AS {duck_type}))"
+
+
 def _duck_render(values, duck_type, canon):
     cell = _cell_exprs("v", canon, "duck", 4)
     con = duckdb.connect()
-    rows = ", ".join(f"(CAST({v!r} AS {duck_type}))" for v in values)
+    rows = ", ".join(_duck_literal(v, duck_type) for v in values)
     return [
         r[0]
         for r in con.sql(
@@ -61,6 +75,39 @@ def test_double_rendering_parity(spark, vals):
         (v, a, b) for v, a, b in zip(vals, got_s, got_d) if a != b
     ]
     assert not bad, bad[:5]
+
+
+def test_double_rendering_parity_r11_counterexample(spark):
+    """Regression pin for the r11 hypothesis counterexample: the value
+    whose x·10⁴ product sits past 2⁵³. With bit-identical ingestion
+    (string parse both sides) the scaled-integer render must agree —
+    the r11 divergence (…564 vs …560) was DuckDB's DECIMAL-literal
+    ingestion skewing the input by 1 ulp, not the rendering."""
+    vals = [1801439850948.6562, -1801439850948.6562, 9.007199254740992e11]
+    assert _spark_render(spark, vals, "double", "double") == _duck_render(
+        vals, "DOUBLE", "double"
+    )
+
+
+def test_boolean_rendering_null_preserving(spark):
+    """NULL boolean must render as the chr(1) null marker in BOTH
+    engines, distinct from false's '0' (ADVICE r11: a blanket ELSE '0'
+    made NULL-vs-false hash-invisible)."""
+    import duckdb as _d
+
+    cell_s = _cell_exprs("v", "boolean", "spark", 4)
+    cell_d = _cell_exprs("v", "boolean", "duck", 4)
+    sdf = spark.createDataFrame([(True,), (False,), (None,)], "v boolean")
+    got_s = [r[0] for r in sdf.selectExpr(f"{cell_s} AS c").collect()]
+    con = _d.connect()
+    got_d = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {cell_d} AS c FROM (VALUES (TRUE), (FALSE),"
+            " (CAST(NULL AS BOOLEAN))) t(v)"
+        ).fetchall()
+    ]
+    assert got_s == got_d == ["1", "0", chr(1)]
 
 
 @settings(max_examples=3, deadline=None)

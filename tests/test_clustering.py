@@ -18,16 +18,21 @@ Q = engine.QUERIES
 
 
 def test_cluster_cc_groups_planted_duplicates(spark, sf_dir):
-    """Every planted exact copy (doc_id + 1_000_000) and near copy
-    (doc_id + 2_000_000) must land in its original's cluster, and the
-    cluster id must be the least member (the canonical keeper)."""
+    """Every planted exact copy (doc_id + off) and near copy
+    (doc_id + 2·off) must land in its original's cluster, and the
+    cluster id must be the least member (the canonical keeper).
+    ``off`` is the DERIVED MAX(doc_id)+1 range width (dedup.doc_offset,
+    round-11 fix of the fixed +1e6/+2e6 collision class)."""
+    from udacity_data_engineer_capstone_spark.operators.dedup import doc_offset
+
+    off = doc_offset(spark, sf_dir).first()["off"]
     rows = Q["dedup_cluster_cc"].fn(spark, sf_dir).collect()
     label = {r.doc_id: r.cluster_id for r in rows}
-    exact_copies = [d for d in label if 1_000_000 <= d < 2_000_000]
-    near_copies = [d for d in label if d >= 2_000_000]
+    exact_copies = [d for d in label if off <= d < 2 * off]
+    near_copies = [d for d in label if d >= 2 * off]
     assert exact_copies and near_copies
     for d in exact_copies + near_copies:
-        orig = d % 1_000_000
+        orig = d % off
         assert label[d] == label[orig], (d, label[d], label[orig])
     # cluster id is the minimum of its members
     members: dict[int, list[int]] = {}

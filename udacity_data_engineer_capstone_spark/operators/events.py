@@ -1359,7 +1359,17 @@ def evt_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The Σc² lane is HUGEINT (Spark side: SUM over DECIMAL(38,0)): hourly
 # counts c ≈ 1e8 at the 1e12-row target make Σc² ≈ 2e19 exceed int64
-# (round-11 Σ-square audit).
+# (round-11 Σ-square audit). The fold stays INTEGER end-to-end
+# (round-12, ADVICE): fano = var/mean = (n·s2 − s1²)/((n−1)·s1), so
+# fano_ppm = ⌊10⁶·(n·s2 − s1²) / ((n−1)·s1)⌋ computes entirely in the
+# wide pair — no DECIMAL(38,0)→DOUBLE vs HUGEINT→DOUBLE cast whose
+# bit-identity above 2⁶⁴ is unverifiable at test scales (DuckDB's
+# hugeint→double composes two roundings; Spark's BigDecimal.doubleValue
+# is correctly rounded — exactly the >1.8e19 regime the widening exists
+# for). Numerator ≈ 10⁶·n·s2 ≈ 2e29 at target scale — inside both
+# DECIMAL(38,0) and HUGEINT. Spark DIV truncates toward zero, DuckDB
+# // floors: identical here because n·s2 − s1² ≥ 0 (Cauchy–Schwarz)
+# and the denominator is positive.
 _FANO_ORACLE = """
 WITH counts AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
@@ -1375,9 +1385,9 @@ mo AS (
   FROM counts GROUP BY event_type
 )
 SELECT event_type, n AS n_hours, s1 AS n_events,
-       CAST(floor(
-         ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
-         / (CAST(s1 AS DOUBLE) / n) * 1000000) AS BIGINT) AS fano_ppm
+       CAST((CAST(1000000 AS HUGEINT)
+             * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1))
+            // (CAST(n - 1 AS HUGEINT) * s1) AS BIGINT) AS fano_ppm
 FROM mo
 """
 
@@ -1389,7 +1399,10 @@ def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     campaign waves), lower = paced — the one-number routing statistic
     between ``evt_anomaly_zscore`` (assumes steady) and the burst-aware
     ``ts_stl_anomaly``. One hourly count aggregate + one moment fold;
-    exact int64 lanes with a single double closed form."""
+    the ppm quantization is INTEGER end-to-end in the DECIMAL(38,0)
+    wide lane (fano_ppm = ⌊10⁶·(n·s2 − s1²) / ((n−1)·s1)⌋ — see the
+    oracle note: no wide→double cast whose cross-engine bit-identity
+    is unverifiable above 2⁶⁴)."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -1403,19 +1416,12 @@ def evt_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_hours"),
         F.col("s1").alias("n_events"),
-        F.floor(
-            (
-                (
-                    F.col("s2").cast("double")
-                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
-                )
-                / (F.col("n") - 1)
-            )
-            / (F.col("s1").cast("double") / F.col("n"))
-            * 1000000
-        )
-        .cast("long")
-        .alias("fano_ppm"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) * s2"
+            "    - CAST(s1 AS DECIMAL(38,0)) * s1))"
+            " DIV (CAST(n - 1 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        ).alias("fano_ppm"),
     )
 
 

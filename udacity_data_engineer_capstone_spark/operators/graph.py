@@ -1276,6 +1276,12 @@ def graph_bfs_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-identical to graph_bfs_multisource — same oracle text.
 
 _BFS_LAYOUT_DIRS = 128  # target directory count for the bucketed layout
+
+# frontier rows (src, node, lvl — 24 B packed) broadcast only below
+# this count (~24 MB serialized); past it the expansion join falls
+# back to a shuffle hash join, which degrades gracefully instead of
+# collecting an arbitrarily large frontier onto the driver
+_BFS_BROADCAST_MAX = 1_000_000
 _BFS_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -1334,6 +1340,7 @@ def graph_bfs_multisource_bucketed(
         [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
     )
     levels, frontier = seeds, seeds
+    n_frontier = len(_LANDMARKS)  # exact: seeds carry one row each
     for _ in range(_BFS_MAX_ROUNDS):
         # bounded collects: ≤ dir-count bucket ids + 2 range scalars
         fstats = frontier.agg(
@@ -1345,10 +1352,18 @@ def graph_bfs_multisource_bucketed(
             F.col("sb").isin(sorted(fstats["bs"]))
             & F.col("s").between(int(fstats["lo"]), int(fstats["hi"]))
         )
+        # broadcast the frontier only while it is provably small (the
+        # count is already computed each round for the fixpoint check,
+        # so the gate is free). An UNCONDITIONAL broadcast collects the
+        # whole frontier to the driver — reach-bounded only because
+        # this fixture's landmark component is small; on a graph whose
+        # seed component is large it would OOM the driver, whereas a
+        # shuffle join degrades gracefully (ADVICE r11).
+        fside = frontier.withColumnRenamed("node", "s")
+        if n_frontier <= _BFS_BROADCAST_MAX:
+            fside = F.broadcast(fside)
         expanded = (
-            pruned.join(
-                F.broadcast(frontier.withColumnRenamed("node", "s")), "s"
-            )
+            pruned.join(fside, "s")
             .select(
                 "src", F.col("d").alias("node"), (F.col("lvl") + 1).alias("lvl")
             )
@@ -1358,7 +1373,8 @@ def graph_bfs_multisource_bucketed(
         frontier = expanded.join(
             levels, ["src", "node"], "left_anti"
         ).localCheckpoint(eager=False)
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
         levels = levels.unionAll(frontier).localCheckpoint(eager=False)
     else:
@@ -1680,6 +1696,54 @@ def _churn_stable(top: frozenset, prev: frozenset | None, k: int) -> bool:
     return prev is not None and len(top - prev) <= int(k * _APPROX_CHURN_TOL)
 
 
+# --- rows-only self-check (round-12, VERDICT r11 directive 7) --------------
+#
+# The three approx queries are rows-only at the driver gate (round
+# count data-dependent by design). To make those entries SELF-CHECKING,
+# each asserts — inside the query, while building its result — that the
+# churn-converged result EQUALS what the oracled sibling's kernel
+# produces AT THE CONVERGED ROUND, evaluated through an INDEPENDENT
+# code path:
+#   pagerank: converged top-100 membership == the exact query's
+#     chunked-fixpoint runner (_chunked_fixpoint_rounds + the same
+#     _round body graph_pagerank_topk_fixed's unrolled oracle
+#     certifies) run for exactly `rounds` rounds;
+#   HITS: converged top-20 authority membership ==
+#     _hits_auth_rounds(spark, sf_dir, rounds) — the literal shared
+#     kernel the oracled sibling graph_hits_topk_fixed hash-matches
+#     at its cap;
+#   LPA: the returned coarse labeling is re-verified as a NO-CHANGE
+#     fixpoint of the LPA vote on the coarse graph (one distributed
+#     re-vote round — the convergence claim itself); the coarsen
+#     anchors are already hash-matched via graph_lpa_coarsen.
+# Set EQUALITY, not an overlap band: identical integer lanes at the
+# same round are deterministic, so the sibling-at-round-r membership
+# must match exactly — the driver's rows-only run now fails LOUDLY on
+# any loop-state drift (checkpoint corruption, off-by-one rounds,
+# kernel edits that miss one twin) instead of green-lighting any
+# non-empty result. (Membership at the CAP round is deliberately not
+# the claim: churn accumulates over the skipped rounds — measured 50%
+# top-20 drift at sf0.001 HITS — and cross-ROUND agreement is already
+# test-pinned at tests/test_graph_approx.py with per-query bounds.)
+# Cost: one fixed-round kernel evaluation on the session-cached
+# adjacency; SPARK_GRAFT_APPROX_SELFCHECK=0 reclaims the pure
+# early-exit latency in a production job that has certified a build.
+_APPROX_SELFCHECK = os.environ.get("SPARK_GRAFT_APPROX_SELFCHECK", "1") != "0"
+
+
+def _assert_sibling_equal(
+    name: str, conv: frozenset, sib: frozenset, rounds: int
+) -> None:
+    if conv != sib:
+        raise AssertionError(
+            f"{name}: converged top-k membership differs from the oracled"
+            f" sibling kernel at round {rounds} —"
+            f" only-approx={sorted(conv - sib)[:5]}"
+            f" only-sibling={sorted(sib - conv)[:5]} —"
+            f" the approx loop drifted from the hash-matched kernel"
+        )
+
+
 @query("graph_pagerank_approx", tags=("graph", "iterative", "approx"))
 def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with a RANKING-STABILITY early exit: stop as soon as a
@@ -1717,6 +1781,34 @@ def graph_pagerank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _churn_stable(top, prev_top, _APPROX_TOPK):
             break  # ranking churn below tolerance; values may still drift
         prev_top = top
+    if _APPROX_SELFCHECK:
+        # sibling kernel at the CONVERGED round through the exact
+        # query's independent chunked runner (module self-check note)
+        def _round(prev: DataFrame) -> DataFrame:
+            return (
+                adj.join(prev, adj["s"] == prev["node"])
+                .select(F.col("d"), F.expr("r DIV deg").alias("c"))
+                .groupBy("d")
+                .agg(F.sum("c").alias("mass"))
+                .select(
+                    F.col("d").alias("node"),
+                    F.expr(
+                        f"CAST({BASE} + (85 * mass) DIV 100 AS BIGINT)"
+                    ).alias("r"),
+                )
+            )
+
+        sib_ranks = _chunked_fixpoint_rounds(
+            g["deg"].select(
+                F.col("s").alias("node"), F.lit(SCALE).cast("long").alias("r")
+            ),
+            _round,
+            ("node", "r"),
+            rounds,
+        )
+        _assert_sibling_equal(
+            "graph_pagerank_approx", top, _topk_ids(sib_ranks, "r"), rounds
+        )
     return (
         ranks.orderBy(F.col("r").desc(), F.col("node").asc())
         .limit(_APPROX_TOPK)
@@ -1923,6 +2015,40 @@ def graph_lpa_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = solved.first()
     iters = head["iters"] if head is not None else 0
     supp_labels = solved.select("node", "label")
+    if _APPROX_SELFCHECK:
+        # re-verify the convergence claim itself: one distributed
+        # synchronous re-vote (same mode-of-neighbor-labels rule, ties
+        # to the smallest label — the max_by struct below is byte-for-
+        # byte the _coarse_lpa_distributed vote) must change ZERO
+        # labels, i.e. the returned labeling is a true LPA fixpoint of
+        # the coarse graph, not a cap-truncated snapshot
+        und = coarse.union(
+            coarse.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        revote = (
+            und.join(supp_labels, und["a"] == supp_labels["node"])
+            .groupBy(F.col("b").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(F.col("nd").alias("rv_node"))
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("t"))
+                ).alias("vote")
+            )
+        )
+        n_changed = (
+            revote.join(
+                supp_labels, revote["rv_node"] == supp_labels["node"]
+            )
+            .filter(F.col("vote") != F.col("label"))
+            .count()
+        )
+        if n_changed:
+            raise AssertionError(
+                f"graph_lpa_approx: returned labeling is NOT an LPA"
+                f" fixpoint — a re-vote round changes {n_changed}"
+                f" coarse labels (solver exited at iters={iters})"
+            )
     cust_labels = (
         lists.select("cust", "anchor")
         .join(supp_labels.withColumnRenamed("node", "anchor"), "anchor")
@@ -2034,6 +2160,21 @@ def graph_hits_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _churn_stable(top, prev_top, _HITS_APPROX_TOPK):
             break
         prev_top = top
+    if _APPROX_SELFCHECK:
+        # sibling kernel at the CONVERGED round — _hits_auth_rounds is
+        # the literal shared kernel the oracled fixed-round sibling
+        # hash-matches at its cap (module self-check note)
+        sib_auth = _hits_auth_rounds(spark, sf_dir, rounds)
+        _assert_sibling_equal(
+            "graph_hits_approx",
+            top,
+            _topk_ids(
+                sib_auth.select(F.col("s").alias("node"), "a"),
+                "a",
+                _HITS_APPROX_TOPK,
+            ),
+            rounds,
+        )
     return (
         auth.orderBy(F.col("a").desc(), F.col("s").asc())
         .limit(_HITS_APPROX_TOPK)

@@ -231,3 +231,61 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
 
     visit(qe.analyzed() if df.isStreaming else qe.sparkPlan())
     return offenders
+
+
+def exchange_arguments(text: str) -> list[str]:
+    """Argument strings of every ``Exchange`` node in a FORMATTED plan
+    text (``plan_text(df)``), in plan order — e.g.
+    ``hashpartitioning(o_orderkey#1L, 32), ENSURE_REQUIREMENTS, ...``
+    or ``SinglePartition, ENSURE_REQUIREMENTS, ...``.
+
+    Lets plan tests count MAIN-LANE shuffles separately from the
+    1-row ``SinglePartition`` exchange a scalar aggregate (e.g. the
+    derived ``doc_offset`` / high-water-mark attach) plans — that
+    exchange moves exactly one row per partition regardless of data
+    size and is irrelevant to the shuffle-count posture the tests pin.
+    """
+    import re
+
+    return re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput[^\n]*\nArguments: ([^\n]+)", text
+    )
+
+
+def unbounded_bnlj_builds(df: DataFrame) -> list[str]:
+    """``BroadcastNestedLoopJoin`` nodes whose BUILD side is not
+    visibly row-bounded per :func:`_input_bounded`.
+
+    A BNLJ against a bounded build side is the broadcast-scalar attach
+    (``crossJoin(F.broadcast(one_row_aggregate))`` — e.g. the derived
+    ``doc_offset`` MAX(key)+1 frame, a corpus total, a high-water
+    mark): the build side is a GLOBAL aggregate that emits exactly one
+    row by construction, so the "nested loop" is one comparison per
+    probe row at any scale. A BNLJ whose build side is data-sized is
+    an all-pairs product in disguise and must keep failing plan tests.
+
+    Returns one descriptive string per offending node (empty = every
+    BNLJ in the plan is a bounded-build scalar attach).
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    offenders: list[str] = []
+
+    def visit(node) -> None:
+        name = node.nodeName()
+        if "BroadcastNestedLoopJoin" in name:
+            kids = _jchildren(node)
+            if len(kids) == 2:
+                try:
+                    side = node.buildSide().toString()
+                except Exception:
+                    side = "BuildRight"
+                build = kids[1] if side == "BuildRight" else kids[0]
+                if not _input_bounded(build):
+                    offenders.append(node.simpleString(25))
+            else:
+                offenders.append(node.simpleString(25))
+        for c in _jchildren(node):
+            visit(c)
+
+    visit(plan)
+    return offenders

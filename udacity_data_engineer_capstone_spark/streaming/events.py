@@ -709,10 +709,18 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (bounded by table cardinality / bucket count — the same
     bound a MERGE target has); each micro-batch shuffles only that
     batch's rows, and Python is invoked once per BUCKET with a
-    vectorized pandas fold, not once per key. The memory-sink drain
-    emits one row per touched (key, batch) — the final max_by(seq)
-    collapse is test harness, not operator; a production job writes
-    state updates straight to the sink table."""
+    vectorized pandas fold, not once per key. BUCKET-REWRITE
+    AMPLIFICATION (the price of the vectorized dispatch): a touched
+    bucket's state is re-serialized WHOLE, so once a batch touches most
+    buckets, per-batch state I/O is O(live keys in touched buckets),
+    not O(batch rows) — wide batches over high key cardinality pay a
+    full state rewrite even though the shuffle stays batch-sized. At
+    high key cardinality prefer ``stream_cdc_apply_native`` (pure-JVM
+    max_by, state-store deltas per KEY, no Python); keep this form for
+    merge logic a declarative aggregate can't express. The memory-sink
+    drain emits one row per touched (key, batch) — the final
+    max_by(seq) collapse is test harness, not operator; a production
+    job writes state updates straight to the sink table."""
 
     def update(key, pdfs, state: GroupState):
         batch = pd.concat(list(pdfs), ignore_index=True)
