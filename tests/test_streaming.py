@@ -389,3 +389,60 @@ def test_python_stream_source_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == truth
+
+
+def test_python_stream_source_reader_yields_arrow_batches(spark, sf_dir):
+    """r12: the custom source's read() must hand Spark pyarrow
+    RecordBatches (columnar, whole-batch) — the per-row tuple path
+    pickles every row across the Python boundary. Checks the yielded
+    type AND that the batch columns carry the declared wire schema
+    (ts_us as int64 micros, not ns)."""
+    import pyarrow as pa
+
+    from udacity_data_engineer_capstone_spark.sources.pyds import (
+        _EventsLogStreamReader,
+        _RangePartition,
+    )
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        _stage_sorted_log,
+    )
+
+    path = _stage_sorted_log(spark, sf_dir)
+    reader = _EventsLogStreamReader({"path": path})
+    out = list(reader.read(_RangePartition(path, 0, 7)))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    tbl = pa.Table.from_batches(out)
+    assert tbl.num_rows == 7
+    assert tbl.schema.names == [
+        "event_id", "ts_us", "user_id", "event_type", "value",
+    ]
+    assert tbl.schema.field("ts_us").type == pa.int64()
+    # micros since epoch for 2030s-era testdata sit near 1.9e15; a
+    # nanosecond regression would be ~1000x larger
+    ts = tbl["ts_us"].to_pylist()
+    assert all(1e14 < t < 1e17 for t in ts)
+
+
+def test_cdc_state_buckets_derived_from_key_cardinality(spark, sf_dir):
+    """r12: the CDC state-bucket count follows key cardinality at
+    ~1024 keys/bucket (floor 64), instead of the fixed 1024 buckets
+    that made sf0.1 dispatch-bound; the env override still wins."""
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        _cdc_state_buckets,
+        stage_cdc_dir,
+    )
+
+    src = stage_cdc_dir(spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_keys = n_orders + n_orders // 11
+    expected = min(1 << 20, max(64, -(-n_keys // 1024)))
+    assert _cdc_state_buckets(src) == expected
+    old = os.environ.get("SPARK_GRAFT_CDC_BUCKETS")
+    try:
+        os.environ["SPARK_GRAFT_CDC_BUCKETS"] = "77"
+        assert _cdc_state_buckets(src) == 77
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_CDC_BUCKETS", None)
+        else:
+            os.environ["SPARK_GRAFT_CDC_BUCKETS"] = old

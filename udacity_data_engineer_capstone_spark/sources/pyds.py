@@ -153,7 +153,12 @@ class _EventsLogStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _RangePartition):
-        # executor-side: read exactly [lo, hi) rows of the sorted log
+        # executor-side: read exactly [lo, hi) rows of the sorted log.
+        # Yields pyarrow RecordBatches, NOT per-row tuples: the tuple
+        # path pickles every row across the Python->JVM boundary
+        # (row-at-a-time, guide §4); Arrow batches cross columnar and
+        # whole-batch. Values are identical — the int64/string/double
+        # columns convert losslessly either way.
         if partition.hi <= partition.lo:
             return
         import pyarrow as pa
@@ -161,16 +166,22 @@ class _EventsLogStreamReader(DataSourceStreamReader):
 
         tbl = pq.read_table(partition.path, columns=_LOG_COLS)
         sl = tbl.slice(partition.lo, partition.hi - partition.lo)
-        idx = sl.schema.get_field_index("ts")
         # Spark stages the log with its default INT96 timestamps, which
         # pyarrow surfaces as timestamp[ns]; a direct cast('int64') would
         # therefore yield NANOseconds. Normalize to micros first so the
         # declared ts_us unit is honest regardless of the staged file's
         # physical timestamp type (INT96 / MICROS / MILLIS).
         ts_us = sl["ts"].cast(pa.timestamp("us")).cast("int64")
-        sl = sl.set_column(idx, "ts", ts_us)
-        for row in sl.to_pylist():
-            yield tuple(row[c] for c in _LOG_COLS)
+        out = pa.table(
+            {
+                "event_id": sl["event_id"].cast("int64"),
+                "ts_us": ts_us,
+                "user_id": sl["user_id"].cast("int64"),
+                "event_type": sl["event_type"].cast("string"),
+                "value": sl["value"].cast("float64"),
+            }
+        )
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         self._clamp_cursor(end["next"])

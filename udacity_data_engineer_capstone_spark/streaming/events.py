@@ -683,12 +683,33 @@ from udacity_data_engineer_capstone_spark.queries.warehouse import (  # noqa: E4
 # call per KEY (~220k calls at sf0.1 — measured 69 s, >half the round-10
 # rotation bench). The state key is therefore a HASH BUCKET of the
 # orderkey and the bucket's live keys ride as array-valued state: Python
-# dispatch is ∝ buckets (constant), the per-bucket fold is one
-# vectorized pandas sort/drop_duplicates, and per-bucket state stays
-# bounded by keys/bucket — size `SPARK_GRAFT_CDC_BUCKETS` to the key
-# cardinality exactly like shuffle partitions (150 keys/bucket here;
-# a 1e9-key table at 1024 keys/bucket wants ~1e6 buckets).
-_CDC_STATE_BUCKETS = int(os.environ.get("SPARK_GRAFT_CDC_BUCKETS", "1024"))
+# dispatch is ∝ buckets, the per-bucket fold is one vectorized pandas
+# sort/drop_duplicates, and per-bucket state stays bounded by
+# keys/bucket. r12: the bucket count is DERIVED from the key
+# cardinality at ~1024 keys/bucket (the sizing rule the r11 docstring
+# prescribed but hard-coded at 1024 buckets — which at sf0.1 meant 150
+# keys/bucket: 4096 Python dispatches for 165k keys, dispatch-bound
+# exactly like an oversized shuffle-partition count). The cardinality
+# comes free from the staged batch-0 parquet footer (one insert per
+# original key); a fixed count would be wrong in one direction at every
+# scale. `SPARK_GRAFT_CDC_BUCKETS` still overrides.
+_CDC_KEYS_PER_BUCKET = 1024
+
+
+def _cdc_state_buckets(src_dir: str) -> int:
+    env = os.environ.get("SPARK_GRAFT_CDC_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        import pyarrow.parquet as pq
+
+        n0 = pq.ParquetFile(
+            os.path.join(src_dir, "batch-0.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return 1024  # conservative r11 default when the footer is unreadable
+    n_keys = n0 + n0 // 11  # + the seq-2 planted NEW keys (o_orderkey % 11 = 4)
+    return min(1 << 20, max(64, -(-n_keys // _CDC_KEYS_PER_BUCKET)))
 
 _CDC_STATE_COLS = ["o_orderkey", "seq", "o_orderstatus", "price_cents", "deleted"]
 
@@ -774,7 +795,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     bucketed = stream.withColumn(
-        "bucket", F.pmod(F.col("o_orderkey"), F.lit(_CDC_STATE_BUCKETS))
+        "bucket", F.pmod(F.col("o_orderkey"), F.lit(_cdc_state_buckets(src)))
     )
     applied = bucketed.groupBy("bucket").applyInPandasWithState(
         update,
@@ -1571,10 +1592,20 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_sorted_log(spark, sf_dir)
     register_events_log(spark)
     expected = load_table(spark, sf_dir, "events").count()
+    # Scale-adaptive cursor pacing (r12, guide §2): a FIXED 2500-row
+    # chunk makes the micro-batch count grow linearly with the log
+    # (40 batches at sf0.1, 4000 at sf10) and every batch pays a full
+    # trigger round-trip — the drain was batch-count-bound, not
+    # data-bound. A kafka-like source reads what is available; cap the
+    # drain at ~12 micro-batches at any SF (floor 2500 keeps the
+    # correctness-gate SFs multi-batch so offset bookkeeping is still
+    # exercised). The complete-mode aggregate is chunking-invariant,
+    # so results are identical by construction.
+    chunk = max(2500, -(-expected // 12))
     stream = (
         spark.readStream.format("events_log")
         .option("path", path)
-        .option("chunk", "2500")
+        .option("chunk", str(chunk))
         .load()
     )
     # (streaming forbids COUNT DISTINCT; min/max event_id double as
