@@ -570,6 +570,7 @@ def test_dsir_broadcasts_model_no_cartesian(spark, sf_dir):
     explode feeds the (doc,bucket) aggregate directly (no join between
     explode and first groupBy)."""
     from udacity_data_engineer_capstone_spark.operators.curation import (
+        _dsir_feats,
         _dsir_scored,
     )
 
@@ -584,6 +585,14 @@ def test_dsir_broadcasts_model_no_cartesian(spark, sf_dir):
     assert simple.count("BroadcastHashJoin") == 1, simple
     # the only nested-loop allowed is the scalar totals cross join
     assert simple.count("BroadcastNestedLoopJoin") <= 1, simple
+    # the corpus-sized half (hidden downstream behind the r12 feats
+    # checkpoint) keeps its audited shape: token explode feeds the
+    # (doc, lang, bucket) aggregate directly — no join, no Python, no
+    # vocabulary-sized distinct between them
+    feats_simple = plan_text(_dsir_feats(spark, sf_dir), mode="simple")
+    assert "Generate explode" in feats_simple, feats_simple
+    for bad in ("Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in feats_simple, feats_simple
     # and the registered query's own plan stays product/Python-free
     assert_not_in_plan(
         Q["curate_dsir"].fn(spark, sf_dir),

@@ -446,3 +446,27 @@ def test_cdc_state_buckets_derived_from_key_cardinality(spark, sf_dir):
             os.environ.pop("SPARK_GRAFT_CDC_BUCKETS", None)
         else:
             os.environ["SPARK_GRAFT_CDC_BUCKETS"] = old
+
+
+def test_ewma_state_buckets_derived_from_staged_rows(spark, sf_dir):
+    """r12: EWMA state buckets follow staged-log size (~4096 rows per
+    bucket, floor 32) so Python dispatch tracks data, not a constant;
+    env override wins."""
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        _ewma_state_buckets,
+        stage_events_dir,
+    )
+
+    src = stage_events_dir(spark, sf_dir)
+    rows = load_table(spark, sf_dir, "events").count()
+    expected = min(1 << 20, max(32, -(-rows // 4096)))
+    assert _ewma_state_buckets(src) == expected
+    old = os.environ.get("SPARK_GRAFT_EWMA_BUCKETS")
+    try:
+        os.environ["SPARK_GRAFT_EWMA_BUCKETS"] = "19"
+        assert _ewma_state_buckets(src) == 19
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_EWMA_BUCKETS", None)
+        else:
+            os.environ["SPARK_GRAFT_EWMA_BUCKETS"] = old

@@ -1024,10 +1024,12 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY dsir_score_micro DESC, doc_id)
 """
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-rank DSIR scoring dataflow (exposed separately so plan
-    tests can audit the join/broadcast shape — the ordinal's checkpoint
-    hides this lineage from the final query's plan)."""
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized half of the DSIR dataflow: token explode +
+    inline md5 feature bucket + (doc, lang, bucket) tf aggregate.
+    Exposed separately so plan tests can audit the explode→aggregate
+    shape even though :func:`_dsir_scored` materializes it (the
+    checkpoint hides this lineage from downstream plans)."""
     docs = load_table_scaled(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -1037,11 +1039,25 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("term") != "")
     )
-    feats = (
+    return (
         toks.withColumn("bucket", F.expr(_dsir_bucket("instr")))
         .groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-rank DSIR scoring dataflow (exposed separately so plan
+    tests can audit the join/broadcast shape — the ordinal's checkpoint
+    hides this lineage from the final query's plan).
+
+    r12: ``feats`` feeds THREE consumers (the bucket model, its totals
+    scalar, and the final scoring join) and no ReusedExchange fired —
+    the corpus explode + per-token md5 ran three times per query.
+    One lazy localCheckpoint materializes it once; everything
+    downstream is (doc×bucket)- or 256-row-sized. The pre-checkpoint
+    shape stays auditable via :func:`_dsir_feats`."""
+    feats = _dsir_feats(spark, sf_dir).localCheckpoint(eager=False)
     bucket_counts = feats.groupBy("bucket").agg(
         F.sum(
             F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(

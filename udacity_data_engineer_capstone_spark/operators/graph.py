@@ -1340,25 +1340,36 @@ def graph_bfs_multisource_bucketed(
         [(s, s, 0) for s in _LANDMARKS], "src long, node long, lvl long"
     )
     levels, frontier = seeds, seeds
-    n_frontier = len(_LANDMARKS)  # exact: seeds carry one row each
-    for _ in range(_BFS_MAX_ROUNDS):
-        # bounded collects: ≤ dir-count bucket ids + 2 range scalars
+    # ONE driver job per round (r12): the frontier's bucket list, src
+    # range, and row count ride a single bounded agg — the count used
+    # to be a second job per round (collect stats, expand, then
+    # count()), pure job-barrier latency at every scale. Union-before-
+    # check is value-safe: unioning an EMPTY frontier into levels adds
+    # nothing, and the loop breaks at the next round's n == 0 probe
+    # before any lo/hi is read. Rounds = expansions + the final empty-
+    # frontier probe, hence the +1 bound.
+    for _ in range(_BFS_MAX_ROUNDS + 1):
+        # bounded collect: ≤ dir-count bucket ids + 3 scalars
         fstats = frontier.agg(
             F.collect_set((F.col("node") / width).cast("long")).alias("bs"),
             F.min("node").alias("lo"),
             F.max("node").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+        n_frontier = int(fstats["n"])
+        if n_frontier == 0:
+            break
         pruned = adj.where(
             F.col("sb").isin(sorted(fstats["bs"]))
             & F.col("s").between(int(fstats["lo"]), int(fstats["hi"]))
         )
         # broadcast the frontier only while it is provably small (the
-        # count is already computed each round for the fixpoint check,
-        # so the gate is free). An UNCONDITIONAL broadcast collects the
-        # whole frontier to the driver — reach-bounded only because
-        # this fixture's landmark component is small; on a graph whose
-        # seed component is large it would OOM the driver, whereas a
-        # shuffle join degrades gracefully (ADVICE r11).
+        # count comes from the same per-round agg, so the gate is
+        # free). An UNCONDITIONAL broadcast collects the whole frontier
+        # to the driver — reach-bounded only because this fixture's
+        # landmark component is small; on a graph whose seed component
+        # is large it would OOM the driver, whereas a shuffle join
+        # degrades gracefully (ADVICE r11).
         fside = frontier.withColumnRenamed("node", "s")
         if n_frontier <= _BFS_BROADCAST_MAX:
             fside = F.broadcast(fside)
@@ -1373,9 +1384,6 @@ def graph_bfs_multisource_bucketed(
         frontier = expanded.join(
             levels, ["src", "node"], "left_anti"
         ).localCheckpoint(eager=False)
-        n_frontier = frontier.count()
-        if n_frontier == 0:
-            break
         levels = levels.unionAll(frontier).localCheckpoint(eager=False)
     else:
         raise RuntimeError(

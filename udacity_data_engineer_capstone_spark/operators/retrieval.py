@@ -282,25 +282,41 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     )
-    vocab = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+    # r12 (guide §2.3 "aggregate before you shuffle"): fold the token
+    # stream to (doc, term, tf) ONCE and materialize it — the previous
+    # form evaluated the corpus explode THREE times (vocab build,
+    # scoring join, and the totals scalar re-deriving vocab; no
+    # ReusedExchange fired), and shuffled per-token rows. Every
+    # downstream stage is pairs-sized. Exactness is unchanged: each
+    # token of a term carries the identical quantized lp_micro, so
+    # tf * lp_micro == the per-token sum, n_tokens == sum(tf), and the
+    # avg double divides the same two integers.
+    pairs = (
+        tokens.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = pairs.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     tok_lp = (
         # no broadcast hint on vocab — see docstring (AQE promotes
         # when small; a tail-heavy vocab shuffles instead)
-        tokens.join(vocab, "term")
+        pairs.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "tf",
             F.floor(
                 F.log(F.col("cnt").cast("double") / F.col("total")) * _MICRO
             ).alias("lp_micro"),
         )
     )
     return tok_lp.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("lp_micro").alias("logprob_micro"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("lp_micro")).alias("logprob_micro"),
         (
-            F.sum("lp_micro").cast("double") / (F.lit(_MICRO) * F.count("*"))
+            F.sum(F.col("tf") * F.col("lp_micro")).cast("double")
+            / (F.lit(_MICRO) * F.sum("tf"))
         ).alias("avg_logprob"),
     )
 
@@ -1160,6 +1176,12 @@ def text_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("occ").alias("occurrences"),
             F.sum("w").alias("rel"),
         )
+        # scored feeds BOTH the DCG and the IDCG branch: without a
+        # checkpoint each branch re-runs the whole tokenize→explode→
+        # score pipeline (the corpus scan twice over — measured as the
+        # bulk of this query's 2.7 s at sf0.1). Materialize the small
+        # (query, doc) frame once; candidates only, never corpus text.
+        .localCheckpoint(eager=False)
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("occurrences").desc(), F.col("doc_id")

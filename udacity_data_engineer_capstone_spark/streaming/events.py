@@ -711,6 +711,30 @@ def _cdc_state_buckets(src_dir: str) -> int:
     n_keys = n0 + n0 // 11  # + the seq-2 planted NEW keys (o_orderkey % 11 = 4)
     return min(1 << 20, max(64, -(-n_keys // _CDC_KEYS_PER_BUCKET)))
 
+
+# EWMA bucket sizing: dispatch follows DATA size — ~4096 staged rows
+# per bucket (the user cardinality is not known without a job; row
+# count is a free footer read and upper-bounds it). Floor 32 keeps the
+# drain parallel across cores; cap 2^20 mirrors the CDC rule.
+_EWMA_ROWS_PER_BUCKET = 4096
+
+
+def _ewma_state_buckets(src_dir: str) -> int:
+    env = os.environ.get("SPARK_GRAFT_EWMA_BUCKETS")
+    if env:
+        return int(env)
+    try:
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(src_dir, p)).metadata.num_rows
+            for p in os.listdir(src_dir)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+    except Exception:
+        return 1024
+    return min(1 << 20, max(32, -(-rows // _EWMA_ROWS_PER_BUCKET)))
+
 _CDC_STATE_COLS = ["o_orderkey", "seq", "o_orderstatus", "price_cents", "deleted"]
 
 
@@ -914,41 +938,78 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     showing cross-batch *numeric* state, not just last-writer-wins.
 
     Scale shape: state is three integers per user (bounded by user
-    cardinality); each micro-batch shuffles only its own users. The
-    event-time-ordered file staging (see ``stage_events_dir``) is what
-    makes the sequential fold well-defined across batches — the same
+    cardinality), array-packed per HASH BUCKET of user_id (r12 — the
+    same dispatch fix as ``stream_cdc_apply``: keying Python state by
+    raw user_id cost one Arrow slice + one pandas call + one ONE-ROW
+    output DataFrame per user per micro-batch, ~2x user-cardinality
+    Python dispatches per drain; bucketing makes dispatch ∝ buckets
+    and the per-bucket fold one vectorized pass, with the same
+    BUCKET-REWRITE amplification caveat as the CDC form). Each
+    micro-batch shuffles only its own rows. The event-time-ordered
+    file staging (see ``stage_events_dir``) is what makes the
+    sequential fold well-defined across batches — the same
     append-ordered-log contract the CDC stream relies on. The memory
     sink + max_by collapse is the test drain; production would emit
     update-mode rows straight to a keyed store."""
 
     def update(key, pdfs, state: GroupState):
-        if state.exists:
-            n, level, last_cents = state.get
-        else:
-            n, level, last_cents = 0, 0, 0
         import numpy as np
 
-        # Concatenate the batch's Arrow chunks BEFORE sorting: a group's
+        # Concatenate the batch's Arrow chunks BEFORE sorting: a user's
         # rows can arrive split across chunks in unspecified order, so a
         # per-chunk sort would fold out of event order whenever a chunk
-        # boundary lands inside one user's run. One sort per (user,
-        # micro-batch) over that user's rows only.
-        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        cents_arr = np.floor(
+        # boundary lands inside one user's run. Sorting (user_id, ts,
+        # event_id) preserves each user's (ts, event_id) fold order —
+        # identical sequences to the per-user-group form.
+        pdf = pd.concat(list(pdfs)).sort_values(["user_id", "ts", "event_id"])
+        uids = pdf["user_id"].to_numpy(dtype="int64")
+        cents = np.floor(
             pdf["value"].to_numpy(dtype="float64") * 100.0 + 0.5
         ).astype("int64")
-        for c in cents_arr:
-            c = int(c)
-            level = c if n == 0 else (c + level) // 2
-            n += 1
-            last_cents = c
-        state.update((n, level, last_cents))
+        if state.exists:
+            s_users, s_ns, s_levels, s_lasts = state.get
+            st = {
+                int(u): [int(n), int(lv), int(lc)]
+                for u, n, lv, lc in zip(s_users, s_ns, s_levels, s_lasts)
+            }
+        else:
+            st = {}
+        # per-user integer fold over contiguous slices of the sorted
+        # batch (one numpy boundary scan; the inner loop touches each
+        # row once — the state fold itself is inherently sequential)
+        bounds = np.flatnonzero(np.r_[True, uids[1:] != uids[:-1]])
+        out_u: list[int] = []
+        out_rows: list[list[int]] = []
+        for i, lo in enumerate(bounds):
+            hi = bounds[i + 1] if i + 1 < len(bounds) else len(uids)
+            u = int(uids[lo])
+            cur = st.get(u)
+            if cur is None:
+                cur = st[u] = [0, 0, 0]
+            n, level, last = cur
+            for c in cents[lo:hi]:
+                c = int(c)
+                level = c if n == 0 else (c + level) // 2
+                n += 1
+                last = c
+            cur[0], cur[1], cur[2] = n, level, last
+            out_u.append(u)
+            out_rows.append([n, last, level])
+        users_sorted = sorted(st)
+        state.update(
+            (
+                users_sorted,
+                [st[u][0] for u in users_sorted],
+                [st[u][1] for u in users_sorted],
+                [st[u][2] for u in users_sorted],
+            )
+        )
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "last_cents": [last_cents],
-                "level_cents": [level],
+                "user_id": out_u,
+                "n_events": [r[0] for r in out_rows],
+                "last_cents": [r[1] for r in out_rows],
+                "level_cents": [r[2] for r in out_rows],
             }
         )
 
@@ -963,12 +1024,18 @@ def stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .parquet(src)
     )
-    folded = stream.groupBy("user_id").applyInPandasWithState(
+    bucketed = stream.withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(_ewma_state_buckets(src)))
+    )
+    folded = bucketed.groupBy("bucket").applyInPandasWithState(
         update,
         outputStructType=(
             "user_id long, n_events long, last_cents long, level_cents long"
         ),
-        stateStructType="n long, level long, last_cents long",
+        stateStructType=(
+            "users array<long>, ns array<long>, levels array<long>, "
+            "lasts array<long>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
