@@ -480,6 +480,46 @@ def main() -> None:
         ),
     }
 
+    # VERDICT r12 item 8 (measurement honesty): the two remaining
+    # one-time costs are timed explicitly per bench run instead of
+    # being absorbed by a first timed sample (the session-shared
+    # purchase-graph adjacency) or hidden entirely by a cross-process
+    # /tmp cache (the python-source sorted log). Both are recorded in
+    # BENCH_DETAIL like `bfs_layout`; the graph headline samples below
+    # then time traversal over the session-cached adjacency, the same
+    # split r12 made for the BFS layout.
+    from udacity_data_engineer_capstone_spark.operators.graph import (
+        _purchase_graph,
+    )
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        _stage_sorted_log,
+    )
+
+    t0 = time.perf_counter()
+    g = _purchase_graph(spark, sf_dir)
+    g["adj"].count()
+    g["nodes"].count()
+    graph_adjacency = {
+        "build_sec": round(time.perf_counter() - t0, 3),
+        "note": (
+            "session-shared purchase-graph adjacency build"
+            " (orders⋈lineitem DISTINCT + bidir/deg/adj persists) —"
+            " the materialized-view cost the whole graph family"
+            " amortizes; previously paid inside the first graph"
+            " query's first timed sample"
+        ),
+    }
+    t0 = time.perf_counter()
+    _stage_sorted_log(spark, sf_dir, force=True)
+    events_staging = {
+        "build_sec": round(time.perf_counter() - t0, 3),
+        "note": (
+            "stream_python_source's event_id-sorted log staging,"
+            " rebuilt with force=True so the cross-process /tmp cache"
+            " can't hide the cost from every recorded number"
+        ),
+    }
+
     base_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     hv_runs = max(base_runs, int(os.environ.get("SPARK_GRAFT_BENCH_HV_RUNS", "5")))
     runs_for = {
@@ -570,6 +610,8 @@ def main() -> None:
                 },
                 "head": head_sha,
                 "bfs_layout": bfs_layout,
+                "graph_adjacency": graph_adjacency,
+                "events_staging": events_staging,
                 "control_prior_tree": control,
             },
             fh,

@@ -423,29 +423,209 @@ def test_python_stream_source_reader_yields_arrow_batches(spark, sf_dir):
     assert all(1e14 < t < 1e17 for t in ts)
 
 
-def test_cdc_state_buckets_derived_from_key_cardinality(spark, sf_dir):
-    """r12: the CDC state-bucket count follows key cardinality at
-    ~1024 keys/bucket (floor 64), instead of the fixed 1024 buckets
-    that made sf0.1 dispatch-bound; the env override still wins."""
+def test_cdc_state_buckets_derived_from_key_cardinality(spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 item 6): the CDC state-bucket count is derived
+    GENERATOR-AGNOSTICALLY — key cardinality upper-bounded by the total
+    staged change-log rows (every live key appears at least once), no
+    knowledge of which batch plants which keys. ~1024 keys/bucket,
+    floor 64; the env override still wins; invalid/non-positive
+    overrides fall back to the derived value (ADVICE r12)."""
     from udacity_data_engineer_capstone_spark.streaming.events import (
         _cdc_state_buckets,
         stage_cdc_dir,
     )
 
     src = stage_cdc_dir(spark, sf_dir)
-    n_orders = load_table(spark, sf_dir, "orders").count()
-    n_keys = n_orders + n_orders // 11
-    expected = min(1 << 20, max(64, -(-n_keys // 1024)))
+    total_rows = spark.read.parquet(src).count()
+    expected = min(1 << 20, max(64, -(-total_rows // 1024)))
     assert _cdc_state_buckets(src) == expected
+
+    # a synthetic log WITHOUT the fixture's planted-key pattern: the
+    # derivation must still work (pure row-count bound)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    alt = tmp_path / "cdc_alt"
+    alt.mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": list(range(3000))}),
+        str(alt / "batch-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_orderkey": list(range(500))}),
+        str(alt / "batch-1.parquet"),
+    )
+    assert _cdc_state_buckets(str(alt)) == min(
+        1 << 20, max(64, -(-3500 // 1024))
+    )
+
     old = os.environ.get("SPARK_GRAFT_CDC_BUCKETS")
     try:
         os.environ["SPARK_GRAFT_CDC_BUCKETS"] = "77"
         assert _cdc_state_buckets(src) == 77
+        # ADVICE r12: "0"/negative/garbage must not reach pmod(key, 0)
+        for bad in ("0", "-5", "many"):
+            os.environ["SPARK_GRAFT_CDC_BUCKETS"] = bad
+            assert _cdc_state_buckets(src) == expected
     finally:
         if old is None:
             os.environ.pop("SPARK_GRAFT_CDC_BUCKETS", None)
         else:
             os.environ["SPARK_GRAFT_CDC_BUCKETS"] = old
+
+
+def _drain_append(spark, df, name):
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+def test_session_timeout_bucketed_equals_per_key(spark, sf_dir):
+    """r13 (VERDICT r12 item 2): the bucketed sessionizer the registered
+    query runs must emit EXACTLY the per-key reference kernel's rows —
+    same sessions, same close reasons — under stepped watermarks (one
+    file per micro-batch, so gap closures and timeout evictions happen
+    across many batches, not one)."""
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        _session_state_buckets,
+        sessionize_with_timeout,
+        sessionize_with_timeout_bucketed,
+        stage_events_dir,
+    )
+
+    src = stage_events_dir(spark, sf_dir)
+
+    def stepped_stream():
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    ref = _drain_append(
+        spark, sessionize_with_timeout(stepped_stream()), "sess_eq_ref"
+    )
+    got = _drain_append(
+        spark,
+        sessionize_with_timeout_bucketed(
+            stepped_stream(), _session_state_buckets(src)
+        ),
+        "sess_eq_bucketed",
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "closed_by"]
+    ref_rows = sorted(tuple(r) for r in ref.select(*cols).collect())
+    got_rows = sorted(tuple(r) for r in got.select(*cols).collect())
+    assert ref_rows == got_rows
+    assert len(ref_rows) > 0
+
+
+def test_session_timeout_bucketed_late_user_times_out(spark, tmp_path):
+    """r13: per-user timeout semantics survive bucketing. A user who
+    goes quiet must still be flushed as 'timeout' when the watermark
+    passes its deadline, in BOTH wake paths: (a) its bucket is invoked
+    by ANOTHER user's data (inline eviction), and (b) its bucket has no
+    data at all (the bucket's min-deadline registered timeout fires
+    hasTimedOut). A user whose own later event closes the session gets
+    'gap', never 'timeout'."""
+    import os
+    import time as _time
+
+    from udacity_data_engineer_capstone_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        sessionize_with_timeout,
+        sessionize_with_timeout_bucketed,
+    )
+
+    t0 = 1704067200_000_000  # 2024-01-01 00:00:00 UTC, micros
+    m = 60 * 1_000_000
+
+    def ev(eid, ts_us, user):
+        import datetime
+
+        return (
+            eid,
+            datetime.datetime.fromtimestamp(
+                ts_us / 1_000_000, tz=datetime.timezone.utc
+            ).replace(tzinfo=None),
+            user,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    # bucket1 = users {1, 3}; bucket0 = users {2, 4} at n_buckets=2
+    batches = [
+        # file 0: everyone opens a session; user 3 sends two events
+        [ev(1, t0, 1), ev(2, t0, 2), ev(3, t0, 3), ev(4, t0 + 10 * m, 3)],
+        # file 1: ONLY user 1 (4h later) — closes its own session as
+        # 'gap'; watermark is still behind (file-0 max - 2h), so no
+        # eviction yet
+        [ev(5, t0 + 240 * m, 1)],
+        # file 2: ONLY user 4 — batch watermark = t0+4h-2h = t0+2h:
+        # bucket0 is invoked with data (user 2 quiet -> inline
+        # 'timeout'); bucket1 has NO data and its min-deadline
+        # (user 3, t0+40min) is below the watermark -> hasTimedOut
+        # fires and evicts user 3
+        [ev(6, t0 + 250 * m, 4)],
+    ]
+    src = tmp_path / "late_user_src"
+    src.mkdir()
+    base = _time.time() - 100
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage_{i}"
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(stage))
+        part = next(
+            p for p in os.listdir(stage) if p.startswith("part-")
+        )
+        dst = src / f"file-{i}.parquet"
+        os.rename(str(stage / part), str(dst))
+        os.utime(str(dst), (base + i, base + i))
+
+    def stepped_stream():
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    got = _drain_append(
+        spark,
+        sessionize_with_timeout_bucketed(stepped_stream(), 2),
+        "sess_late_bucketed",
+    )
+    rows = {
+        (r["user_id"], r["n_events"], r["closed_by"])
+        for r in got.collect()
+    }
+    assert rows == {
+        (1, 1, "gap"),       # closed by the user's own later event
+        (2, 1, "timeout"),   # quiet user in a bucket woken by user 4
+        (3, 2, "timeout"),   # quiet user in a bucket with NO data
+    }, rows
+    # sessions still open at the terminal watermark never emit
+    assert not {r["user_id"] for r in got.collect()} & {4}
+    # and the per-key reference kernel agrees exactly
+    ref = _drain_append(
+        spark, sessionize_with_timeout(stepped_stream()), "sess_late_ref"
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "closed_by"]
+    assert sorted(tuple(r) for r in ref.select(*cols).collect()) == sorted(
+        tuple(r) for r in got.select(*cols).collect()
+    )
 
 
 def test_ewma_state_buckets_derived_from_staged_rows(spark, sf_dir):

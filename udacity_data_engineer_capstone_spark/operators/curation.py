@@ -27,6 +27,7 @@ from udacity_data_engineer_capstone_spark.operators.dedup import (
     _MINHASH_ORACLE,
     _SHINGLES_DUCK,
     _SHINGLES_SPARK,
+    _minhash_pairs,
     corpus,
     dedup_exact,
     dedup_minhash_lsh,
@@ -67,16 +68,28 @@ WHERE n_tokens >= {MIN_TOKENS}
 
 @query("curate_training_corpus", oracle=_CURATE_ORACLE, tags=("pipeline", "dedup"))
 def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate → exact dedup → near-dup removal in one dataflow."""
-    docs = corpus(spark, sf_dir).withColumn(
+    """Quality gate → exact dedup → near-dup removal in one dataflow.
+
+    r13 (VERDICT r12 item 4, guide §2.3/§6): the three stages used to
+    derive the planted corpus INDEPENDENTLY (quality scan, exact-dedup
+    scan, minhash scan) — concurrent in one DAG locally, three full
+    corpus passes at scale. Now ONE localCheckpoint of the corpus
+    (scaled layout, the per-row-compute-heavy minhash stage's choice;
+    row set identical) feeds all three branches. The keep policy stays
+    single-definition: the exact-dedup aggregate is the same
+    groupBy(md5(text)) → min(doc_id) the registered ``dedup_exact``
+    computes, and the near-dup stage is ``dedup_minhash_lsh``'s kernel
+    via its ``_minhash_pairs`` seam."""
+    c = corpus(spark, sf_dir, scaled=True).localCheckpoint(eager=False)
+    docs = c.withColumn(
         "n_tokens", F.size(F.split(F.lower("text"), r"\s+"))
     )
     quality = docs.filter(F.col("n_tokens") >= MIN_TOKENS)
 
-    # reuse the registered exact-dedup operator so the keep policy has a
-    # single definition (any change there propagates here)
-    keepers = dedup_exact(spark, sf_dir).select("keep_id")
-    near_dup_losers = dedup_minhash_lsh(spark, sf_dir).select("b_id")
+    keepers = c.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id")
+    ).select("keep_id")
+    near_dup_losers = _minhash_pairs(c).select("b_id")
 
     return (
         quality.join(keepers, quality.doc_id == keepers.keep_id, "left_semi")
@@ -618,8 +631,20 @@ def curate_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a projection over the scan, which is what makes model-based
     filtering affordable at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = docs.select(
-        "doc_id",
+    feats = docs.select("doc_id", *_model_feat_cols())
+    score = _model_score_col()
+    return feats.select(
+        "doc_id", "n_tokens", "n_chars", "n_digits", "n_upper",
+        score.cast("bigint").alias("score_micro"),
+        (score >= _MODEL_THRESHOLD).alias("keep"),
+    )
+
+
+def _model_feat_cols() -> list:
+    """The quantized linear classifier's exact-integer feature columns
+    — factored out (r13) so ``pipe_pretrain_mix`` computes them on its
+    ONE shared document scan with the identical definitions."""
+    return [
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
         (
@@ -630,18 +655,18 @@ def curate_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text")
             - F.length(F.regexp_replace("text", "[A-Z]", ""))
         ).cast("bigint").alias("n_upper"),
-    )
-    score = (
+    ]
+
+
+def _model_score_col():
+    """The classifier's score expression over the named feature
+    columns (single definition shared with the pipeline)."""
+    return (
         F.col("n_tokens") * _MODEL_WEIGHTS["n_tokens"]
         + F.col("n_chars") * _MODEL_WEIGHTS["n_chars"]
         + F.col("n_digits") * _MODEL_WEIGHTS["n_digits"]
         + F.col("n_upper") * _MODEL_WEIGHTS["n_upper"]
         + _MODEL_BIAS
-    )
-    return feats.select(
-        "doc_id", "n_tokens", "n_chars", "n_digits", "n_upper",
-        score.cast("bigint").alias("score_micro"),
-        (score >= _MODEL_THRESHOLD).alias("keep"),
     )
 
 
@@ -1046,7 +1071,25 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_feats_from_pairs(pairs: DataFrame) -> DataFrame:
+    """DSIR features derived from a prebuilt (doc_id, lang, term, tf)
+    token fold (r13 — pipe_pretrain_mix shares ONE corpus explode
+    between the LM and DSIR branches). Identical values to
+    :func:`_dsir_feats`: every occurrence of a term hashes to the same
+    bucket, so summing pair tf per (doc, lang, bucket) equals counting
+    token occurrences — and the md5 runs once per DISTINCT (doc, term)
+    instead of once per occurrence."""
+    return (
+        pairs.where(F.col("term") != "")
+        .withColumn("bucket", F.expr(_dsir_bucket("instr")))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+def _dsir_scored(
+    spark: SparkSession, sf_dir: str, feats: DataFrame | None = None
+) -> DataFrame:
     """The pre-rank DSIR scoring dataflow (exposed separately so plan
     tests can audit the join/broadcast shape — the ordinal's checkpoint
     hides this lineage from the final query's plan).
@@ -1056,8 +1099,13 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus explode + per-token md5 ran three times per query.
     One lazy localCheckpoint materializes it once; everything
     downstream is (doc×bucket)- or 256-row-sized. The pre-checkpoint
-    shape stays auditable via :func:`_dsir_feats`."""
-    feats = _dsir_feats(spark, sf_dir).localCheckpoint(eager=False)
+    shape stays auditable via :func:`_dsir_feats`.
+
+    r13: callers holding a shared token fold pass ``feats`` (see
+    :func:`_dsir_feats_from_pairs`); the default builds its own."""
+    if feats is None:
+        feats = _dsir_feats(spark, sf_dir)
+    feats = feats.localCheckpoint(eager=False)
     bucket_counts = feats.groupBy("bucket").agg(
         F.sum(
             F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(

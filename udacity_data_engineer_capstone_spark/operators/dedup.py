@@ -240,9 +240,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect on candidates only. At scale the only shuffles are
     the band-key join (n·6 narrow rows) and the candidate verification
     join — never the O(n²) pair space."""
-    c = corpus(spark, sf_dir, scaled=True).withColumn(
-        "toks", F.split(F.lower("text"), r"\s+")
-    )
+    return _minhash_pairs(corpus(spark, sf_dir, scaled=True))
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The MinHash-LSH near-dup kernel over a prebuilt (doc_id, text)
+    frame — the seam that lets ``curate_training_corpus`` feed the
+    quality gate, exact dedup, and near-dup stages from ONE
+    materialized corpus (r13, guide §2.3/§6) while
+    ``dedup_minhash_lsh`` keeps its own."""
+    c = docs.withColumn("toks", F.split(F.lower("text"), r"\s+"))
     # the shingle table feeds three consumers (banding + both sides of
     # the verification join); localCheckpoint materializes it once
     # instead of re-tokenizing the corpus three times. Unlike persist(),

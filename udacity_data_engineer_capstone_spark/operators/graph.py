@@ -1350,7 +1350,7 @@ def graph_bfs_multisource_bucketed(
     # nothing, and the loop breaks at the next round's n == 0 probe
     # before any lo/hi is read. Rounds = expansions + the final empty-
     # frontier probe, hence the +1 bound.
-    for _ in range(_BFS_MAX_ROUNDS + 1):
+    for _round in range(_BFS_MAX_ROUNDS + 1):
         # bounded collect: ≤ dir-count bucket ids + 3 scalars
         fstats = frontier.agg(
             F.collect_set((F.col("node") / width).cast("long")).alias("bs"),
@@ -1361,6 +1361,14 @@ def graph_bfs_multisource_bucketed(
         n_frontier = int(fstats["n"])
         if n_frontier == 0:
             break
+        if _round == _BFS_MAX_ROUNDS:
+            # ADVICE r12: the final iteration is probe-only — without
+            # this, a non-converging graph would run MAX_ROUNDS+1 full
+            # expansions (one more than the documented bound)
+            raise RuntimeError(
+                f"bucketed multi-source BFS did not reach fixpoint in"
+                f" {_BFS_MAX_ROUNDS} rounds"
+            )
         pruned = adj.where(
             F.col("sb").isin(sorted(fstats["bs"]))
             & F.col("s").between(int(fstats["lo"]), int(fstats["hi"]))
@@ -1387,11 +1395,6 @@ def graph_bfs_multisource_bucketed(
             levels, ["src", "node"], "left_anti"
         ).localCheckpoint(eager=False)
         levels = levels.unionAll(frontier).localCheckpoint(eager=False)
-    else:
-        raise RuntimeError(
-            f"bucketed multi-source BFS did not reach fixpoint in"
-            f" {_BFS_MAX_ROUNDS} rounds"
-        )
     return levels.groupBy(F.col("node").alias("node_id")).agg(
         F.count(F.lit(1)).alias("n_reached"),
         F.sum("lvl").alias("sum_dist"),

@@ -296,11 +296,22 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
+    return _lm_scores_from_pairs(pairs)
+
+
+def _lm_scores_from_pairs(pairs: DataFrame) -> DataFrame:
+    """The unigram-LM scoring dataflow over a prebuilt (doc_id, term,
+    tf) frame — the seam that lets ``pipe_pretrain_mix`` feed the LM
+    and the DSIR featurizer from ONE materialized token fold (r13,
+    guide §2.3/§6) while ``text_lm_logprob`` keeps its own. Extra
+    grouping columns (e.g. lang) are permitted upstream: (doc_id, term)
+    stays unique because they are functionally dependent on doc_id."""
+    pairs = pairs.select("doc_id", "term", "tf")
     vocab = pairs.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     tok_lp = (
-        # no broadcast hint on vocab — see docstring (AQE promotes
-        # when small; a tail-heavy vocab shuffles instead)
+        # no broadcast hint on vocab — see text_lm_logprob docstring
+        # (AQE promotes when small; a tail-heavy vocab shuffles instead)
         pairs.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
@@ -685,8 +696,13 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets to the oracle's rank rule, and the output stage is a pure
     map with NO window and NO exchange. Tie-break on doc_id keeps the
     cut deterministic."""
-    lm = text_lm_logprob(spark, sf_dir)
+    return _ccnet_buckets_from_lm(text_lm_logprob(spark, sf_dir))
 
+
+def _ccnet_buckets_from_lm(lm: DataFrame) -> DataFrame:
+    """The tertile cut over a prebuilt LM-score frame — the seam that
+    lets ``pipe_pretrain_mix`` run the CCNet tiering over its shared
+    token fold (r13) while the registered query keeps its own LM."""
     per_tok = F.col("logprob_micro").cast("double") / F.col("n_tokens")
     # rk*3 <= n  ⟺  rk <= n//3 (segment 0); rk*3 <= 2n ⟺ rk <= 2n//3
     seg, _n = global_rank_segments(

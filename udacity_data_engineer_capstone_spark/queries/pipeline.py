@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from udacity_data_engineer_capstone_spark.catalog import register_views
+from udacity_data_engineer_capstone_spark.catalog import (
+    load_table,
+    load_table_scaled,
+    register_views,
+)
 from udacity_data_engineer_capstone_spark.operators.ordinal import (
     global_rank_segments,
     global_rank_segments_multi,
@@ -399,11 +403,16 @@ from udacity_data_engineer_capstone_spark.operators.curation import (  # noqa: E
     _MODEL_ORACLE,
     _SHARD_MIX,
     _SHARDS,
+    _dsir_feats_from_pairs,
     _dsir_scored,
+    _model_feat_cols,
+    _model_score_col,
     curate_model_score,
 )
 from udacity_data_engineer_capstone_spark.operators.retrieval import (  # noqa: E402
     _CCNET_ORACLE,
+    _ccnet_buckets_from_lm,
+    _lm_scores_from_pairs,
     curate_ccnet_buckets,
 )
 
@@ -480,9 +489,28 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n//2-th row exactly, then a literal-comparison filter) —
     identical survivors to a global-window rank, but the composed plan
     carries no window and no single-partition exchange, and the cut
-    itself adds zero shuffles."""
-    docs = register_views(spark, sf_dir, ("documents",))["documents"]
-    scored = curate_model_score(spark, sf_dir).select("doc_id", "score_micro")
+    itself adds zero shuffles.
+
+    r13 (VERDICT r12 item 3, guide §2.3/§6 — stage the shared corpus
+    once): the mix used to scan the document text independently in
+    FOUR branches (model score, md5 keepers, the CCNet LM's token
+    explode, the DSIR featurizer's token explode — plus a fifth
+    doc_id/lang scan for the English slice). Now ONE materialized
+    doc-sized projection (doc_id, lang, md5, the 4 classifier feature
+    ints — never text) feeds the model/keepers/en-slice branches, and
+    ONE materialized token fold (doc_id, lang, term, tf) feeds both
+    the LM and DSIR branches via their _from_pairs/_from_lm seams —
+    identical values by construction (every occurrence of a term
+    carries the same md5 bucket and the same lp_micro; the per-doc
+    sums are the same integers)."""
+    register_views(spark, sf_dir, ("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.md5("text").alias("h"), *_model_feat_cols()
+    ).localCheckpoint(eager=False)
+    scored = base.select(
+        "doc_id", _model_score_col().cast("bigint").alias("score_micro")
+    )
     # rk*2 <= n ⟺ rank <= n//2: boundary-only cut — no window, no
     # exchange in the surviving plan (see global_rank_segments)
     qseg, _qn = global_rank_segments(
@@ -494,11 +522,20 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="__qseg",
     )
     model = qseg.filter(F.col("__qseg") == 0).select("doc_id")
-    keepers = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keep_id")
+    keepers = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    pairs = (
+        load_table_scaled(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     cc = (
-        curate_ccnet_buckets(spark, sf_dir)
+        _ccnet_buckets_from_lm(_lm_scores_from_pairs(pairs))
         .filter(F.col("bucket").isin("head", "middle"))
         .select("doc_id", "bucket")
     )
@@ -506,9 +543,11 @@ def pipe_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself below, so curate_dsir's own corpus-wide rank machinery
     # (and its construction-time histogram/count jobs) would be dead
     # work here
-    ds = _dsir_scored(spark, sf_dir).select("doc_id", "dsir_score_micro")
+    ds = _dsir_scored(
+        spark, sf_dir, feats=_dsir_feats_from_pairs(pairs)
+    ).select("doc_id", "dsir_score_micro")
     surv = (
-        docs.filter(F.col("lang") == "en")
+        base.filter(F.col("lang") == "en")
         .join(model, "doc_id", "left_semi")
         .join(
             keepers.select("keep_id"),
