@@ -269,6 +269,15 @@ def _prior_snapshot_ref(repo: str, rnd: int) -> str | None:
         sha, _, subject = line.partition(" ")
         if re.match(rf"round {rnd - 1}: end-of-round snapshot", subject):
             return sha
+    # r13: not every round ends with a snapshot-subject commit (round 12
+    # ended at "round 12: verdict/advice/correctness/bench"), which made
+    # the control silently skip. Fall back to the NEWEST commit whose
+    # subject names the prior round — the prior round's tree as last
+    # recorded, which is exactly what the control compares against.
+    for line in out.stdout.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(rf"round {rnd - 1}:", subject):
+            return sha
     return None
 
 

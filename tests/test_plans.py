@@ -1277,6 +1277,9 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
     _bfs_bucketed_layout(spark, sf_dir)
 
     def _audit(item):
+        from tests.conftest import bind_active_session
+
+        bind_active_session(spark)
         name, spec = item
         df = spec.fn(spark, sf_dir)
         txt = plan_text(df, mode="simple")

@@ -20,6 +20,8 @@ hashes match without float tolerance.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +45,15 @@ from udacity_data_engineer_capstone_spark.sources import i94_fixtures
 _P = i94_fixtures.fixture_paths()
 
 
+# i94.run mirrors the reference's temp-view dataflow, which REBINDS
+# `tbl_demographics` mid-run (raw view → SQL → aggregated view → SQL).
+# Temp views are session-global, so two concurrent pipeline runs (the
+# two pipe_i94_* queries overlapped from driver threads) can interleave
+# the rebind and resolve the WRONG schema. The pipeline run is
+# serialized; its outputs are plain DataFrames and stay thread-safe.
+_I94_RUN_LOCK = threading.Lock()
+
+
 def _run_pipeline(spark: SparkSession) -> dict[str, DataFrame]:
     i94_fixtures.generate_stable()
     paths = i94.I94Paths(
@@ -51,7 +62,8 @@ def _run_pipeline(spark: SparkSession) -> dict[str, DataFrame]:
         immigration=_P["immigration"],
         output=_P["output"],
     )
-    return i94.run(spark, paths, write=False)
+    with _I94_RUN_LOCK:
+        return i94.run(spark, paths, write=False)
 
 
 # SQL twin of build_immigration_fact (etl.py:151-191): five star joins on

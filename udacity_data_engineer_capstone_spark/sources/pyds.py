@@ -16,6 +16,7 @@ file too large or too numerous to parse on one machine.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -71,9 +72,32 @@ class SasLabelsDataSource(DataSource):
         return _LabelsReader(self.options)
 
 
+# Registration is serialized and memoized per (session, source):
+# ``spark.dataSource.register`` pickles the class through shared
+# SparkContext state and writes the session's data-source registry —
+# concurrent registrations from driver threads (tests overlap
+# independent queries per guide §2.6; a multi-tenant notebook session
+# does the same) raced intermittently to a DATA_SOURCE_NOT_FOUND at
+# lookup. One lock + register-once-per-session removes both the race
+# window and the repeated pickling cost.
+_REG_LOCK = threading.Lock()
+_REGISTERED: set[tuple[str, str]] = set()
+
+
+def _register_once(spark, cls) -> None:
+    key = (spark.sparkContext.applicationId, cls.name())
+    if key in _REGISTERED:
+        return
+    with _REG_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(cls)
+        _REGISTERED.add(key)
+
+
 def register(spark) -> None:
     """Idempotent registration of the custom format."""
-    spark.dataSource.register(SasLabelsDataSource)
+    _register_once(spark, SasLabelsDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +229,7 @@ class EventsLogDataSource(DataSource):
 
 
 def register_events_log(spark) -> None:
-    spark.dataSource.register(EventsLogDataSource)
+    _register_once(spark, EventsLogDataSource)
 
 # ---------------------------------------------------------------------------
 # custom Python DataSource WRITER: manifest-committed parquet sink
@@ -330,7 +354,7 @@ class ManifestParquetSinkDataSource(DataSource):
 
 
 def register_manifest_sink(spark) -> None:
-    spark.dataSource.register(ManifestParquetSinkDataSource)
+    _register_once(spark, ManifestParquetSinkDataSource)
 
 
 def read_manifest_parquet(spark, path: str, schema: str):
@@ -429,7 +453,7 @@ class ManifestParquetStreamSinkDataSource(DataSource):
 
 
 def register_manifest_stream_sink(spark) -> None:
-    spark.dataSource.register(ManifestParquetStreamSinkDataSource)
+    _register_once(spark, ManifestParquetStreamSinkDataSource)
 
 
 def read_stream_manifests(spark, path: str, schema: str):
